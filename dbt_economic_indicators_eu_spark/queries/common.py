@@ -1,0 +1,104 @@
+"""Shared plumbing for the operator demo queries.
+
+Float-parity discipline (SURVEY.md §4), learned the hard way:
+
+1. Aggregates whose float result depends on accumulation order
+   (sum/avg/stddev/percentile over doubles) get rounded in BOTH
+   engines — at a digit position where the *true* value cannot
+   terminate (else the two engines' different rounding modes — Spark
+   HALF_UP on the decimal repr vs DuckDB scale-multiply — diverge on
+   exact ``.xx5`` values). Sums of 2-decimal data are safe at r2
+   (true value terminates at 2 → digit 3 is 0); stddev/slope are
+   irrational → any digit is safe; percentile interpolations of
+   2-decimal data terminate ≤5 digits → r6 is safe.
+2. AVG is never rounded directly: ``round(sum, 2) / count`` is exact
+   and order-independent; a rounded avg hits the .5 boundary whenever
+   count divides the decimal cleanly.
+3. Everything *derived from normalized inputs* (ratios, lags, diffs,
+   shares, CASE arithmetic) is emitted RAW — IEEE ops on identical
+   doubles are bit-identical across engines, while re-rounding them
+   reintroduces the boundary problem.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic parquet table (column pruning + predicate
+    pushdown happen automatically downstream of this lazy scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as a long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and we floor-truncate to
+    microsecond timestamps — the DuckDB oracles apply the equivalent
+    ``CAST(ts AS TIMESTAMP)`` so both engines see identical values.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer div — ns longs (~1.7e18) overflow double precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# DuckDB-side normalization of events.ts (TIMESTAMP_NS → µs, floor) to
+# mirror what ``load`` does on the Spark side.
+EVENTS_NORM_SQL = (
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props "
+    "FROM events)"
+)
+
+
+def r2(c: Column) -> Column:
+    return F.round(c, 2)
+
+
+def r4(c: Column) -> Column:
+    return F.round(c, 4)
+
+
+def r6(c: Column) -> Column:
+    return F.round(c, 6)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    """A named operator demo: Spark builder + DuckDB oracle SQL.
+
+    ``oracle`` is None for genuinely non-SQL-expressible operators
+    (sequential recursions, streaming) — the driver then records a
+    weaker rows-only check.
+    """
+
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    ops: tuple[str, ...] = ()  # SURVEY.md §2 operator IDs exercised
+
+
+def all_queries() -> dict[str, QueryDef]:
+    from . import datapipe, ml, relational
+
+    out: dict[str, QueryDef] = {}
+    for mod in (relational, ml, datapipe):
+        for q in mod.QUERIES:
+            out[q.name] = q
+    return out

@@ -1,0 +1,467 @@
+"""Time-series / ML operator demos (SURVEY.md §2.9) over the synthetic
+``events`` table.
+
+The reference implements these as single-process pandas models
+(py_anomaly_detection.py, py_data_quality_scores.py,
+py_unemployment_forecast.py). Here:
+
+- anomaly detection + quality scorecard are **fully native** Spark SQL
+  (window functions + one groupBy — no Python in the hot path, scales
+  linearly with partition count);
+- OLS forecasting is closed-form via ``regr_slope``/``regr_intercept``
+  (pure JVM aggregation);
+- the ES/Holt ensemble forecast is per-group ``applyInPandas`` — the
+  idiomatic Spark shape for inherently-sequential recursions: state
+  stays inside one group = one pandas batch, groups parallelize across
+  executors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import QueryDef, load, r2, r4
+
+# --------------------------------------------------------------------------
+# q_anomaly_zscore — OP-ML-ANOM, OP-AGG-ZSCORE, OP-AGG-IQR, OP-FN-PCTCHANGE,
+# OP-FN-CLIP, OP-FN-BOOLOR (py_anomaly_detection.py:18-162), re-expressed
+# with windows over partitionBy(user_id): no per-group loop, no concat.
+# Thresholds match the reference (z>3, 1.5*IQR, |pct_change|>0.5,
+# min 10 observations per group).
+# --------------------------------------------------------------------------
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    mean = F.avg("value").over(w)
+    std = F.stddev_samp("value").over(w)
+    n_obs = F.count(F.lit(1)).over(w)
+    # exact percentiles to match pandas .quantile / DuckDB quantile_cont
+    q1 = F.expr("percentile(value, 0.25)").over(w)
+    q3 = F.expr("percentile(value, 0.75)").over(w)
+    iqr = q3 - q1
+    lo = q1 - 1.5 * iqr
+    hi = q3 + 1.5 * iqr
+
+    z_raw = F.when((std.isNotNull()) & (std != 0), (F.col("value") - mean) / std).otherwise(
+        F.lit(0.0)
+    )
+    prev = F.lag("value").over(w_ord)
+    # raw: computed from identical inputs in both engines → bit-identical
+    pct_change = F.when(prev.isNotNull() & (prev != 0), (F.col("value") - prev) / prev)
+
+    enough = n_obs >= 10
+    z = r4(z_raw)  # r4 safe: z is irrational (σ is a sqrt), never terminates
+    lo6, hi6 = r6(lo), r6(hi)  # r6 safe: interpolated quartiles of 2-dec data terminate ≤5 digits
+    is_z = enough & (F.abs(z) > 3.0)
+    is_iqr = enough & ((F.col("value") < lo6) | (F.col("value") > hi6))
+    is_rate = F.coalesce(enough & (F.abs(pct_change) > 0.5), F.lit(False))
+
+    # clip(|z|,0,5)*20 → 0-100 (reference weights two series at *10 each);
+    # raw — derived from the already-rounded z
+    severity = F.least(F.greatest(F.abs(z), F.lit(0.0)), F.lit(5.0)) * 20.0
+
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        z.alias("z_score"),
+        lo6.alias("iqr_lower_bound"),
+        hi6.alias("iqr_upper_bound"),
+        pct_change.alias("pct_change"),
+        is_z.alias("is_zscore_anomaly"),
+        is_iqr.alias("is_iqr_outlier"),
+        is_rate.alias("is_rate_anomaly"),
+        (is_z | is_iqr | is_rate).alias("is_anomaly"),
+        severity.alias("severity_score"),
+    )
+
+
+ORACLE_ANOMALY_ZSCORE = """
+WITH stats AS (
+  SELECT
+    event_id, user_id, event_type, ts, value,
+    avg(value) OVER wu AS mean_v,
+    stddev_samp(value) OVER wu AS std_v,
+    count(*) OVER wu AS n_obs,
+    quantile_cont(value, 0.25) OVER wu AS q1,
+    quantile_cont(value, 0.75) OVER wu AS q3,
+    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+  FROM (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+  WINDOW wu AS (PARTITION BY user_id)
+),
+calc AS (
+  SELECT
+    event_id, user_id, event_type, ts, value,
+    round(CASE WHEN std_v IS NOT NULL AND std_v != 0
+          THEN (value - mean_v) / std_v ELSE 0.0 END, 4) AS z_score,
+    round(q1 - 1.5 * (q3 - q1), 6) AS iqr_lower_bound,
+    round(q3 + 1.5 * (q3 - q1), 6) AS iqr_upper_bound,
+    CASE WHEN prev_v IS NOT NULL AND prev_v != 0
+          THEN (value - prev_v) / prev_v END AS pct_change,
+    n_obs >= 10 AS enough
+  FROM stats
+)
+SELECT
+  event_id, user_id, event_type, ts, value,
+  z_score, iqr_lower_bound, iqr_upper_bound, pct_change,
+  (enough AND abs(z_score) > 3.0) AS is_zscore_anomaly,
+  (enough AND (value < iqr_lower_bound OR value > iqr_upper_bound)) AS is_iqr_outlier,
+  coalesce(enough AND abs(pct_change) > 0.5, FALSE) AS is_rate_anomaly,
+  ((enough AND abs(z_score) > 3.0)
+    OR (enough AND (value < iqr_lower_bound OR value > iqr_upper_bound))
+    OR coalesce(enough AND abs(pct_change) > 0.5, FALSE)) AS is_anomaly,
+  least(greatest(abs(z_score), 0.0), 5.0) * 20.0 AS severity_score
+FROM calc
+"""
+
+
+# --------------------------------------------------------------------------
+# q_quality_scorecard — OP-ML-QUALITY, OP-AGG-QUALITY, OP-FN-GRADE,
+# OP-FN-DAYSSINCE (py_data_quality_scores.py:19-240): one groupBy per
+# entity; completeness/timeliness/validity/consistency weighted
+# 0.30/0.25/0.25/0.20, grade ladder, primary-issue pick, attention flag.
+# "now" is pinned (2025-01-01) for determinism (SURVEY §7.3).
+# --------------------------------------------------------------------------
+
+_NOW = "TIMESTAMP '2025-01-01 00:00:00'"
+
+
+def q_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    with_diff = ev.withColumn("prev_value", F.lag("value").over(w_ord))
+
+    # all components are ratios of exact integer counts × 100.0 → raw
+    # doubles, bit-identical across engines (see common.py discipline)
+    n = F.count(F.lit(1))
+    n_valid = F.sum(F.when(F.col("value").between(0.0, 1000.0), 1).otherwise(0))
+    n_changed = F.sum(
+        F.when(F.col("prev_value").isNotNull() & (F.col("value") != F.col("prev_value")), 1).otherwise(0)
+    )
+    n_with_prev = F.sum(F.when(F.col("prev_value").isNotNull(), 1).otherwise(0))
+    agg = with_diff.groupBy("event_type").agg(
+        n.alias("row_count"),
+        (F.count(F.col("value")) * 100.0 / n).alias("completeness_score"),
+        (n_valid * 100.0 / n).alias("validity_score"),
+        F.max("ts").alias("latest_ts"),
+        (n_changed * 100.0 / n_with_prev).alias("consistency_score"),
+    )
+
+    days_late = F.datediff(F.expr(_NOW), F.col("latest_ts"))
+    timeliness = F.greatest(F.lit(0.0), 100.0 - F.floor(days_late / 30).cast("double") * 10.0)
+
+    scored = agg.withColumn("timeliness_score", timeliness).withColumn(
+        "overall_score",
+        F.col("completeness_score") * 0.30
+        + F.col("timeliness_score") * 0.25
+        + F.col("validity_score") * 0.25
+        + F.col("consistency_score") * 0.20,
+    )
+    grade = (
+        F.when(F.col("overall_score") >= 90, "A")
+        .when(F.col("overall_score") >= 80, "B")
+        .when(F.col("overall_score") >= 70, "C")
+        .when(F.col("overall_score") >= 60, "D")
+        .otherwise("F")
+    )
+    primary_issue = (
+        F.when(
+            (F.col("completeness_score") <= F.col("timeliness_score"))
+            & (F.col("completeness_score") <= F.col("validity_score"))
+            & (F.col("completeness_score") <= F.col("consistency_score")),
+            "completeness",
+        )
+        .when(
+            (F.col("timeliness_score") <= F.col("validity_score"))
+            & (F.col("timeliness_score") <= F.col("consistency_score")),
+            "timeliness",
+        )
+        .when(F.col("validity_score") <= F.col("consistency_score"), "validity")
+        .otherwise("consistency")
+    )
+    return scored.select(
+        "event_type",
+        "row_count",
+        "completeness_score",
+        "timeliness_score",
+        "validity_score",
+        "consistency_score",
+        "overall_score",
+        grade.alias("quality_grade"),
+        primary_issue.alias("primary_issue"),
+        (F.col("overall_score") < 70.0).alias("needs_attention"),
+    )
+
+
+ORACLE_QUALITY_SCORECARD = f"""
+WITH with_diff AS (
+  SELECT
+    event_type, ts, value,
+    lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_value
+  FROM (SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+),
+agg AS (
+  SELECT
+    event_type,
+    count(*) AS row_count,
+    count(value) * 100.0 / count(*) AS completeness_score,
+    CAST(sum(CASE WHEN value BETWEEN 0.0 AND 1000.0 THEN 1 ELSE 0 END) AS BIGINT)
+      * 100.0 / count(*) AS validity_score,
+    max(ts) AS latest_ts,
+    CAST(sum(CASE WHEN prev_value IS NOT NULL AND value != prev_value THEN 1 ELSE 0 END) AS BIGINT)
+      * 100.0
+      / CAST(sum(CASE WHEN prev_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS consistency_score
+  FROM with_diff
+  GROUP BY 1
+),
+scored AS (
+  SELECT
+    event_type, row_count, completeness_score, validity_score, consistency_score,
+    greatest(0.0,
+      100.0 - CAST(floor(date_diff('day', latest_ts, {_NOW}) / 30) AS DOUBLE) * 10.0)
+      AS timeliness_score
+  FROM agg
+),
+final AS (
+  SELECT
+    *,
+    completeness_score * 0.30 + timeliness_score * 0.25
+          + validity_score * 0.25 + consistency_score * 0.20 AS overall_score
+  FROM scored
+)
+SELECT
+  event_type,
+  row_count,
+  completeness_score,
+  timeliness_score,
+  validity_score,
+  consistency_score,
+  overall_score,
+  CASE WHEN overall_score >= 90 THEN 'A'
+       WHEN overall_score >= 80 THEN 'B'
+       WHEN overall_score >= 70 THEN 'C'
+       WHEN overall_score >= 60 THEN 'D'
+       ELSE 'F' END AS quality_grade,
+  CASE WHEN completeness_score <= timeliness_score
+        AND completeness_score <= validity_score
+        AND completeness_score <= consistency_score THEN 'completeness'
+       WHEN timeliness_score <= validity_score
+        AND timeliness_score <= consistency_score THEN 'timeliness'
+       WHEN validity_score <= consistency_score THEN 'validity'
+       ELSE 'consistency' END AS primary_issue,
+  overall_score < 70.0 AS needs_attention
+FROM final
+"""
+
+
+# --------------------------------------------------------------------------
+# q_forecast_ols — OP-ML-FCAST (OLS path, py_unemployment_forecast.py:74-104):
+# closed-form linear regression per entity via regr_slope/regr_intercept
+# (pure JVM aggregate — the scalable path), horizon via explode(sequence).
+# Slope/intercept are rounded before projection so both engines project
+# from identical doubles.
+# --------------------------------------------------------------------------
+
+
+def _monthly_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            (F.year("ts") * 12 + F.month("ts")).alias("t_index"),
+        )
+        .agg((F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"))
+    )
+
+
+_ORACLE_MONTHLY_USER_SERIES = """
+  SELECT
+    user_id,
+    CAST(year(ts) * 12 + month(ts) AS INTEGER) AS t_index,
+    round(sum(value), 2) / count(*) AS avg_value
+  FROM (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+  GROUP BY 1, 2
+"""
+
+
+def q_forecast_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = _monthly_user_series(spark, sf_dir)
+    fitted = series.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.regr_slope(F.col("avg_value"), F.col("t_index").cast("double")), 6).alias("slope"),
+        F.round(
+            F.regr_intercept(F.col("avg_value"), F.col("t_index").cast("double")), 6
+        ).alias("intercept"),
+        F.max("t_index").alias("last_t"),
+    )
+    horizon = fitted.filter(F.col("n_obs") >= 6).select(
+        "user_id",
+        "n_obs",
+        "slope",
+        "intercept",
+        F.explode(F.sequence(F.lit(1), F.lit(6))).alias("horizon_month"),
+        F.col("last_t"),
+    )
+    return horizon.select(
+        "user_id",
+        "n_obs",
+        "slope",
+        "intercept",
+        "horizon_month",
+        (F.col("last_t") + F.col("horizon_month")).alias("t_index"),
+        (F.col("intercept") + F.col("slope") * (F.col("last_t") + F.col("horizon_month"))).alias(
+            "forecast_value"
+        ),
+    )
+
+
+ORACLE_FORECAST_OLS = f"""
+WITH series AS ({_ORACLE_MONTHLY_USER_SERIES}),
+fitted AS (
+  SELECT
+    user_id,
+    count(*) AS n_obs,
+    round(regr_slope(avg_value, CAST(t_index AS DOUBLE)), 6) AS slope,
+    round(regr_intercept(avg_value, CAST(t_index AS DOUBLE)), 6) AS intercept,
+    max(t_index) AS last_t
+  FROM series
+  GROUP BY 1
+)
+SELECT
+  user_id,
+  n_obs,
+  slope,
+  intercept,
+  h.horizon_month,
+  last_t + h.horizon_month AS t_index,
+  intercept + slope * (last_t + h.horizon_month) AS forecast_value
+FROM fitted, (SELECT unnest(range(1, 7)) AS horizon_month) h
+WHERE n_obs >= 6
+"""
+
+
+# --------------------------------------------------------------------------
+# q_forecast_ensemble — OP-ML-FCAST (full ensemble: exponential smoothing
+# α=0.3, Holt α=0.3 β=0.1, OLS; mean + 95% prediction interval z·σ·√(1+1/n)
+# — py_unemployment_forecast.py:41-122,161-172). The ES/Holt recursions are
+# inherently sequential → per-group applyInPandas; deterministic, but not
+# SQL-expressible → rows-only oracle check.
+# --------------------------------------------------------------------------
+
+_FCAST_SCHEMA = (
+    "user_id bigint, horizon_month int, forecast_es double, forecast_holt double, "
+    "forecast_ols double, forecast_ensemble double, pi_lower double, pi_upper double, "
+    "confidence string"
+)
+
+_MIN_OBS_ENSEMBLE = 6
+_HORIZON = 6
+
+
+def _fit_forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fit ES / Holt / OLS on one entity's ordered series; emit horizon rows.
+
+    Mirrors reference py_unemployment_forecast.py semantics: ES α=0.3
+    (:41-52), Holt α=0.3 β=0.1 (:54-72), closed-form OLS (:74-104),
+    ensemble mean (:161-166), 95% PI from std of first differences
+    (:106-122), confidence ladder (:195-203).
+    """
+    import math
+
+    pdf = pdf.sort_values("t_index")
+    y = pdf["avg_value"].to_numpy(dtype=float)
+    n = len(y)
+    user_id = int(pdf["user_id"].iloc[0])
+    if n < _MIN_OBS_ENSEMBLE:
+        return pd.DataFrame(
+            columns=[
+                "user_id", "horizon_month", "forecast_es", "forecast_holt",
+                "forecast_ols", "forecast_ensemble", "pi_lower", "pi_upper", "confidence",
+            ]
+        )
+
+    alpha, beta = 0.3, 0.1
+    # simple exponential smoothing
+    level = y[0]
+    for v in y[1:]:
+        level = alpha * v + (1 - alpha) * level
+    es_fc = level
+
+    # Holt linear trend
+    l_t, b_t = y[0], y[1] - y[0] if n > 1 else 0.0
+    for v in y[1:]:
+        l_prev = l_t
+        l_t = alpha * v + (1 - alpha) * (l_t + b_t)
+        b_t = beta * (l_t - l_prev) + (1 - beta) * b_t
+
+    # closed-form OLS on t = 0..n-1
+    xs = list(range(n))
+    sx, sy = sum(xs), float(y.sum())
+    sxy = sum(i * float(v) for i, v in zip(xs, y))
+    sxx = sum(i * i for i in xs)
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom if denom else 0.0
+    intercept = (sy - slope * sx) / n
+
+    # 95% PI from std of first differences
+    diffs = [float(y[i + 1] - y[i]) for i in range(n - 1)]
+    mu = sum(diffs) / len(diffs)
+    var = sum((d - mu) ** 2 for d in diffs) / (len(diffs) - 1) if len(diffs) > 1 else 0.0
+    sigma = math.sqrt(var)
+    z95 = 1.96
+    half_width = z95 * sigma * math.sqrt(1 + 1.0 / n)
+
+    confidence = "high" if n >= 24 else ("medium" if n >= 12 else "low")
+
+    rows = []
+    for h in range(1, _HORIZON + 1):
+        f_es = es_fc
+        f_holt = l_t + h * b_t
+        f_ols = intercept + slope * (n - 1 + h)
+        ens = (f_es + f_holt + f_ols) / 3.0
+        rows.append(
+            {
+                "user_id": user_id,
+                "horizon_month": h,
+                "forecast_es": round(f_es, 4),
+                "forecast_holt": round(f_holt, 4),
+                "forecast_ols": round(f_ols, 4),
+                "forecast_ensemble": round(ens, 4),
+                "pi_lower": round(ens - half_width, 4),
+                "pi_upper": round(ens + half_width, 4),
+                "confidence": confidence,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def q_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = _monthly_user_series(spark, sf_dir)
+    return series.groupBy("user_id").applyInPandas(_fit_forecast_group, schema=_FCAST_SCHEMA)
+
+
+QUERIES = [
+    QueryDef(
+        "anomaly_zscore",
+        q_anomaly_zscore,
+        ORACLE_ANOMALY_ZSCORE,
+        ("OP-ML-ANOM", "OP-AGG-ZSCORE", "OP-AGG-IQR", "OP-FN-PCTCHANGE", "OP-FN-CLIP", "OP-FN-BOOLOR"),
+    ),
+    QueryDef(
+        "quality_scorecard",
+        q_quality_scorecard,
+        ORACLE_QUALITY_SCORECARD,
+        ("OP-ML-QUALITY", "OP-AGG-QUALITY", "OP-FN-GRADE", "OP-FN-DAYSSINCE"),
+    ),
+    QueryDef("forecast_ols", q_forecast_ols, ORACLE_FORECAST_OLS, ("OP-ML-FCAST",)),
+    QueryDef("forecast_ensemble", q_forecast_ensemble, None, ("OP-ML-FCAST",)),
+]

@@ -1,0 +1,791 @@
+"""Relational operator demos (SURVEY.md §2.1-2.8, §2.10) over the
+driver's TPC-H-ish synthetic tables.
+
+Scale notes (100 TB posture), per query:
+- Dimension joins (`nation`, `region`, `supplier`, `customer`) are
+  explicitly ``broadcast()`` — no shuffle of the fact side.
+- Aggregations group on bounded-cardinality keys (nation × month, etc.)
+  → partial (map-side) aggregation shrinks the shuffle to ~|groups|.
+- Window functions partition by entity keys (nation, user) → one
+  shuffle by entity, all window ops reuse the same partitioning.
+- Filters/projections are expressed directly on the scan so Catalyst
+  pushes them into the parquet reader (check ``PushedFilters`` in
+  ``.explain("formatted")``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import rank_within_group, safe_divide, surrogate_key
+from .common import QueryDef, load, r2, r4
+
+# --------------------------------------------------------------------------
+# q_staging_projection — OP-SRC-TABLE, OP-PROJ-RENAME, OP-PROJ-CAST,
+# OP-FIL-NOTNULL, OP-FIL-LEN, OP-FN-SURRKEY, OP-FN-MAKEDATE, OP-FN-SUBSTR
+# (the staging-layer pattern of stg_eurostat__gdp.sql:19-50)
+# --------------------------------------------------------------------------
+
+
+def q_staging_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+            & F.col("l_returnflag").isNotNull()
+            & (F.length(F.col("l_returnflag")) >= 1)
+        )
+        .select(
+            surrogate_key(F.col("l_orderkey"), F.col("l_linenumber")).alias("line_key"),
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").cast("int").alias("line_number"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extended_price"),
+            F.to_date("l_shipdate").alias("ship_date"),
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+            F.make_date(F.year("l_shipdate"), F.month("l_shipdate"), F.lit(1)).alias(
+                "ship_month_start"
+            ),
+            F.substring(F.col("l_returnflag"), 1, 1).alias("return_flag"),
+        )
+    )
+
+
+ORACLE_STAGING_PROJECTION = """
+SELECT
+  md5(concat_ws('||',
+      coalesce(CAST(l_orderkey AS VARCHAR), ''),
+      coalesce(CAST(l_linenumber AS VARCHAR), ''))) AS line_key,
+  l_orderkey AS order_key,
+  CAST(l_linenumber AS INTEGER) AS line_number,
+  l_quantity AS quantity,
+  l_extendedprice AS extended_price,
+  CAST(l_shipdate AS DATE) AS ship_date,
+  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+  CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+  make_date(CAST(year(l_shipdate) AS INTEGER), CAST(month(l_shipdate) AS INTEGER), 1)
+    AS ship_month_start,
+  substring(l_returnflag, 1, 1) AS return_flag
+FROM lineitem
+WHERE l_quantity IS NOT NULL
+  AND l_shipdate IS NOT NULL
+  AND l_returnflag IS NOT NULL
+  AND length(l_returnflag) >= 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q_annual_agg — OP-AGG-ANNUAL-U / OP-AGG-ANNUAL-I: avg/min/max/count/sum by
+# (entity, year), the int_country_annual_metrics.sql:37-59 pattern.
+# --------------------------------------------------------------------------
+
+
+def q_annual_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"), F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            (r2(F.sum("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count(F.lit(1)).alias("observations"),
+            r2(F.sum("l_extendedprice")).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_ANNUAL_AGG = """
+SELECT
+  n.n_name AS nation_name,
+  CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+  round(sum(l.l_quantity), 2) / count(*) AS avg_qty,
+  min(l.l_quantity) AS min_qty,
+  max(l.l_quantity) AS max_qty,
+  count(*) AS observations,
+  round(sum(l.l_extendedprice), 2) AS total_revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q_left_join_enrich — OP-JOIN-LEFT2 / OP-JOIN-SPINE: multi-way left join of
+# a fact spine to dimensions (int_country_annual_metrics.sql:99-108).
+# --------------------------------------------------------------------------
+
+
+def q_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+            "left",
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"), "left")
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_acctbal").alias("account_balance"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+ORACLE_LEFT_JOIN_ENRICH = """
+SELECT
+  o.o_orderkey AS order_key,
+  o.o_custkey AS cust_key,
+  o.o_totalprice AS total_price,
+  c.c_name AS customer_name,
+  c.c_acctbal AS account_balance,
+  n.n_name AS nation_name,
+  r.r_name AS region_name
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q_region_share — OP-JOIN-DIM, OP-JOIN-YEARAGG, OP-AGG-EU: broadcast-dim
+# join + per-year totals + share-of-total (rpt_annual_economic_summary.sql
+# 27-37, 96-103 "EU share" pattern, done Spark-style with a window instead
+# of a self-join so the totals need no second shuffle).
+# --------------------------------------------------------------------------
+
+
+def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    per_nation = (
+        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+    w_year = Window.partitionBy("ship_year")
+    year_total = r2(F.sum("revenue").over(w_year))
+    return per_nation.select(
+        "region_name",
+        "nation_name",
+        "ship_year",
+        "revenue",
+        year_total.alias("year_total_revenue"),
+        (F.col("revenue") / year_total * 100.0).alias("revenue_share_pct"),
+    )
+
+
+ORACLE_REGION_SHARE = """
+WITH per_nation AS (
+  SELECT
+    r.r_name AS region_name,
+    n.n_name AS nation_name,
+    CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2, 3
+)
+SELECT
+  region_name,
+  nation_name,
+  ship_year,
+  revenue,
+  round(sum(revenue) OVER (PARTITION BY ship_year), 2) AS year_total_revenue,
+  revenue / round(sum(revenue) OVER (PARTITION BY ship_year), 2) * 100.0 AS revenue_share_pct
+FROM per_nation
+"""
+
+
+# --------------------------------------------------------------------------
+# q_monthly_lag — OP-WIN-LAG1, OP-WIN-LAG12, OP-WIN-YOY%, OP-WIN-DIFF:
+# monthly series with MoM / YoY change (int_country_monthly_indicators.sql
+# 85-99; macros/calculations.sql:28-47).
+# --------------------------------------------------------------------------
+
+
+def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.make_date(F.year("l_shipdate"), F.month("l_shipdate"), F.lit(1)).alias("month_start"),
+        )
+        .agg(r2(F.sum("l_extendedprice")).alias("revenue"))
+    )
+
+
+_ORACLE_MONTHLY_REVENUE = """
+  SELECT
+    n.n_name AS nation_name,
+    make_date(CAST(year(l.l_shipdate) AS INTEGER), CAST(month(l.l_shipdate) AS INTEGER), 1)
+      AS month_start,
+    round(sum(l.l_extendedprice), 2) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+"""
+
+
+def q_monthly_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = _monthly_revenue(spark, sf_dir)
+    w = Window.partitionBy("nation_name").orderBy("month_start")
+    prev1 = F.lag("revenue", 1).over(w)
+    prev12 = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "nation_name",
+        "month_start",
+        "revenue",
+        prev1.alias("prev_month_revenue"),
+        prev12.alias("prev_year_revenue"),
+        F.when(prev1.isNotNull() & (prev1 != 0), (F.col("revenue") - prev1) / prev1 * 100.0).alias(
+            "mom_change_pct"
+        ),
+        (F.col("revenue") - prev12).alias("yoy_change_abs"),
+    )
+
+
+ORACLE_MONTHLY_LAG = f"""
+WITH monthly AS ({_ORACLE_MONTHLY_REVENUE})
+SELECT
+  nation_name,
+  month_start,
+  revenue,
+  lag(revenue, 1) OVER w AS prev_month_revenue,
+  lag(revenue, 12) OVER w AS prev_year_revenue,
+  CASE WHEN lag(revenue, 1) OVER w IS NOT NULL AND lag(revenue, 1) OVER w != 0
+        THEN (revenue - lag(revenue, 1) OVER w) / lag(revenue, 1) OVER w * 100.0 END
+    AS mom_change_pct,
+  revenue - lag(revenue, 12) OVER w AS yoy_change_abs
+FROM monthly
+WINDOW w AS (PARTITION BY nation_name ORDER BY month_start)
+"""
+
+
+# --------------------------------------------------------------------------
+# q_rolling_avg — OP-WIN-ROLL12: trailing 12-month average
+# (int_country_monthly_indicators.sql:102-112; macros/calculations.sql:51-69)
+# --------------------------------------------------------------------------
+
+
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = _monthly_revenue(spark, sf_dir)
+    w = Window.partitionBy("nation_name").orderBy("month_start").rowsBetween(-11, 0)
+    # round(sum)/count instead of round(avg): exact and order-independent,
+    # immune to the cross-engine .5-rounding divergence (see common.py)
+    rolling_sum = r2(F.sum("revenue").over(w))
+    rolling_cnt = F.count(F.lit(1)).over(w)
+    return monthly.select(
+        "nation_name",
+        "month_start",
+        "revenue",
+        (rolling_sum / rolling_cnt).alias("rolling_12m_avg_revenue"),
+        rolling_cnt.alias("rolling_12m_obs"),
+    )
+
+
+ORACLE_ROLLING_AVG = f"""
+WITH monthly AS ({_ORACLE_MONTHLY_REVENUE})
+SELECT
+  nation_name,
+  month_start,
+  revenue,
+  round(sum(revenue) OVER (PARTITION BY nation_name ORDER BY month_start
+        ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 2)
+    / count(*) OVER (PARTITION BY nation_name ORDER BY month_start
+        ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS rolling_12m_avg_revenue,
+  count(*) OVER (PARTITION BY nation_name ORDER BY month_start
+        ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS rolling_12m_obs
+FROM monthly
+"""
+
+
+# --------------------------------------------------------------------------
+# q_rank_in_year — OP-WIN-RANK: rank() (gap semantics) within year, both
+# directions (rpt_annual_economic_summary.sql:44-47).
+# --------------------------------------------------------------------------
+
+
+def q_rank_in_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    annual = (
+        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"), F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            r2(F.sum("l_extendedprice")).alias("revenue"),
+            (r2(F.sum("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+        )
+    )
+    return annual.select(
+        "nation_name",
+        "ship_year",
+        "revenue",
+        "avg_qty",
+        rank_within_group(F.col("revenue"), ["ship_year"], ascending=False).alias("revenue_rank"),
+        rank_within_group(F.col("avg_qty"), ["ship_year"], ascending=True).alias("qty_rank"),
+    )
+
+
+ORACLE_RANK_IN_YEAR = """
+WITH annual AS (
+  SELECT
+    n.n_name AS nation_name,
+    CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+    round(sum(l.l_extendedprice), 2) AS revenue,
+    round(sum(l.l_quantity), 2) / count(*) AS avg_qty
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT
+  nation_name,
+  ship_year,
+  revenue,
+  avg_qty,
+  CAST(rank() OVER (PARTITION BY ship_year ORDER BY revenue DESC) AS INTEGER) AS revenue_rank,
+  CAST(rank() OVER (PARTITION BY ship_year ORDER BY avg_qty ASC) AS INTEGER) AS qty_rank
+FROM annual
+"""
+
+
+# --------------------------------------------------------------------------
+# q_latest_per_entity — OP-WIN-FIRST + OP-AGG-DISTINCT: first_value over a
+# desc ordering + distinct (dim_country.sql:21-29 "latest name" pattern).
+# --------------------------------------------------------------------------
+
+
+def q_latest_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        cust.join(F.broadcast(nation.select("n_nationkey", "n_name")), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.first_value(F.col("c_name")).over(w).alias("top_customer_name"),
+            F.first_value(F.col("c_acctbal")).over(w).alias("top_customer_balance"),
+        )
+        .distinct()
+    )
+
+
+ORACLE_LATEST_PER_ENTITY = """
+SELECT DISTINCT
+  n.n_name AS nation_name,
+  first_value(c.c_name) OVER w AS top_customer_name,
+  first_value(c.c_acctbal) OVER w AS top_customer_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WINDOW w AS (PARTITION BY c.c_nationkey ORDER BY c.c_acctbal DESC, c.c_custkey ASC)
+"""
+
+
+# --------------------------------------------------------------------------
+# q_case_bands — OP-EXPR-CASE, OP-FN-COALESCE, OP-FN-ABS, safe_divide
+# (dim_country.sql:58-62 status ladder; macros/calculations.sql:91-108).
+# --------------------------------------------------------------------------
+
+
+def q_case_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("account_balance"),
+        F.when(F.col("c_acctbal") < 0, F.lit("negative"))
+        .when(F.col("c_acctbal") < 1000, F.lit("low"))
+        .when(F.col("c_acctbal") < 5000, F.lit("medium"))
+        .otherwise(F.lit("high"))
+        .alias("balance_band"),
+        safe_divide(F.col("c_acctbal"), F.col("c_nationkey").cast("double")).alias(
+            "balance_per_nationkey"
+        ),
+        F.abs(F.col("c_acctbal")).alias("abs_balance"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment_or_unknown"),
+    )
+
+
+ORACLE_CASE_BANDS = """
+SELECT
+  c_custkey AS cust_key,
+  c_mktsegment AS segment,
+  c_acctbal AS account_balance,
+  CASE WHEN c_acctbal < 0 THEN 'negative'
+       WHEN c_acctbal < 1000 THEN 'low'
+       WHEN c_acctbal < 5000 THEN 'medium'
+       ELSE 'high' END AS balance_band,
+  CASE WHEN CAST(c_nationkey AS DOUBLE) IS NOT NULL AND CAST(c_nationkey AS DOUBLE) != 0
+        THEN c_acctbal / CAST(c_nationkey AS DOUBLE) END AS balance_per_nationkey,
+  abs(c_acctbal) AS abs_balance,
+  coalesce(c_mktsegment, 'UNKNOWN') AS segment_or_unknown
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# q_distinct_spine — OP-AGG-DISTINCT (int_country_monthly_indicators.sql:52-61)
+# --------------------------------------------------------------------------
+
+
+def q_distinct_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("l_linestatus").alias("line_status"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+    ).distinct()
+
+
+ORACLE_DISTINCT_SPINE = """
+SELECT DISTINCT
+  l_returnflag AS return_flag,
+  l_linestatus AS line_status,
+  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+  CAST(month(l_shipdate) AS INTEGER) AS ship_month
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# q_union_append — OP-SET-UNION (py_anomaly_detection.py:116 concat)
+# --------------------------------------------------------------------------
+
+
+def q_union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    high_value = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("total_price"),
+        F.lit("high_value").alias("reason"),
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("total_price"),
+        F.lit("urgent").alias("reason"),
+    )
+    return high_value.unionByName(urgent)
+
+
+ORACLE_UNION_APPEND = """
+SELECT o_orderkey AS order_key, o_totalprice AS total_price, 'high_value' AS reason
+FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey AS order_key, o_totalprice AS total_price, 'urgent' AS reason
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+# --------------------------------------------------------------------------
+# q_test_unique — OP-TEST-UNIQUE: duplicate-key detector (violations query)
+# --------------------------------------------------------------------------
+
+
+def q_test_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("order_key"), F.col("l_linenumber").alias("line_number"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+ORACLE_TEST_UNIQUE = """
+SELECT l_orderkey AS order_key, l_linenumber AS line_number, count(*) AS n
+FROM lineitem
+GROUP BY 1, 2
+HAVING count(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q_test_relationships — OP-TEST-REL: referential-integrity anti-join
+# (_marts__models.yml:90-93 → fact.join(dim, "left_anti")). The dim side is
+# filtered so the query demonstrably returns violations.
+# --------------------------------------------------------------------------
+
+
+def q_test_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return orders.join(
+        F.broadcast(cust.select("c_custkey")), orders.o_custkey == cust.c_custkey, "left_anti"
+    ).select(F.col("o_orderkey").alias("order_key"), F.col("o_custkey").alias("cust_key"))
+
+
+ORACLE_TEST_RELATIONSHIPS = """
+SELECT o_orderkey AS order_key, o_custkey AS cust_key
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_acctbal > 0 AND c.c_custkey = o.o_custkey
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q_test_range_nofuture — OP-TEST-RANGE + OP-TEST-NOFUTURE
+# (macros/data_quality.sql:1-27); fixed "today" for determinism.
+# --------------------------------------------------------------------------
+
+
+def q_test_range_nofuture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out_of_range = (F.col("value") < 0) | (F.col("value") > 500)
+    future = F.col("ts") > F.lit("2026-01-01").cast("timestamp")
+    return (
+        ev.filter(out_of_range | future)
+        .select(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("ts"),
+            F.when(out_of_range, F.lit("out_of_range")).otherwise(F.lit("future_date")).alias(
+                "violation"
+            ),
+        )
+    )
+
+
+ORACLE_TEST_RANGE_NOFUTURE = """
+SELECT
+  event_id,
+  event_type,
+  value,
+  ts,
+  CASE WHEN (value < 0 OR value > 500) THEN 'out_of_range' ELSE 'future_date' END AS violation
+FROM (SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+WHERE (value < 0 OR value > 500) OR ts > TIMESTAMP '2026-01-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# q_singular_consistency — OP-TEST-SINGULAR + OP-AGG-SUMGROUP + OP-JOIN-INNER:
+# aggregate-vs-detail consistency within 5% tolerance
+# (tests/assert_eu_aggregate_consistency.sql:13-44).
+# --------------------------------------------------------------------------
+
+
+def q_singular_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    li_tot = li.groupBy(F.col("l_orderkey")).agg(r2(F.sum("l_extendedprice")).alias("lineitem_total"))
+    joined = orders.join(li_tot, orders.o_orderkey == li_tot.l_orderkey, "inner")
+    pct_diff = (
+        F.abs(F.col("o_totalprice") - F.col("lineitem_total")) / F.col("lineitem_total") * 100.0
+    )
+    return (
+        joined.select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("lineitem_total"),
+            pct_diff.alias("pct_diff"),
+        )
+        .filter(F.col("pct_diff") > 5.0)
+    )
+
+
+ORACLE_SINGULAR_CONSISTENCY = """
+WITH li_tot AS (
+  SELECT l_orderkey, round(sum(l_extendedprice), 2) AS lineitem_total
+  FROM lineitem GROUP BY 1
+)
+SELECT
+  o.o_orderkey AS order_key,
+  o.o_totalprice AS total_price,
+  t.lineitem_total,
+  abs(o.o_totalprice - t.lineitem_total) / t.lineitem_total * 100.0 AS pct_diff
+FROM orders o
+JOIN li_tot t ON o.o_orderkey = t.l_orderkey
+WHERE abs(o.o_totalprice - t.lineitem_total) / t.lineitem_total * 100.0 > 5.0
+"""
+
+
+# --------------------------------------------------------------------------
+# q_completeness — OP-AGG-COUNTNULL + OP-TEST-COMPLETE
+# (macros/data_quality.sql:30-46): count(col)/count(*) ratio + threshold.
+# --------------------------------------------------------------------------
+
+
+def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.count(F.col("value")).alias("value_count"),
+            (F.count(F.col("value")) / F.count(F.lit(1))).alias("completeness_ratio"),
+        )
+        .withColumn("meets_threshold", F.col("completeness_ratio") >= 0.95)
+    )
+
+
+ORACLE_COMPLETENESS = """
+SELECT
+  event_type,
+  count(*) AS row_count,
+  count(value) AS value_count,
+  count(value) * 1.0 / count(*) AS completeness_ratio,
+  count(value) * 1.0 / count(*) >= 0.95 AS meets_threshold
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q_watermark_filter — OP-FIL-WATERMARK / OP-SINK-INCR predicate: rows past
+# a high-watermark derived from the data itself
+# (fct_economic_indicators.sql:28-31). Implemented as a broadcast scalar
+# aggregate crossJoin — stays one Catalyst plan, no driver collect.
+# --------------------------------------------------------------------------
+
+
+def q_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    wm = orders.agg(F.max("o_orderdate").alias("max_orderdate"))
+    return (
+        orders.crossJoin(F.broadcast(wm))
+        .filter(F.col("o_orderdate") > F.col("max_orderdate") - F.expr("INTERVAL 90 DAYS"))
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+ORACLE_WATERMARK_FILTER = """
+SELECT
+  o_orderkey AS order_key,
+  o_custkey AS cust_key,
+  o_orderdate AS order_date,
+  o_totalprice AS total_price
+FROM orders
+WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders) - INTERVAL 90 DAY
+"""
+
+
+# --------------------------------------------------------------------------
+# q_sessionize — sessionization (gaps-and-islands): the batch expression of
+# the streaming-extension surface (SURVEY §2.12); 30-minute inactivity gap.
+# --------------------------------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_user)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+    ).otherwise(0)
+    with_session = ev.withColumn("session_idx", F.sum(is_new).over(w_user))
+    return with_session.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        r2(F.sum("value")).alias("total_value"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT
+    user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT
+    user_id, ts, value,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT
+  user_id,
+  session_idx,
+  min(ts) AS session_start,
+  max(ts) AS session_end,
+  count(*) AS n_events,
+  round(sum(value), 2) AS total_value
+FROM sessions
+GROUP BY 1, 2
+"""
+
+
+QUERIES = [
+    QueryDef(
+        "staging_projection",
+        q_staging_projection,
+        ORACLE_STAGING_PROJECTION,
+        ("OP-SRC-TABLE", "OP-PROJ-RENAME", "OP-PROJ-CAST", "OP-FIL-NOTNULL", "OP-FIL-LEN", "OP-FN-SURRKEY", "OP-FN-MAKEDATE", "OP-FN-SUBSTR"),
+    ),
+    QueryDef("annual_agg", q_annual_agg, ORACLE_ANNUAL_AGG, ("OP-AGG-ANNUAL-U", "OP-AGG-ANNUAL-I")),
+    QueryDef("left_join_enrich", q_left_join_enrich, ORACLE_LEFT_JOIN_ENRICH, ("OP-JOIN-LEFT2", "OP-JOIN-SPINE")),
+    QueryDef("region_share", q_region_share, ORACLE_REGION_SHARE, ("OP-JOIN-DIM", "OP-JOIN-YEARAGG", "OP-AGG-EU")),
+    QueryDef("monthly_lag", q_monthly_lag, ORACLE_MONTHLY_LAG, ("OP-WIN-LAG1", "OP-WIN-LAG12", "OP-WIN-YOY%", "OP-WIN-DIFF")),
+    QueryDef("rolling_avg", q_rolling_avg, ORACLE_ROLLING_AVG, ("OP-WIN-ROLL12",)),
+    QueryDef("rank_in_year", q_rank_in_year, ORACLE_RANK_IN_YEAR, ("OP-WIN-RANK",)),
+    QueryDef("latest_per_entity", q_latest_per_entity, ORACLE_LATEST_PER_ENTITY, ("OP-WIN-FIRST", "OP-AGG-DISTINCT")),
+    QueryDef("case_bands", q_case_bands, ORACLE_CASE_BANDS, ("OP-EXPR-CASE", "OP-FN-COALESCE", "OP-FN-ABS")),
+    QueryDef("distinct_spine", q_distinct_spine, ORACLE_DISTINCT_SPINE, ("OP-AGG-DISTINCT",)),
+    QueryDef("union_append", q_union_append, ORACLE_UNION_APPEND, ("OP-SET-UNION",)),
+    QueryDef("test_unique", q_test_unique, ORACLE_TEST_UNIQUE, ("OP-TEST-UNIQUE",)),
+    QueryDef("test_relationships", q_test_relationships, ORACLE_TEST_RELATIONSHIPS, ("OP-TEST-REL",)),
+    QueryDef("test_range_nofuture", q_test_range_nofuture, ORACLE_TEST_RANGE_NOFUTURE, ("OP-TEST-RANGE", "OP-TEST-NOFUTURE")),
+    QueryDef("singular_consistency", q_singular_consistency, ORACLE_SINGULAR_CONSISTENCY, ("OP-TEST-SINGULAR", "OP-AGG-SUMGROUP", "OP-JOIN-INNER")),
+    QueryDef("completeness", q_completeness, ORACLE_COMPLETENESS, ("OP-AGG-COUNTNULL", "OP-TEST-COMPLETE")),
+    QueryDef("watermark_filter", q_watermark_filter, ORACLE_WATERMARK_FILTER, ("OP-FIL-WATERMARK",)),
+    QueryDef("sessionize", q_sessionize, ORACLE_SESSIONIZE, ("EXT-SESSIONIZE",)),
+]
