@@ -51,6 +51,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamps — the DuckDB oracles apply the equivalent
     ``CAST(ts AS TIMESTAMP)`` so both engines see identical values.
     """
+    # Self-contained: the driver supplies its own SparkSession, so the
+    # nanos conf must be set here (it is a runtime SQL conf), not only in
+    # session.get_spark — otherwise events.parquet (TIMESTAMP NANOS)
+    # raises PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import QueryDef, load, r2, r4
+from .common import QueryDef, load, r2, r4, r6
 
 # --------------------------------------------------------------------------
 # q_anomaly_zscore — OP-ML-ANOM, OP-AGG-ZSCORE, OP-AGG-IQR, OP-FN-PCTCHANGE,

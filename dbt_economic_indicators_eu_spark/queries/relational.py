@@ -723,8 +723,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w_user)
+    # Compare at microsecond precision: events.ts is ns-precision (floored
+    # to µs by load()), so whole-second casts would split sessions
+    # differently than the oracle's fractional epoch() near the boundary.
     is_new = F.when(
-        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+        1,
     ).otherwise(0)
     with_session = ev.withColumn("session_idx", F.sum(is_new).over(w_user))
     return with_session.groupBy("user_id", "session_idx").agg(
@@ -740,7 +745,7 @@ WITH flagged AS (
   SELECT
     user_id, event_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL
-              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
          THEN 1 ELSE 0 END AS is_new
   FROM (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

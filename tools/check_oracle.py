@@ -44,9 +44,19 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from dbt_economic_indicators_eu_spark.session import get_spark
+    # Deliberately a VANILLA session (not session.get_spark): the driver's
+    # harness constructs its own SparkSession without our confs, so queries
+    # must be self-contained — this mirrors that environment.
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(app_name="check-oracle")
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-oracle")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
 
     con = duckdb.connect()
     for t in TABLES:
