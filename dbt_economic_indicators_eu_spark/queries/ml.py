@@ -272,21 +272,29 @@ FROM final
 # --------------------------------------------------------------------------
 
 
-def _monthly_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _daily_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily series (t_index = days since epoch).
+
+    Daily, not monthly: the synthetic events table spans ~30 days, so a
+    monthly grain yields 1 observation per user and the min-obs guard
+    would filter every group (a vacuous forecast). The reference's
+    monthly grain (py_unemployment_forecast.py:35-39) is a property of
+    its Eurostat data, not of the algorithm.
+    """
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(
             F.col("user_id"),
-            (F.year("ts") * 12 + F.month("ts")).alias("t_index"),
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("t_index"),
         )
         .agg((F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"))
     )
 
 
-_ORACLE_MONTHLY_USER_SERIES = """
+_ORACLE_DAILY_USER_SERIES = """
   SELECT
     user_id,
-    CAST(year(ts) * 12 + month(ts) AS INTEGER) AS t_index,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INTEGER) AS t_index,
     round(sum(value), 2) / count(*) AS avg_value
   FROM (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e
   GROUP BY 1, 2
@@ -294,7 +302,7 @@ _ORACLE_MONTHLY_USER_SERIES = """
 
 
 def q_forecast_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    series = _monthly_user_series(spark, sf_dir)
+    series = _daily_user_series(spark, sf_dir)
     fitted = series.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.round(F.regr_slope(F.col("avg_value"), F.col("t_index").cast("double")), 6).alias("slope"),
@@ -308,7 +316,7 @@ def q_forecast_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         "slope",
         "intercept",
-        F.explode(F.sequence(F.lit(1), F.lit(6))).alias("horizon_month"),
+        F.explode(F.sequence(F.lit(1), F.lit(6))).alias("horizon_step"),
         F.col("last_t"),
     )
     return horizon.select(
@@ -316,16 +324,16 @@ def q_forecast_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         "slope",
         "intercept",
-        "horizon_month",
-        (F.col("last_t") + F.col("horizon_month")).alias("t_index"),
-        (F.col("intercept") + F.col("slope") * (F.col("last_t") + F.col("horizon_month"))).alias(
+        "horizon_step",
+        (F.col("last_t") + F.col("horizon_step")).alias("t_index"),
+        (F.col("intercept") + F.col("slope") * (F.col("last_t") + F.col("horizon_step"))).alias(
             "forecast_value"
         ),
     )
 
 
 ORACLE_FORECAST_OLS = f"""
-WITH series AS ({_ORACLE_MONTHLY_USER_SERIES}),
+WITH series AS ({_ORACLE_DAILY_USER_SERIES}),
 fitted AS (
   SELECT
     user_id,
@@ -341,10 +349,10 @@ SELECT
   n_obs,
   slope,
   intercept,
-  h.horizon_month,
-  last_t + h.horizon_month AS t_index,
-  intercept + slope * (last_t + h.horizon_month) AS forecast_value
-FROM fitted, (SELECT unnest(range(1, 7)) AS horizon_month) h
+  h.horizon_step,
+  last_t + h.horizon_step AS t_index,
+  intercept + slope * (last_t + h.horizon_step) AS forecast_value
+FROM fitted, (SELECT unnest(range(1, 7)) AS horizon_step) h
 WHERE n_obs >= 6
 """
 
@@ -358,7 +366,7 @@ WHERE n_obs >= 6
 # --------------------------------------------------------------------------
 
 _FCAST_SCHEMA = (
-    "user_id bigint, horizon_month int, forecast_es double, forecast_holt double, "
+    "user_id bigint, horizon_step int, forecast_es double, forecast_holt double, "
     "forecast_ols double, forecast_ensemble double, pi_lower double, pi_upper double, "
     "confidence string"
 )
@@ -384,7 +392,7 @@ def _fit_forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
     if n < _MIN_OBS_ENSEMBLE:
         return pd.DataFrame(
             columns=[
-                "user_id", "horizon_month", "forecast_es", "forecast_holt",
+                "user_id", "horizon_step", "forecast_es", "forecast_holt",
                 "forecast_ols", "forecast_ensemble", "pi_lower", "pi_upper", "confidence",
             ]
         )
@@ -431,7 +439,7 @@ def _fit_forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rows.append(
             {
                 "user_id": user_id,
-                "horizon_month": h,
+                "horizon_step": h,
                 "forecast_es": round(f_es, 4),
                 "forecast_holt": round(f_holt, 4),
                 "forecast_ols": round(f_ols, 4),
@@ -445,7 +453,7 @@ def _fit_forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def q_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    series = _monthly_user_series(spark, sf_dir)
+    series = _daily_user_series(spark, sf_dir)
     return series.groupBy("user_id").applyInPandas(_fit_forecast_group, schema=_FCAST_SCHEMA)
 
 
