@@ -1,0 +1,115 @@
+"""SCD Type 2 snapshot — OP-SINK-SCD2.
+
+Reference: snapshots/snap_gdp_history.sql:4-11 (``strategy='check'``,
+``check_cols=['gdp_million_eur']``, ``invalidate_hard_deletes=True``).
+
+``scd2_merge`` is the pure-plan core: given the previous snapshot state
+and the current source rows, produce the next snapshot state with
+``valid_from`` / ``valid_to`` / ``is_current`` bookkeeping:
+
+- new key            → open row (valid_from=now, valid_to=null, current)
+- changed check-col  → close old row (valid_to=now) + open new row
+- unchanged          → carried through untouched
+- key absent (hard delete) → close old row (valid_to=now)
+- already-closed history rows are carried through verbatim (idempotent
+  across reruns — a re-run with identical source changes nothing).
+
+The clock is injected (``now``) for deterministic tests (SURVEY §7.3).
+
+Scale posture: one shuffle each side on the snapshot key (uniform md5
+surrogate → no skew); ``current`` is usually much smaller than the
+accumulated history → Catalyst/AQE picks a broadcast for it. The
+closed-history branch is a pure filter (no shuffle). Null-safe equality
+(``eqNullSafe``) on check columns so NULL→value transitions register as
+changes, matching dbt's check strategy.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _any_check_changed(check_cols: tuple[str, ...] | list[str]) -> Column:
+    diffs = [~F.col(f"snap.{c}").eqNullSafe(F.col(f"cur.{c}")) for c in check_cols]
+    return reduce(lambda a, b: a | b, diffs)
+
+
+def scd2_merge(
+    snapshot: DataFrame | None,
+    current: DataFrame,
+    unique_key: str,
+    check_cols: list[str],
+    now,  # Column or literal acceptable to F.lit
+) -> DataFrame:
+    """Produce the next snapshot state (lazy plan, no I/O).
+
+    ``snapshot`` columns = source columns + valid_from/valid_to/is_current;
+    ``current`` columns = source columns only.
+    """
+    now_col = now if isinstance(now, Column) else F.lit(now).cast("timestamp")
+    src_cols = [c for c in current.columns]
+
+    if snapshot is None:
+        return current.select(
+            *src_cols,
+            now_col.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    closed_history = snapshot.filter(~F.col("is_current"))
+    open_rows = snapshot.filter(F.col("is_current"))
+
+    joined = open_rows.alias("snap").join(
+        current.alias("cur"), on=F.col(f"snap.{unique_key}") == F.col(f"cur.{unique_key}"), how="full_outer"
+    )
+    changed = _any_check_changed(tuple(check_cols))
+    snap_key = F.col(f"snap.{unique_key}")
+    cur_key = F.col(f"cur.{unique_key}")
+
+    # 1) carried-through open rows: key present on both sides, unchanged
+    carried = joined.filter(snap_key.isNotNull() & cur_key.isNotNull() & ~changed).select(
+        *[F.col(f"snap.{c}").alias(c) for c in src_cols],
+        F.col("snap.valid_from").alias("valid_from"),
+        F.col("snap.valid_to").alias("valid_to"),
+        F.col("snap.is_current").alias("is_current"),
+    )
+    # 2) closed versions: changed or hard-deleted
+    closed_now = joined.filter(
+        snap_key.isNotNull() & (cur_key.isNull() | changed)
+    ).select(
+        *[F.col(f"snap.{c}").alias(c) for c in src_cols],
+        F.col("snap.valid_from").alias("valid_from"),
+        now_col.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    # 3) fresh open versions: new key or changed check-cols
+    opened = joined.filter(cur_key.isNotNull() & (snap_key.isNull() | changed)).select(
+        *[F.col(f"cur.{c}").alias(c) for c in src_cols],
+        now_col.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed_history.unionByName(carried).unionByName(closed_now).unionByName(opened)
+
+
+def run_snapshot(
+    spark: SparkSession,
+    snapshot_path: str,
+    current: DataFrame,
+    unique_key: str,
+    check_cols: list[str],
+    now,
+) -> None:
+    prev = spark.read.parquet(snapshot_path) if os.path.exists(snapshot_path) else None
+    nxt = scd2_merge(prev, current, unique_key, check_cols, now)
+    tmp = snapshot_path.rstrip("/") + ".tmp"
+    nxt.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(snapshot_path):
+        shutil.rmtree(snapshot_path)
+    os.rename(tmp, snapshot_path)

@@ -1,0 +1,444 @@
+"""The reference's model DAG (SURVEY §1.4), re-expressed as registry
+models: 4 staging views → 2 intermediate views → 3 marts (+ SCD2
+snapshot source). Each builder returns a lazy DataFrame; `ctx.ref`
+composes them into one Catalyst plan per materialized output.
+
+Semantics per reference file (cited per model); column names match the
+reference exactly so its unit tests (_intermediate__unit_tests.yml) can
+be ported verbatim (testing/unit.py + tests/test_unit_reference.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.expressions import safe_divide, surrogate_key
+from ..plans.registry import Context, Registry
+
+_SEED_DIR = os.path.join(os.path.dirname(__file__), "..", "sources", "seeds")
+
+COUNTRY_METADATA_SCHEMA = StructType(
+    [
+        StructField("country_code", StringType()),  # varchar(2) in dbt_project.yml:58-63
+        StructField("country_name", StringType()),  # varchar(100)
+        StructField("eu_member_since", DateType()),
+        StructField("eurozone_member", BooleanType()),
+        StructField("region", StringType()),
+        StructField("subregion", StringType()),
+    ]
+)
+
+
+def load_seed(spark: SparkSession, name: str = "country_metadata") -> DataFrame:
+    """OP-SRC-SEED: typed CSV seed load (reference seeds/country_metadata.csv
+    + declared column_types dbt_project.yml:55-63)."""
+    path = os.path.join(_SEED_DIR, f"{name}.csv")
+    return spark.read.csv(path, header=True, schema=COUNTRY_METADATA_SCHEMA)
+
+
+def _staging_monthly(src: DataFrame, key_name: str, measure_name: str, extra: list[str]) -> DataFrame:
+    """Shared monthly staging shape (stg_eurostat__unemployment.sql:22-61,
+    __inflation.sql:22-54): rename, substr year/month parse, make_date,
+    null/length filters, surrogate key."""
+    year = F.substring("time_code", 1, 4).cast("int")
+    month = F.substring("time_code", 6, 2).cast("int")
+    return src.filter(
+        F.col("value").isNotNull()
+        & F.col("time_code").isNotNull()
+        & F.col("geo_code").isNotNull()
+        & (F.length("time_code") >= 7)
+    ).select(
+        surrogate_key(F.col("geo_code"), F.col("time_code")).alias(key_name),
+        F.col("geo_code").alias("country_code"),
+        F.col("geo_label").alias("country_name"),
+        F.col("time_code").alias("period_code"),
+        year.alias("reference_year"),
+        month.alias("reference_month"),
+        F.make_date(year, month, F.lit(1)).alias("reference_date"),
+        F.col("value").alias(measure_name),
+        *[F.col(c) for c in extra],
+        F.col("dataset_code").alias("source_dataset"),
+        F.col("extracted_at").alias("_extracted_at"),
+    )
+
+
+def build_registry() -> Registry:
+    reg = Registry()
+
+    # ---- staging views (1:1 with reference models/staging/*.sql) ----
+    @reg.model("stg_eurostat__gdp")
+    def stg_gdp(ctx: Context) -> DataFrame:
+        """stg_eurostat__gdp.sql:19-50 — rename/cast/filter/key."""
+        src = ctx.source("raw_gdp")
+        year = F.col("time_code").cast("int")
+        return src.filter(
+            F.col("value").isNotNull() & F.col("time_code").isNotNull() & F.col("geo_code").isNotNull()
+        ).select(
+            surrogate_key(F.col("geo_code"), F.col("time_code")).alias("gdp_key"),
+            F.col("geo_code").alias("country_code"),
+            F.col("geo_label").alias("country_name"),
+            F.col("time_code").alias("year_code"),
+            year.alias("reference_year"),
+            F.make_date(year, F.lit(1), F.lit(1)).alias("reference_date"),
+            F.col("value").alias("gdp_million_eur"),
+            F.col("unit_code"),
+            F.col("unit_label").alias("unit_description"),
+            F.col("na_item_code").alias("national_accounts_item_code"),
+            F.col("na_item_label").alias("national_accounts_item"),
+            F.col("dataset_code").alias("source_dataset"),
+            F.col("extracted_at").alias("_extracted_at"),
+        )
+
+    @reg.model("stg_eurostat__unemployment")
+    def stg_unemployment(ctx: Context) -> DataFrame:
+        """stg_eurostat__unemployment.sql:22-61."""
+        return _staging_monthly(
+            ctx.source("raw_unemployment"), "unemployment_key", "unemployment_rate_pct", []
+        )
+
+    @reg.model("stg_eurostat__inflation")
+    def stg_inflation(ctx: Context) -> DataFrame:
+        """stg_eurostat__inflation.sql:22-54."""
+        return _staging_monthly(
+            ctx.source("raw_inflation"), "inflation_key", "inflation_rate_mom_pct", []
+        )
+
+    @reg.model("stg_eurostat__population")
+    def stg_population(ctx: Context) -> DataFrame:
+        """stg_eurostat__population.sql:22-50 — annual grain."""
+        src = ctx.source("raw_population")
+        year = F.col("time_code").cast("int")
+        return src.filter(
+            F.col("value").isNotNull() & F.col("time_code").isNotNull() & F.col("geo_code").isNotNull()
+        ).select(
+            surrogate_key(F.col("geo_code"), F.col("time_code")).alias("population_key"),
+            F.col("geo_code").alias("country_code"),
+            F.col("geo_label").alias("country_name"),
+            F.col("time_code").alias("year_code"),
+            year.alias("reference_year"),
+            F.make_date(year, F.lit(1), F.lit(1)).alias("reference_date"),
+            F.col("value").alias("population_count"),
+            F.col("dataset_code").alias("source_dataset"),
+            F.col("extracted_at").alias("_extracted_at"),
+        )
+
+    # ---- seed -------------------------------------------------------
+    @reg.model("country_metadata")
+    def country_metadata(ctx: Context) -> DataFrame:
+        return load_seed(ctx.spark)
+
+    # ---- intermediate views ----------------------------------------
+    @reg.model("int_country_annual_metrics")
+    def int_annual(ctx: Context) -> DataFrame:
+        """int_country_annual_metrics.sql:20-108 — annual agg of monthly
+        series + 3-way left join + gdp-per-capita with div-by-zero→null."""
+        gdp = ctx.ref("stg_eurostat__gdp").select(
+            "country_code", "reference_year", "gdp_million_eur", "_extracted_at"
+        )
+        pop = ctx.ref("stg_eurostat__population").select(
+            "country_code", "reference_year", "population_count"
+        )
+        unemp = (
+            ctx.ref("stg_eurostat__unemployment")
+            .groupBy("country_code", "reference_year")
+            .agg(
+                F.avg("unemployment_rate_pct").alias("avg_unemployment_rate_pct"),
+                F.min("unemployment_rate_pct").alias("min_unemployment_rate_pct"),
+                F.max("unemployment_rate_pct").alias("max_unemployment_rate_pct"),
+                F.count(F.lit(1)).alias("unemployment_observations"),
+            )
+        )
+        infl = (
+            ctx.ref("stg_eurostat__inflation")
+            .groupBy("country_code", "reference_year")
+            .agg(
+                F.sum("inflation_rate_mom_pct").alias("annual_inflation_rate_pct"),
+                F.avg("inflation_rate_mom_pct").alias("avg_monthly_inflation_pct"),
+                F.count(F.lit(1)).alias("inflation_observations"),
+            )
+        )
+        keys = ["country_code", "reference_year"]
+        joined = (
+            gdp.join(pop, keys, "left").join(unemp, keys, "left").join(infl, keys, "left")
+        )
+        gdp_per_capita = F.when(
+            F.col("population_count") > 0,
+            (F.col("gdp_million_eur") * 1000000.0) / F.col("population_count"),
+        )
+        return joined.select(
+            surrogate_key(F.col("country_code"), F.col("reference_year")).alias(
+                "annual_metrics_key"
+            ),
+            "country_code",
+            "reference_year",
+            "gdp_million_eur",
+            "population_count",
+            gdp_per_capita.alias("gdp_per_capita_eur"),
+            "avg_unemployment_rate_pct",
+            "min_unemployment_rate_pct",
+            "max_unemployment_rate_pct",
+            "unemployment_observations",
+            "annual_inflation_rate_pct",
+            "avg_monthly_inflation_pct",
+            "inflation_observations",
+            F.coalesce(F.col("unemployment_observations") == 12, F.lit(False)).alias(
+                "has_complete_unemployment_data"
+            ),
+            F.coalesce(F.col("inflation_observations") == 12, F.lit(False)).alias(
+                "has_complete_inflation_data"
+            ),
+            "_extracted_at",
+        )
+
+    @reg.model("int_country_monthly_indicators")
+    def int_monthly(ctx: Context) -> DataFrame:
+        """int_country_monthly_indicators.sql:20-123 — monthly spine +
+        joins + lag1/lag12/rolling-12 windows."""
+        unemp = ctx.ref("stg_eurostat__unemployment").select(
+            "country_code",
+            "country_name",
+            "reference_year",
+            "reference_month",
+            "reference_date",
+            "unemployment_rate_pct",
+        )
+        infl = ctx.ref("stg_eurostat__inflation").select(
+            "country_code", "reference_date", "inflation_rate_mom_pct"
+        )
+        annual = ctx.ref("int_country_annual_metrics").select(
+            "country_code",
+            "reference_year",
+            F.col("gdp_million_eur").alias("annual_gdp_million_eur"),
+            F.col("population_count").alias("annual_population_count"),
+            F.col("gdp_per_capita_eur").alias("annual_gdp_per_capita_eur"),
+        )
+        spine = unemp.select(
+            "country_code", "country_name", "reference_year", "reference_month", "reference_date"
+        ).distinct()
+        joined = (
+            spine.join(unemp.select("country_code", "reference_date", "unemployment_rate_pct"),
+                       ["country_code", "reference_date"], "left")
+            .join(infl, ["country_code", "reference_date"], "left")
+            .join(annual, ["country_code", "reference_year"], "left")
+        )
+        w = Window.partitionBy("country_code").orderBy("reference_date")
+        w12 = w.rowsBetween(-11, Window.currentRow)
+        return joined.select(
+            surrogate_key(F.col("country_code"), F.col("reference_date")).alias(
+                "monthly_metrics_key"
+            ),
+            "country_code",
+            "country_name",
+            "reference_year",
+            "reference_month",
+            "reference_date",
+            "unemployment_rate_pct",
+            "inflation_rate_mom_pct",
+            "annual_gdp_million_eur",
+            "annual_population_count",
+            "annual_gdp_per_capita_eur",
+            F.lag("unemployment_rate_pct").over(w).alias("unemployment_rate_prev_month"),
+            F.lag("inflation_rate_mom_pct").over(w).alias("inflation_rate_prev_month"),
+            F.lag("unemployment_rate_pct", 12).over(w).alias("unemployment_rate_prev_year"),
+            F.avg("unemployment_rate_pct").over(w12).alias("unemployment_rate_12m_avg"),
+            F.avg("inflation_rate_mom_pct").over(w12).alias("inflation_rate_12m_avg"),
+        )
+
+    # ---- marts ------------------------------------------------------
+    @reg.model("dim_country", materialization="table")
+    def dim_country(ctx: Context) -> DataFrame:
+        """dim_country.sql:17-77 — seed join + first_value-latest name +
+        availability agg (OP-AGG-AVAIL: countDistinct)."""
+        seed = ctx.ref("country_metadata")
+        gdp = ctx.ref("stg_eurostat__gdp")
+        names = gdp.select(
+            "country_code",
+            F.first_value("country_name")
+            .over(Window.partitionBy("country_code").orderBy(F.col("reference_year").desc()))
+            .alias("country_name_eurostat"),
+        ).distinct()
+        avail = gdp.groupBy("country_code").agg(
+            F.min("reference_year").alias("earliest_gdp_year"),
+            F.max("reference_year").alias("latest_gdp_year"),
+            F.countDistinct("reference_year").alias("years_of_gdp_data"),
+        )
+        eu_status = (
+            F.when(F.col("eurozone_member"), "Eurozone")
+            .when(F.col("eu_member_since").isNotNull(), "EU (non-Euro)")
+            .otherwise("Non-EU")
+        )
+        return (
+            seed.alias("cs")
+            .join(F.broadcast(names.alias("cn")), "country_code", "left")
+            .join(F.broadcast(avail.alias("da")), "country_code", "left")
+            .select(
+                surrogate_key(F.col("country_code")).alias("country_key"),
+                "country_code",
+                F.coalesce(F.col("cs.country_name"), F.col("country_name_eurostat")).alias(
+                    "country_name"
+                ),
+                "eu_member_since",
+                "eurozone_member",
+                "region",
+                "subregion",
+                eu_status.alias("eu_status"),
+                "earliest_gdp_year",
+                "latest_gdp_year",
+                "years_of_gdp_data",
+                F.current_timestamp().alias("_loaded_at"),
+            )
+        )
+
+    @reg.model(
+        "fct_economic_indicators", materialization="incremental", unique_key="indicator_key"
+    )
+    def fct_indicators(ctx: Context) -> DataFrame:
+        """fct_economic_indicators.sql:28-82 — monthly fact; incremental
+        watermark+upsert handled by materialize.run_incremental."""
+        mi = ctx.ref("int_country_monthly_indicators")
+        cd = ctx.ref("dim_country").select("country_code", "country_key")
+        return mi.join(F.broadcast(cd), "country_code", "left").select(
+            F.col("monthly_metrics_key").alias("indicator_key"),
+            "country_code",
+            "country_key",
+            "reference_year",
+            "reference_month",
+            "reference_date",
+            "unemployment_rate_pct",
+            "inflation_rate_mom_pct",
+            "unemployment_rate_prev_month",
+            "unemployment_rate_prev_year",
+            "unemployment_rate_12m_avg",
+            "inflation_rate_12m_avg",
+            (F.col("unemployment_rate_pct") - F.col("unemployment_rate_prev_month")).alias(
+                "unemployment_mom_change"
+            ),
+            (F.col("unemployment_rate_pct") - F.col("unemployment_rate_prev_year")).alias(
+                "unemployment_yoy_change"
+            ),
+            "annual_gdp_million_eur",
+            "annual_population_count",
+            "annual_gdp_per_capita_eur",
+            F.current_timestamp().alias("_loaded_at"),
+        )
+
+    @reg.model("rpt_annual_economic_summary", materialization="table")
+    def rpt_summary(ctx: Context) -> DataFrame:
+        """rpt_annual_economic_summary.sql:18-137 — EU aggregates, 4 ranks,
+        YoY changes, EU shares."""
+        am = ctx.ref("int_country_annual_metrics").filter(F.col("country_code") != "EU27_2020")
+        cd = ctx.ref("dim_country").select(
+            "country_code", "country_key", "country_name", "eu_status", "eurozone_member", "region"
+        )
+        eu = (
+            ctx.ref("int_country_annual_metrics")
+            .filter(F.col("country_code") != "EU27_2020")
+            .groupBy("reference_year")
+            .agg(
+                F.sum("gdp_million_eur").alias("eu_total_gdp_million_eur"),
+                F.sum("population_count").alias("eu_total_population"),
+                F.avg("avg_unemployment_rate_pct").alias("eu_avg_unemployment_rate"),
+                F.avg("annual_inflation_rate_pct").alias("eu_avg_inflation_rate"),
+            )
+        )
+        wy = Window.partitionBy("reference_year")
+        wc = Window.partitionBy("country_code").orderBy("reference_year")
+        ranked = am.select(
+            "*",
+            F.rank().over(wy.orderBy(F.col("gdp_million_eur").desc())).alias("gdp_rank"),
+            F.rank().over(wy.orderBy(F.col("gdp_per_capita_eur").desc())).alias("gdp_per_capita_rank"),
+            F.rank().over(wy.orderBy(F.col("avg_unemployment_rate_pct").asc())).alias("unemployment_rank"),
+            F.rank().over(wy.orderBy(F.col("annual_inflation_rate_pct").asc())).alias("inflation_rank"),
+            F.lag("gdp_million_eur").over(wc).alias("prev_year_gdp"),
+            F.lag("avg_unemployment_rate_pct").over(wc).alias("prev_year_unemployment"),
+            F.lag("annual_inflation_rate_pct").over(wc).alias("prev_year_inflation"),
+        )
+        return (
+            ranked.alias("r")
+            .join(F.broadcast(cd.alias("cd")), "country_code", "left")
+            .join(F.broadcast(eu.alias("eu")), "reference_year", "left")
+            .select(
+                surrogate_key(F.col("country_code"), F.col("reference_year")).alias("summary_key"),
+                "country_code",
+                "country_key",
+                "reference_year",
+                "gdp_million_eur",
+                "population_count",
+                "gdp_per_capita_eur",
+                "avg_unemployment_rate_pct",
+                "annual_inflation_rate_pct",
+                "gdp_rank",
+                "gdp_per_capita_rank",
+                "unemployment_rank",
+                "inflation_rank",
+                F.when(
+                    F.col("prev_year_gdp") > 0,
+                    (F.col("gdp_million_eur") - F.col("prev_year_gdp"))
+                    / F.col("prev_year_gdp")
+                    * 100,
+                ).alias("gdp_yoy_growth_pct"),
+                (F.col("avg_unemployment_rate_pct") - F.col("prev_year_unemployment")).alias(
+                    "unemployment_yoy_change_pp"
+                ),
+                (F.col("annual_inflation_rate_pct") - F.col("prev_year_inflation")).alias(
+                    "inflation_yoy_change_pp"
+                ),
+                F.when(
+                    F.col("eu_total_gdp_million_eur") > 0,
+                    F.col("gdp_million_eur") / F.col("eu_total_gdp_million_eur") * 100,
+                ).alias("share_of_eu_gdp_pct"),
+                F.when(
+                    F.col("eu_total_population") > 0,
+                    F.col("population_count").cast("float") / F.col("eu_total_population") * 100,
+                ).alias("share_of_eu_population_pct"),
+                (
+                    F.col("gdp_per_capita_eur")
+                    - F.col("eu_total_gdp_million_eur") * 1000000.0 / F.col("eu_total_population")
+                ).alias("gdp_per_capita_vs_eu_avg"),
+                (F.col("avg_unemployment_rate_pct") - F.col("eu_avg_unemployment_rate")).alias(
+                    "unemployment_vs_eu_avg_pp"
+                ),
+                (F.col("annual_inflation_rate_pct") - F.col("eu_avg_inflation_rate")).alias(
+                    "inflation_vs_eu_avg_pp"
+                ),
+                "has_complete_unemployment_data",
+                "has_complete_inflation_data",
+                "country_name",
+                "eu_status",
+                "eurozone_member",
+                "region",
+                F.current_timestamp().alias("_loaded_at"),
+            )
+        )
+
+    @reg.model(
+        "snap_gdp_history",
+        materialization="snapshot",
+        unique_key="gdp_key",
+        check_cols=["gdp_million_eur"],
+    )
+    def snap_gdp(ctx: Context) -> DataFrame:
+        """snap_gdp_history.sql:28-37 — source select for the SCD2
+        snapshot (check strategy on gdp_million_eur, hard deletes)."""
+        return ctx.ref("stg_eurostat__gdp").select(
+            "gdp_key",
+            "country_code",
+            "country_name",
+            "reference_year",
+            "gdp_million_eur",
+            "unit_code",
+            "source_dataset",
+            "_extracted_at",
+        )
+
+    return reg

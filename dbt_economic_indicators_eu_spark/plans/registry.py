@@ -1,0 +1,155 @@
+"""Model registry — the Spark-native equivalent of the reference's
+ref()/source() DAG (dbt manifest; reference ``dbt_project.yml`` +
+``{{ ref(...) }}`` call sites, e.g. int_country_annual_metrics.sql:26-57).
+
+Design (SURVEY §3.1 "Spark-native redesign"): a model is a Python
+function ``build(ctx) -> DataFrame``. ``ctx.ref(name)`` returns the
+upstream model's *lazy* DataFrame, so a whole staging→intermediate→mart
+chain composes into ONE Catalyst plan per materialized output — views
+cost nothing (Catalyst inlines them), and only ``table`` /
+``incremental`` / ``snapshot`` models trigger an action.
+
+Unit-test mock injection (reference ``_intermediate__unit_tests.yml``)
+is first-class: ``ctx.ref`` resolves mocks before real models, so any
+model can be evaluated against literal given-rows without touching its
+code — see ``testing.unit``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class RegistryError(Exception):
+    pass
+
+
+@dataclass(frozen=True)
+class ModelDef:
+    name: str
+    build: Callable[["Context"], DataFrame]
+    materialization: str = "view"  # view | table | incremental | snapshot
+    unique_key: str | None = None  # incremental merge key / snapshot key
+    check_cols: tuple[str, ...] = ()  # snapshot check-strategy columns
+    contract: StructType | None = None  # enforced schema (OP-TEST-CONTRACT)
+    tags: tuple[str, ...] = ()
+
+
+class Registry:
+    """Name → ModelDef with topological resolution and cycle detection."""
+
+    def __init__(self) -> None:
+        self._models: dict[str, ModelDef] = {}
+        self._sources: dict[str, Callable[[SparkSession], DataFrame]] = {}
+
+    # -- declaration -------------------------------------------------
+    def model(
+        self,
+        name: str,
+        *,
+        materialization: str = "view",
+        unique_key: str | None = None,
+        check_cols: Iterable[str] = (),
+        contract: StructType | None = None,
+        tags: Iterable[str] = (),
+    ) -> Callable[[Callable[["Context"], DataFrame]], Callable[["Context"], DataFrame]]:
+        """Decorator: ``@registry.model("stg_x")``."""
+
+        def deco(fn: Callable[["Context"], DataFrame]) -> Callable[["Context"], DataFrame]:
+            self.register(
+                ModelDef(
+                    name=name,
+                    build=fn,
+                    materialization=materialization,
+                    unique_key=unique_key,
+                    check_cols=tuple(check_cols),
+                    contract=contract,
+                    tags=tuple(tags),
+                )
+            )
+            return fn
+
+        return deco
+
+    def register(self, model: ModelDef) -> None:
+        if model.name in self._models:
+            raise RegistryError(f"duplicate model {model.name!r}")
+        if model.materialization not in ("view", "table", "incremental", "snapshot"):
+            raise RegistryError(f"unknown materialization {model.materialization!r}")
+        self._models[model.name] = model
+
+    def source(self, name: str, loader: Callable[[SparkSession], DataFrame]) -> None:
+        """Declare a raw source (reference ``_sources.yml``)."""
+        self._sources[name] = loader
+
+    def get(self, name: str) -> ModelDef:
+        try:
+            return self._models[name]
+        except KeyError:
+            raise RegistryError(f"unknown model {name!r}") from None
+
+    @property
+    def models(self) -> dict[str, ModelDef]:
+        return dict(self._models)
+
+    # -- resolution --------------------------------------------------
+    def context(
+        self,
+        spark: SparkSession,
+        *,
+        mocks: dict[str, DataFrame] | None = None,
+    ) -> "Context":
+        return Context(self, spark, mocks=dict(mocks or {}))
+
+
+@dataclass
+class Context:
+    """One resolution pass: memoizes built DataFrames, applies mocks.
+
+    ``ref()`` is lazy all the way down — nothing executes until the
+    caller materializes (collect / write). Cycles are detected by the
+    in-progress stack.
+    """
+
+    registry: Registry
+    spark: SparkSession
+    mocks: dict[str, DataFrame] = field(default_factory=dict)
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+    _building: list[str] = field(default_factory=list)
+
+    def ref(self, name: str) -> DataFrame:
+        if name in self.mocks:  # unit-test given-rows win (OP-TEST-UNIT)
+            return self.mocks[name]
+        if name in self._cache:
+            return self._cache[name]
+        if name in self._building:
+            cycle = " -> ".join(self._building + [name])
+            raise RegistryError(f"ref cycle: {cycle}")
+        model = self.registry.get(name)
+        self._building.append(name)
+        try:
+            df = model.build(self)
+        finally:
+            self._building.pop()
+        if model.contract is not None:
+            from ..testing.contracts import enforce_contract
+
+            enforce_contract(df.schema, model.contract, model_name=name)
+        self._cache[name] = df
+        return df
+
+    def source(self, name: str) -> DataFrame:
+        if name in self.mocks:
+            return self.mocks[name]
+        if name in self._cache:
+            return self._cache[name]
+        loader = self.registry._sources.get(name)
+        if loader is None:
+            raise RegistryError(f"unknown source {name!r}")
+        df = loader(self.spark)
+        self._cache[name] = df
+        return df

@@ -1,0 +1,52 @@
+"""Model contract enforcement — OP-TEST-CONTRACT.
+
+Reference: ``contract={'enforced': true}`` on every mart
+(dim_country.sql:5, fct_economic_indicators.sql:7,
+rpt_annual_economic_summary.sql:5; declared columns
+``_marts__models.yml:13-18`` etc.). dbt fails the build at compile time
+when the model's output schema deviates from the declared contract —
+here we compare the *analyzed* Catalyst schema before any write, which
+is the same guarantee (no job is launched for a schema check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import StructType
+
+
+class ContractViolation(Exception):
+    pass
+
+
+def diff_contract(actual: StructType, declared: StructType) -> list[str]:
+    """Human-readable list of violations (empty = conforming).
+
+    Checks: missing / unexpected columns, type mismatches (exact
+    simpleString equality — contracts are exact in dbt), and declared
+    not-null columns that are nullable in the plan.
+    """
+    problems: list[str] = []
+    actual_by_name = {f.name: f for f in actual.fields}
+    declared_by_name = {f.name: f for f in declared.fields}
+    for name, decl in declared_by_name.items():
+        act = actual_by_name.get(name)
+        if act is None:
+            problems.append(f"missing column {name!r}")
+            continue
+        if act.dataType.simpleString() != decl.dataType.simpleString():
+            problems.append(
+                f"column {name!r}: type {act.dataType.simpleString()} != declared "
+                f"{decl.dataType.simpleString()}"
+            )
+        if not decl.nullable and act.nullable:
+            problems.append(f"column {name!r}: nullable but declared not null")
+    for name in actual_by_name:
+        if name not in declared_by_name:
+            problems.append(f"unexpected column {name!r}")
+    return problems
+
+
+def enforce_contract(actual: StructType, declared: StructType, model_name: str = "?") -> None:
+    problems = diff_contract(actual, declared)
+    if problems:
+        raise ContractViolation(f"model {model_name!r}: " + "; ".join(problems))

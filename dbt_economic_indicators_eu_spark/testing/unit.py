@@ -1,0 +1,83 @@
+"""Unit-test runner with mock-ref injection — OP-TEST-UNIT.
+
+Reference: dbt 1.8 ``unit_tests:`` blocks
+(models/intermediate/_intermediate__unit_tests.yml:8-134): each test
+supplies literal ``given`` rows per upstream ref, runs the model, and
+compares against ``expect`` rows.
+
+Spark port: ``Context.ref`` resolves mocks before registered models, so
+the model-under-test runs unmodified over ``spark.createDataFrame(given)``
+inputs. Comparison is order-insensitive via two-sided ``exceptAll``
+(duplicates significant — same as dbt's row-bag compare).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..plans.registry import Registry
+
+
+class UnitTestFailure(AssertionError):
+    pass
+
+
+def mock_df(
+    spark: SparkSession,
+    rows: Sequence[Mapping[str, Any]],
+    schema: StructType | str,
+) -> DataFrame:
+    """Build a mock input from literal given-rows. An explicit schema is
+    required (dbt infers from the real model; we cannot — a mock with a
+    None in every row of a column would otherwise be untyped)."""
+    return spark.createDataFrame(list(rows), schema=schema)  # type: ignore[arg-type]
+
+
+def run_unit_test(
+    registry: Registry,
+    spark: SparkSession,
+    model: str,
+    given: Mapping[str, DataFrame],
+    expect: DataFrame,
+    *,
+    compare_cols: Sequence[str] | None = None,
+    float_tol: float = 1e-6,
+) -> None:
+    """Build ``model`` with refs replaced by ``given``; assert the output
+    row-bag equals ``expect`` (on ``compare_cols`` if given).
+
+    Floats are rounded on both sides before compare (exceptAll is exact;
+    the reference's expected values are 6-decimal literals, e.g.
+    _intermediate__unit_tests.yml:32-33).
+    """
+    from pyspark.sql import functions as F
+
+    ctx = registry.context(spark, mocks=dict(given))
+    actual = ctx.ref(model)
+    if compare_cols:
+        actual = actual.select(*compare_cols)
+        expect = expect.select(*compare_cols)
+
+    digits = max(0, round(-1 * __import__("math").log10(float_tol)))
+
+    def norm(df: DataFrame) -> DataFrame:
+        cols = []
+        for f in df.schema.fields:
+            if f.dataType.simpleString() in ("double", "float"):
+                cols.append(F.round(F.col(f.name), digits).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
+
+    a, e = norm(actual), norm(expect)
+    missing = e.exceptAll(a).collect()
+    extra = a.exceptAll(e).collect()
+    if missing or extra:
+        raise UnitTestFailure(
+            f"unit test for {model!r} failed:\n"
+            f"  expected-but-absent: {missing}\n"
+            f"  actual-but-unexpected: {extra}"
+        )

@@ -1,0 +1,79 @@
+"""Generic data tests + freshness (testing/generic.py ↔ reference
+macros/data_quality.sql + schema yml tests)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dbt_economic_indicators_eu_spark.testing.generic import (
+    check_freshness,
+    test_completeness_threshold,
+    test_no_future_dates,
+    test_not_null,
+    test_relationships,
+    test_unique,
+    test_value_in_range,
+)
+
+# pytest collects the imported test_* functions as tests too (they take a
+# DataFrame, not fixtures) — shield them:
+test_unique.__test__ = False  # type: ignore[attr-defined]
+test_not_null.__test__ = False  # type: ignore[attr-defined]
+test_relationships.__test__ = False  # type: ignore[attr-defined]
+test_value_in_range.__test__ = False  # type: ignore[attr-defined]
+test_no_future_dates.__test__ = False  # type: ignore[attr-defined]
+test_completeness_threshold.__test__ = False  # type: ignore[attr-defined]
+
+
+def test_unique_flags_dupes(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    out = test_unique(df, "k").collect()
+    assert len(out) == 1 and out[0]["k"] == 1 and out[0]["n_rows"] == 2
+
+
+def test_not_null_flags_any_null(spark):
+    df = spark.createDataFrame([(1, "a"), (None, "b"), (3, None)], "k int, s string")
+    assert test_not_null(df, "k", "s").count() == 2
+
+
+def test_relationships_anti_join(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,)], "fk int")
+    out = test_relationships(child, parent, "fk").collect()
+    assert [r["fk"] for r in out] == [9]
+
+
+def test_value_in_range_bounds(spark):
+    df = spark.createDataFrame([(0.0,), (50.0,), (101.0,), (-1.0,)], "v double")
+    assert test_value_in_range(df, "v", 0, 100).count() == 2
+
+
+def test_no_future_dates_injectable_today(spark):
+    df = spark.createDataFrame([("2024-01-01",), ("2024-03-01",)], "d string").select(
+        F.to_date("d").alias("d")
+    )
+    assert test_no_future_dates(df, "d", today=F.lit("2024-02-01").cast("date")).count() == 1
+
+
+def test_completeness_threshold_violation_row(spark):
+    df = spark.createDataFrame([(1,), (None,), (None,), (None,)], "v int")
+    out = test_completeness_threshold(df, "v", 0.95).collect()
+    assert len(out) == 1 and out[0]["completeness"] == 0.25
+    ok = spark.createDataFrame([(1,), (2,)], "v int")
+    assert test_completeness_threshold(ok, "v", 0.95).count() == 0
+
+
+def test_freshness_statuses(spark):
+    now = F.lit("2024-02-01").cast("timestamp")
+
+    def status(loaded_at: str) -> str:
+        df = spark.createDataFrame([(loaded_at,)], "t string").select(
+            F.to_timestamp("t").alias("t")
+        )
+        return check_freshness(df, "t", now, 7, 30).collect()[0]["freshness_status"]
+
+    assert status("2024-01-31") == "pass"
+    assert status("2024-01-20") == "warn"   # 12 days > 7
+    assert status("2023-12-01") == "error"  # 62 days > 30

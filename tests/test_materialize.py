@@ -1,0 +1,141 @@
+"""Tests for incremental upsert (OP-SINK-INCR) and SCD2 snapshot
+(OP-SINK-SCD2) merge semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dbt_economic_indicators_eu_spark.materialize.incremental import merge_upsert
+from dbt_economic_indicators_eu_spark.materialize.snapshot import scd2_merge
+
+T1 = dt.datetime(2024, 1, 1)
+T2 = dt.datetime(2024, 2, 1)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------- incremental -------------------------------------------
+
+
+def test_merge_first_run_passthrough(spark):
+    inc = spark.createDataFrame([("k1", 1, 10.0)], "k string, d int, v double")
+    out = merge_upsert(None, inc, "k")
+    assert _rows(out, "k", "v") == [("k1", 10.0)]
+
+
+def test_merge_upsert_key_collision_incoming_wins(spark):
+    old = spark.createDataFrame([("k1", 1, 10.0), ("k2", 1, 20.0)], "k string, d int, v double")
+    inc = spark.createDataFrame([("k2", 2, 99.0), ("k3", 2, 30.0)], "k string, d int, v double")
+    out = merge_upsert(old, inc, "k")
+    assert _rows(out, "k", "v") == [("k1", 10.0), ("k2", 99.0), ("k3", 30.0)]
+
+
+def test_merge_watermark_drops_stale_incoming(spark):
+    old = spark.createDataFrame([("k1", 5, 10.0)], "k string, d int, v double")
+    inc = spark.createDataFrame(
+        [("k2", 3, 1.0), ("k3", 7, 2.0)], "k string, d int, v double"
+    )
+    out = merge_upsert(old, inc, "k", watermark_col="d")
+    # d=3 is behind max(existing.d)=5 → dropped; d=7 appended
+    assert _rows(out, "k", "d") == [("k1", 5), ("k3", 7)]
+
+
+def test_merge_append_new_columns_schema_evolution(spark):
+    """on_schema_change='append_new_columns' (fct_economic_indicators.sql:5):
+    incoming brings a column the target lacks — both survive the union."""
+    old = spark.createDataFrame([("k1", 1, 10.0)], "k string, d int, v double")
+    inc = spark.createDataFrame([("k2", 2, 20.0, "new")], "k string, d int, v double, extra string")
+    out = merge_upsert(old, inc, "k")
+    assert set(out.columns) == {"k", "d", "v", "extra"}
+    got = {r["k"]: r["extra"] for r in out.collect()}
+    assert got == {"k1": None, "k2": "new"}
+
+
+# ---------------- SCD2 snapshot ------------------------------------------
+
+
+def _snap_first(spark):
+    cur = spark.createDataFrame(
+        [("k1", "DE", 100.0), ("k2", "FR", 200.0)], "gdp_key string, geo string, gdp double"
+    )
+    return scd2_merge(None, cur, "gdp_key", ["gdp"], T1)
+
+
+def test_scd2_first_run_opens_all(spark):
+    snap = _snap_first(spark)
+    rows = snap.collect()
+    assert len(rows) == 2
+    assert all(r["is_current"] and r["valid_to"] is None and r["valid_from"] == T1 for r in rows)
+
+
+def test_scd2_new_changed_unchanged_deleted(spark):
+    snap = _snap_first(spark)
+    cur2 = spark.createDataFrame(
+        [("k1", "DE", 100.0),  # unchanged
+         ("k2", "FR", 250.0),  # changed check col
+         ("k4", "IT", 400.0)], # new key
+        "gdp_key string, geo string, gdp double",
+    )
+    out = scd2_merge(snap, cur2, "gdp_key", ["gdp"], T2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["gdp_key"], []).append(r)
+    # unchanged k1: single open row from T1
+    (k1,) = by["k1"]
+    assert k1["is_current"] and k1["valid_from"] == T1 and k1["valid_to"] is None
+    # changed k2: closed T1→T2 + open from T2 with new value
+    k2 = sorted(by["k2"], key=lambda r: r["is_current"])
+    assert len(k2) == 2
+    assert not k2[0]["is_current"] and k2[0]["valid_to"] == T2 and k2[0]["gdp"] == 200.0
+    assert k2[1]["is_current"] and k2[1]["valid_from"] == T2 and k2[1]["gdp"] == 250.0
+    # new k4: open from T2
+    (k4,) = by["k4"]
+    assert k4["is_current"] and k4["valid_from"] == T2
+
+
+def test_scd2_hard_delete_invalidation(spark):
+    """invalidate_hard_deletes=True (snap_gdp_history.sql:10): keys absent
+    from current are closed."""
+    snap = _snap_first(spark)
+    cur2 = spark.createDataFrame([("k1", "DE", 100.0)], "gdp_key string, geo string, gdp double")
+    out = scd2_merge(snap, cur2, "gdp_key", ["gdp"], T2).collect()
+    k2 = [r for r in out if r["gdp_key"] == "k2"]
+    assert len(k2) == 1
+    assert not k2[0]["is_current"] and k2[0]["valid_to"] == T2
+
+
+def test_scd2_rerun_idempotent_and_null_transitions(spark):
+    """Re-running with identical source changes nothing; NULL→value on a
+    check col registers as a change (eqNullSafe)."""
+    cur = spark.createDataFrame(
+        [("k1", "DE", None)], "gdp_key string, geo string, gdp double"
+    )
+    snap = scd2_merge(None, cur, "gdp_key", ["gdp"], T1)
+    again = scd2_merge(snap, cur, "gdp_key", ["gdp"], T2)
+    assert _rows(again, "gdp_key", "is_current") == [("k1", True)]
+    assert again.collect()[0]["valid_from"] == T1  # untouched, not re-opened
+
+    cur2 = spark.createDataFrame([("k1", "DE", 5.0)], "gdp_key string, geo string, gdp double")
+    out = scd2_merge(snap, cur2, "gdp_key", ["gdp"], T2)
+    flags = sorted((r["is_current"], r["gdp"]) for r in out.collect())
+    assert flags == [(False, None), (True, 5.0)]
+
+
+def test_scd2_closed_history_carried_verbatim(spark):
+    snap = _snap_first(spark)
+    cur2 = spark.createDataFrame([("k1", "DE", 150.0), ("k2", "FR", 200.0)],
+                                 "gdp_key string, geo string, gdp double")
+    snap2 = scd2_merge(snap, cur2, "gdp_key", ["gdp"], T2)
+    t3 = dt.datetime(2024, 3, 1)
+    cur3 = spark.createDataFrame([("k1", "DE", 150.0), ("k2", "FR", 200.0)],
+                                 "gdp_key string, geo string, gdp double")
+    snap3 = scd2_merge(snap2, cur3, "gdp_key", ["gdp"], t3)
+    # the closed k1 version (100.0, T1→T2) must still be there, unchanged
+    closed = [r for r in snap3.collect() if not r["is_current"]]
+    assert len(closed) == 1
+    assert closed[0]["gdp"] == 100.0 and closed[0]["valid_to"] == T2
+    assert snap3.filter(F.col("is_current")).count() == 2

@@ -1,0 +1,141 @@
+"""Registry semantics: ref composition, mock precedence, cycle and
+duplicate detection, contract enforcement, and run_models
+materializations (view/table/incremental/snapshot end-to-end)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from dbt_economic_indicators_eu_spark.materialize.run import run_models
+from dbt_economic_indicators_eu_spark.plans.registry import Registry, RegistryError
+from dbt_economic_indicators_eu_spark.testing.contracts import ContractViolation
+
+
+def _toy_registry(spark):
+    reg = Registry()
+    reg.source("raw", lambda s: s.createDataFrame([(1, 2.0), (2, 4.0)], "id int, v double"))
+
+    @reg.model("base")
+    def base(ctx):
+        return ctx.source("raw").filter(F.col("v") > 0)
+
+    @reg.model("doubled")
+    def doubled(ctx):
+        return ctx.ref("base").select("id", (F.col("v") * 2).alias("v2"))
+
+    return reg
+
+
+def test_ref_composes_lazily_and_memoizes(spark):
+    reg = _toy_registry(spark)
+    ctx = reg.context(spark)
+    out = ctx.ref("doubled")
+    assert [r["v2"] for r in out.orderBy("id").collect()] == [4.0, 8.0]
+    assert ctx.ref("base") is ctx.ref("base")  # memoized, single plan reused
+
+
+def test_mocks_take_precedence(spark):
+    reg = _toy_registry(spark)
+    mock = spark.createDataFrame([(9, 100.0)], "id int, v double")
+    ctx = reg.context(spark, mocks={"base": mock})
+    assert [r["v2"] for r in ctx.ref("doubled").collect()] == [200.0]
+
+
+def test_cycle_detection(spark):
+    reg = Registry()
+
+    @reg.model("a")
+    def a(ctx):
+        return ctx.ref("b")
+
+    @reg.model("b")
+    def b(ctx):
+        return ctx.ref("a")
+
+    with pytest.raises(RegistryError, match="cycle"):
+        reg.context(spark).ref("a")
+
+
+def test_duplicate_and_unknown_models(spark):
+    reg = _toy_registry(spark)
+    with pytest.raises(RegistryError, match="duplicate"):
+
+        @reg.model("base")
+        def again(ctx):  # pragma: no cover
+            raise AssertionError
+
+    with pytest.raises(RegistryError, match="unknown model"):
+        reg.context(spark).ref("nope")
+
+
+def test_contract_enforced_before_any_action(spark):
+    reg = Registry()
+    contract = StructType(
+        [StructField("id", StringType()), StructField("v", DoubleType())]  # id declared string
+    )
+
+    @reg.model("c", contract=contract)
+    def c(ctx):
+        return ctx.spark.createDataFrame([(1, 2.0)], "id int, v double")
+
+    with pytest.raises(ContractViolation, match="type int != declared string"):
+        reg.context(spark).ref("c")
+
+
+def test_run_models_all_materializations(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    reg = Registry()
+    reg.source("raw", lambda s: s.createDataFrame(
+        [("k1", 1, 10.0), ("k2", 1, 20.0)], "k string, d int, v double"))
+
+    @reg.model("v_model")
+    def v_model(ctx):
+        return ctx.source("raw")
+
+    @reg.model("t_model", materialization="table")
+    def t_model(ctx):
+        return ctx.ref("v_model").withColumn("v2", F.col("v") * 2)
+
+    @reg.model("i_model", materialization="incremental", unique_key="k")
+    def i_model(ctx):
+        return ctx.ref("v_model")
+
+    @reg.model("s_model", materialization="snapshot", unique_key="k", check_cols=("v",))
+    def s_model(ctx):
+        return ctx.ref("v_model")
+
+    out = run_models(reg, spark, wh, now=dt.datetime(2024, 1, 1))
+    assert out["t_model"].count() == 2
+    assert out["i_model"].count() == 2
+    assert out["s_model"].filter(F.col("is_current")).count() == 2
+    assert spark.table("v_model").count() == 2  # temp view registered
+
+    # second run: raw gains a row + a changed value → incremental upserts,
+    # snapshot closes/opens
+    reg2 = Registry()
+    reg2.source("raw", lambda s: s.createDataFrame(
+        [("k1", 2, 99.0), ("k3", 2, 30.0)], "k string, d int, v double"))
+    for name, mat, kw in [
+        ("v_model", "view", {}),
+        ("i_model", "incremental", {"unique_key": "k"}),
+        ("s_model", "snapshot", {"unique_key": "k", "check_cols": ("v",)}),
+    ]:
+        def make(n):
+            def build(ctx):
+                return ctx.source("raw")
+            return build
+        reg2.register(
+            __import__("dbt_economic_indicators_eu_spark.plans.registry", fromlist=["ModelDef"]).ModelDef(
+                name=name, build=make(name), materialization=mat, **kw
+            )
+        )
+    out2 = run_models(reg2, spark, wh, select=["i_model", "s_model"], now=dt.datetime(2024, 2, 1))
+    got = {r["k"]: r["v"] for r in out2["i_model"].collect()}
+    assert got == {"k1": 99.0, "k2": 20.0, "k3": 30.0}
+    snap = out2["s_model"]
+    assert snap.filter(F.col("is_current")).count() == 2  # k1(new ver), k3; k2 closed
+    assert snap.filter(~F.col("is_current")).count() == 2  # old k1 + deleted k2
