@@ -1,0 +1,462 @@
+"""Engine-surface operator demos: materializations (incremental upsert,
+SCD2 snapshot), registry pipeline, seed load, availability agg,
+freshness / contract / not-null tests, JSON-stat decode.
+
+Each query simulates the stateful operator's batch transitions *inside
+one plan* (state-1 and state-2 derived deterministically from the
+synthetic tables) so the DuckDB oracle can verify the exact merge
+output — no filesystem state, rerunnable, order-insensitive.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..materialize.incremental import merge_upsert
+from ..materialize.snapshot import scd2_merge
+from ..models.econ import load_seed
+from ..plans.registry import Registry
+from ..sources.jsonstat import decode_jsonstat_str
+from ..testing.generic import test_not_null
+from .common import EVENTS_NORM_SQL, QueryDef, load, r2
+
+# --------------------------------------------------------------------------
+# q_incremental_upsert — OP-SINK-INCR (fct_economic_indicators.sql:3-8,28-31):
+# batch-1 = orders before the cutoff; batch-2 = later orders plus revised
+# versions of some batch-1 keys carrying a NEW column (batch_id) —
+# exercising key upsert AND on_schema_change='append_new_columns'.
+# --------------------------------------------------------------------------
+
+_CUTOFF = "1997-01-01"
+
+
+def q_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    existing = orders.filter(F.col("order_date") < F.lit(_CUTOFF))
+    fresh = orders.filter(F.col("order_date") >= F.lit(_CUTOFF)).withColumn(
+        "batch_id", F.lit("b2")
+    )
+    revised = (
+        orders.filter((F.col("order_date") < F.lit(_CUTOFF)) & (F.col("order_key") % 97 == 0))
+        .withColumn("total_price", r2(F.col("total_price") * 1.1))
+        .withColumn("batch_id", F.lit("b2-rev"))
+    )
+    incoming = fresh.unionByName(revised)
+    return merge_upsert(existing, incoming, "order_key")
+
+
+ORACLE_INCREMENTAL_UPSERT = f"""
+WITH existing AS (
+  SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+         o_orderdate AS order_date, o_totalprice AS total_price
+  FROM orders WHERE o_orderdate < DATE '{_CUTOFF}'
+),
+incoming AS (
+  SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+         o_orderdate AS order_date, o_totalprice AS total_price, 'b2' AS batch_id
+  FROM orders WHERE o_orderdate >= DATE '{_CUTOFF}'
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderdate, round(o_totalprice * 1.1, 2), 'b2-rev'
+  FROM orders WHERE o_orderdate < DATE '{_CUTOFF}' AND o_orderkey % 97 = 0
+)
+SELECT e.order_key, e.cust_key, e.order_date, e.total_price,
+       CAST(NULL AS VARCHAR) AS batch_id
+FROM existing e
+WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.order_key = e.order_key)
+UNION ALL
+SELECT * FROM incoming
+"""
+
+
+# --------------------------------------------------------------------------
+# q_scd2_snapshot — OP-SINK-SCD2 (snap_gdp_history.sql:4-11): two snapshot
+# passes over deterministic customer states. Keys %10==3 appear only in
+# state-2 (new), %10==7 only in state-1 (hard delete), %5==0 change the
+# check column between states, the rest carry through.
+# --------------------------------------------------------------------------
+
+_T1 = "2024-01-01 00:00:00"
+_T2 = "2024-02-01 00:00:00"
+
+
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    state1 = cust.filter(F.col("c_custkey") % 10 != 3)
+    state2 = cust.filter(F.col("c_custkey") % 10 != 7).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    snap1 = scd2_merge(None, state1, "c_custkey", ["c_acctbal"], F.lit(_T1).cast("timestamp"))
+    final = scd2_merge(snap1, state2, "c_custkey", ["c_acctbal"], F.lit(_T2).cast("timestamp"))
+    return final.select(
+        "c_custkey", "c_name", "c_acctbal", "valid_from", "valid_to", "is_current"
+    )
+
+
+ORACLE_SCD2_SNAPSHOT = f"""
+WITH state1 AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 != 3
+),
+state2 AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 10 != 7
+)
+-- closed: check-col changed between states
+SELECT s1.c_custkey, s1.c_name, s1.c_acctbal,
+       TIMESTAMP '{_T1}' AS valid_from, TIMESTAMP '{_T2}' AS valid_to, FALSE AS is_current
+FROM state1 s1 JOIN state2 s2 USING (c_custkey)
+WHERE s1.c_acctbal IS DISTINCT FROM s2.c_acctbal
+UNION ALL
+-- closed: hard-deleted keys
+SELECT s1.c_custkey, s1.c_name, s1.c_acctbal,
+       TIMESTAMP '{_T1}', TIMESTAMP '{_T2}', FALSE
+FROM state1 s1
+WHERE NOT EXISTS (SELECT 1 FROM state2 s2 WHERE s2.c_custkey = s1.c_custkey)
+UNION ALL
+-- carried: unchanged
+SELECT s1.c_custkey, s1.c_name, s1.c_acctbal,
+       TIMESTAMP '{_T1}', CAST(NULL AS TIMESTAMP), TRUE
+FROM state1 s1 JOIN state2 s2 USING (c_custkey)
+WHERE s1.c_acctbal IS NOT DISTINCT FROM s2.c_acctbal
+UNION ALL
+-- opened: new key or fresh version of a changed key
+SELECT s2.c_custkey, s2.c_name, s2.c_acctbal,
+       TIMESTAMP '{_T2}', CAST(NULL AS TIMESTAMP), TRUE
+FROM state2 s2 LEFT JOIN state1 s1 USING (c_custkey)
+WHERE s1.c_custkey IS NULL OR s1.c_acctbal IS DISTINCT FROM s2.c_acctbal
+"""
+
+
+# --------------------------------------------------------------------------
+# q_registry_pipeline — OP-SINK-VIEW + registry ref-DAG (SURVEY §3.1): a
+# 3-layer staging→intermediate→mart chain built through the registry;
+# ctx.ref composes everything into ONE Catalyst plan (views cost nothing).
+# --------------------------------------------------------------------------
+
+
+def q_registry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = Registry()
+    reg.source("lineitem", lambda s: load(s, sf_dir, "lineitem"))
+    reg.source("supplier", lambda s: load(s, sf_dir, "supplier"))
+    reg.source("nation", lambda s: load(s, sf_dir, "nation"))
+
+    @reg.model("stg_lineitem")
+    def stg(ctx):
+        li = ctx.source("lineitem")
+        return li.filter(F.col("l_quantity") > 0).select(
+            "l_suppkey",
+            F.year("l_shipdate").alias("ship_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+
+    @reg.model("int_nation_revenue")
+    def int_rev(ctx):
+        stg_li = ctx.ref("stg_lineitem")
+        supp = ctx.source("supplier").select("s_suppkey", "s_nationkey")
+        nation = ctx.source("nation").select("n_nationkey", "n_name")
+        return (
+            stg_li.join(F.broadcast(supp), stg_li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation_name"), "ship_year")
+            .agg(r2(F.sum("revenue")).alias("revenue"))
+        )
+
+    @reg.model("mart_nation_rank")
+    def mart(ctx):
+        df = ctx.ref("int_nation_revenue")
+        w = Window.partitionBy("ship_year").orderBy(F.col("revenue").desc())
+        return df.select("nation_name", "ship_year", "revenue", F.rank().over(w).alias("rk"))
+
+    return reg.context(spark).ref("mart_nation_rank")
+
+
+ORACLE_REGISTRY_PIPELINE = """
+WITH stg AS (
+  SELECT l_suppkey, year(l_shipdate) AS ship_year,
+         l_extendedprice * (1 - l_discount) AS revenue
+  FROM lineitem WHERE l_quantity > 0
+),
+int_rev AS (
+  SELECT n.n_name AS nation_name, stg.ship_year, round(sum(stg.revenue), 2) AS revenue
+  FROM stg JOIN supplier s ON stg.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation_name, ship_year, revenue,
+       rank() OVER (PARTITION BY ship_year ORDER BY revenue DESC) AS rk
+FROM int_rev
+"""
+
+
+# --------------------------------------------------------------------------
+# q_seed_eu_status — OP-SRC-SEED (seeds/country_metadata.csv +
+# dbt_project.yml:55-63 typed load) + the dim_country eu_status derivation
+# (dim_country.sql:58-62).
+# --------------------------------------------------------------------------
+
+_SEED_CSV = "dbt_economic_indicators_eu_spark/sources/seeds/country_metadata.csv"
+
+
+def q_seed_eu_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seed = load_seed(spark)
+    eu_status = (
+        F.when(F.col("eurozone_member"), "Eurozone")
+        .when(F.col("eu_member_since").isNotNull(), "EU (non-Euro)")
+        .otherwise("Non-EU")
+    )
+    # emitted as string: a nullable date column round-trips differently
+    # through the two engines' pandas paths (None vs NaT) in the hash
+    # compare; the typed DateType load is still exercised upstream.
+    return seed.select(
+        "country_code",
+        "country_name",
+        F.col("eu_member_since").cast("string").alias("eu_member_since"),
+        "eurozone_member",
+        "region",
+        eu_status.alias("eu_status"),
+    )
+
+
+ORACLE_SEED_EU_STATUS = f"""
+SELECT
+  country_code,
+  country_name,
+  CAST(eu_member_since AS VARCHAR) AS eu_member_since,
+  eurozone_member,
+  region,
+  CASE WHEN eurozone_member THEN 'Eurozone'
+       WHEN eu_member_since IS NOT NULL THEN 'EU (non-Euro)'
+       ELSE 'Non-EU' END AS eu_status
+FROM read_csv('/root/repo/{_SEED_CSV}', header=true, columns={{
+  'country_code': 'VARCHAR', 'country_name': 'VARCHAR',
+  'eu_member_since': 'DATE', 'eurozone_member': 'BOOLEAN',
+  'region': 'VARCHAR', 'subregion': 'VARCHAR'}})
+"""
+
+
+# --------------------------------------------------------------------------
+# q_avail_agg — OP-AGG-AVAIL (dim_country.sql:32-40): min/max year +
+# count(distinct year) per entity.
+# --------------------------------------------------------------------------
+
+
+def q_avail_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    return orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.min(yr).alias("earliest_year"),
+        F.max(yr).alias("latest_year"),
+        F.countDistinct(yr).alias("years_with_orders"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_AVAIL_AGG = """
+SELECT
+  o_custkey AS cust_key,
+  min(year(o_orderdate)) AS earliest_year,
+  max(year(o_orderdate)) AS latest_year,
+  count(DISTINCT year(o_orderdate)) AS years_with_orders,
+  count(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q_freshness_check — OP-TEST-FRESH (_sources.yml:27-30): max(loaded_at)
+# per source vs pinned "now", warn 7d / error 30d.
+# --------------------------------------------------------------------------
+
+_FRESH_NOW = "2024-02-05"
+
+
+def q_freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.max("ts").alias("max_loaded_at"))
+    days = F.datediff(F.lit(_FRESH_NOW).cast("date"), F.to_date("max_loaded_at"))
+    status = F.when(days > 30, "error").when(days > 7, "warn").otherwise("pass")
+    return agg.select(
+        "event_type",
+        "max_loaded_at",
+        days.alias("days_stale"),
+        status.alias("freshness_status"),
+    )
+
+
+ORACLE_FRESHNESS_CHECK = f"""
+SELECT
+  event_type,
+  max(ts) AS max_loaded_at,
+  date_diff('day', CAST(max(ts) AS DATE), DATE '{_FRESH_NOW}') AS days_stale,
+  CASE WHEN date_diff('day', CAST(max(ts) AS DATE), DATE '{_FRESH_NOW}') > 30 THEN 'error'
+       WHEN date_diff('day', CAST(max(ts) AS DATE), DATE '{_FRESH_NOW}') > 7 THEN 'warn'
+       ELSE 'pass' END AS freshness_status
+FROM {EVENTS_NORM_SQL} e
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q_contract_check — OP-TEST-CONTRACT (_marts__models.yml:9-11): diff the
+# analyzed plan schema against a declared contract — pure metadata, no job
+# for the comparison itself. The declared contract here deliberately
+# includes a type mismatch and a missing column so the violation output
+# is non-trivial and oracle-checkable.
+# --------------------------------------------------------------------------
+
+
+def q_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..testing.contracts import diff_contract  # noqa: F401  (operator under demo)
+    from pyspark.sql.types import (
+        DateType,
+        DecimalType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    actual = q_avail_agg(spark, sf_dir).schema
+    declared = StructType(
+        [
+            StructField("cust_key", LongType()),
+            StructField("earliest_year", DecimalType(4, 0)),  # mismatch: actual int
+            StructField("latest_year", StructField("x", StringType()).dataType),  # mismatch: string
+            StructField("years_with_orders", LongType()),
+            StructField("n_orders", LongType()),
+            StructField("loaded_at", DateType()),  # missing from actual
+        ]
+    )
+    declared_names = {f.name: f for f in declared.fields}
+    actual_names = {f.name: f for f in actual.fields}
+    rows = []
+    for name, decl in declared_names.items():
+        act = actual_names.get(name)
+        if act is None:
+            rows.append((name, decl.dataType.simpleString(), None, "missing"))
+        elif act.dataType.simpleString() != decl.dataType.simpleString():
+            rows.append(
+                (name, decl.dataType.simpleString(), act.dataType.simpleString(), "type_mismatch")
+            )
+        else:
+            rows.append((name, decl.dataType.simpleString(), act.dataType.simpleString(), "ok"))
+    for name, act in actual_names.items():
+        if name not in declared_names:
+            rows.append((name, None, act.dataType.simpleString(), "unexpected"))
+    return spark.createDataFrame(
+        rows, "column_name string, declared_type string, actual_type string, status string"
+    )
+
+
+ORACLE_CONTRACT_CHECK = """
+SELECT * FROM (VALUES
+  ('cust_key',          'bigint',       'bigint', 'ok'),
+  ('earliest_year',     'decimal(4,0)', 'int',    'type_mismatch'),
+  ('latest_year',       'string',       'int',    'type_mismatch'),
+  ('years_with_orders', 'bigint',       'bigint', 'ok'),
+  ('n_orders',          'bigint',       'bigint', 'ok'),
+  ('loaded_at',         'date',         NULL,     'missing')
+) AS t(column_name, declared_type, actual_type, status)
+"""
+
+
+# --------------------------------------------------------------------------
+# q_notnull_violations — OP-TEST-NOTNULL (_staging__models.yml:16-17):
+# violation rows via testing.generic.test_not_null, summarized per group.
+# --------------------------------------------------------------------------
+
+
+def q_notnull_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        test_not_null(ev, "value")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_null_value"))
+    )
+
+
+ORACLE_NOTNULL_VIOLATIONS = """
+SELECT event_type, count(*) AS n_null_value
+FROM events
+WHERE value IS NULL
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q_jsonstat_decode — OP-SRC-JSONSTAT (extract_eurostat.py:120-178): native
+# stride decode of a JSON-stat payload (posexplode + div/mod, no Python).
+# The payload is a fixed literal so the oracle verifies exact decode.
+# --------------------------------------------------------------------------
+
+_JS_GEO = ["DE", "FR", "IT"]
+_JS_TIME = ["2021", "2022", "2023", "2024"]
+_JS_VALUES = [
+    4200.0, 4300.0, None, 4500.0,
+    2900.0, None, 3000.0, 3100.0,
+    2100.0, 2150.0, 2200.0, None,
+]
+_JS_PAYLOAD = json.dumps(
+    {
+        "id": ["geo", "time"],
+        "size": [len(_JS_GEO), len(_JS_TIME)],
+        "dimension": {"geo": _JS_GEO, "time": _JS_TIME},
+        "value": _JS_VALUES,
+    }
+)
+
+
+def q_jsonstat_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = decode_jsonstat_str(spark, _JS_PAYLOAD)
+    return decoded.select(
+        F.col("codes")["geo"].alias("geo_code"),
+        F.col("codes")["time"].alias("time_code"),
+        F.col("flat_index").cast("int").alias("flat_index"),
+        F.col("value"),
+    )
+
+
+def _js_sql_list(xs):
+    return "[" + ", ".join("NULL" if x is None else repr(x) for x in xs) + "]"
+
+
+ORACLE_JSONSTAT_DECODE = f"""
+WITH doc AS (
+  SELECT {_js_sql_list(_JS_GEO)} AS geo, {_js_sql_list(_JS_TIME)} AS time_,
+         {_js_sql_list(_JS_VALUES)} AS value
+),
+idx AS (SELECT unnest(range({len(_JS_VALUES)})) AS i)
+SELECT
+  doc.geo[CAST(i // {len(_JS_TIME)} AS INT) + 1] AS geo_code,
+  doc.time_[CAST(i % {len(_JS_TIME)} AS INT) + 1] AS time_code,
+  CAST(i AS INT) AS flat_index,
+  doc.value[CAST(i AS INT) + 1] AS value
+FROM doc, idx
+WHERE doc.value[CAST(i AS INT) + 1] IS NOT NULL
+"""
+
+
+QUERIES = [
+    QueryDef("incremental_upsert", q_incremental_upsert, ORACLE_INCREMENTAL_UPSERT, ("OP-SINK-INCR",)),
+    QueryDef("scd2_snapshot", q_scd2_snapshot, ORACLE_SCD2_SNAPSHOT, ("OP-SINK-SCD2",)),
+    QueryDef("registry_pipeline", q_registry_pipeline, ORACLE_REGISTRY_PIPELINE, ("OP-SINK-VIEW", "OP-SINK-TABLE")),
+    QueryDef("seed_eu_status", q_seed_eu_status, ORACLE_SEED_EU_STATUS, ("OP-SRC-SEED",)),
+    QueryDef("avail_agg", q_avail_agg, ORACLE_AVAIL_AGG, ("OP-AGG-AVAIL", "OP-AGG-ROWCOUNT")),
+    QueryDef("freshness_check", q_freshness_check, ORACLE_FRESHNESS_CHECK, ("OP-TEST-FRESH",)),
+    QueryDef("contract_check", q_contract_check, ORACLE_CONTRACT_CHECK, ("OP-TEST-CONTRACT",)),
+    QueryDef("notnull_violations", q_notnull_violations, ORACLE_NOTNULL_VIOLATIONS, ("OP-TEST-NOTNULL",)),
+    QueryDef("jsonstat_decode", q_jsonstat_decode, ORACLE_JSONSTAT_DECODE, ("OP-SRC-JSONSTAT",)),
+]

@@ -1,0 +1,91 @@
+"""JSON-stat decoder — OP-SRC-JSONSTAT.
+
+The reference decodes Eurostat JSON-stat responses with driver-side
+stride arithmetic over the flat ``value`` array
+(scripts/extract_eurostat.py:120-178: strides from the reversed ``size``
+array :150-155, per-value div/mod decode :157-175).
+
+Spark-native re-expression: the payload is parsed with ``from_json``
+(MapType/ArrayType — the one place semi-structured types appear in the
+reference surface, SURVEY §1.2), the value array is ``posexplode``d and
+each flat index is decoded to dimension codes with integer div/mod —
+all JVM-side expressions, no Python in the loop. At scale this runs one
+payload per row of an input DataFrame (e.g. one REST response per
+dataset partition), parallelizing decode across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# JSON-stat subset the reference consumes: dimension id order, sizes,
+# per-dimension category labels (index order), flat value array.
+JSONSTAT_SCHEMA = StructType(
+    [
+        StructField("id", ArrayType(StringType())),
+        StructField("size", ArrayType(IntegerType())),
+        StructField("dimension", MapType(StringType(), ArrayType(StringType()))),
+        StructField("value", ArrayType(DoubleType())),
+    ]
+)
+
+
+def decode_jsonstat(payloads: DataFrame, json_col: str = "payload") -> DataFrame:
+    """Decode a DataFrame of JSON-stat payload strings into flat rows
+    ``(dim_0_code, dim_1_code, ..., flat_index, value)`` — generic over
+    dimensionality because strides are computed from ``size`` per row.
+
+    Output: one row per non-null value cell, with a ``codes`` map
+    dimension-id → category code (the caller projects the dims it knows,
+    e.g. ``codes['geo']``), mirroring parse_eurostat_json's records.
+    """
+    doc = F.from_json(F.col(json_col), JSONSTAT_SCHEMA)
+    exploded = payloads.select(
+        doc.alias("doc"),
+        F.posexplode(doc["value"]).alias("flat_index", "value"),
+    ).filter(F.col("value").isNotNull())
+
+    # stride for dim i = product of sizes of dims AFTER i
+    # (extract_eurostat.py:150-155); code index = (flat // stride) % size.
+    n_dims = F.size(F.col("doc.id"))
+    codes = F.map_from_arrays(
+        F.col("doc.id"),
+        F.transform(
+            F.sequence(F.lit(0), n_dims - 1),
+            lambda i: F.element_at(
+                F.element_at(F.col("doc.dimension"), F.element_at(F.col("doc.id"), i + 1)),
+                (
+                    F.floor(
+                        F.col("flat_index")
+                        / F.aggregate(
+                            F.slice(F.col("doc.size"), i + 2, n_dims),
+                            F.lit(1).cast("long"),
+                            lambda acc, x: acc * x,
+                        )
+                    )
+                    % F.element_at(F.col("doc.size"), i + 1)
+                ).cast("int")
+                + 1,
+            ),
+        ),
+    )
+    return exploded.select(
+        codes.alias("codes"),
+        F.col("flat_index"),
+        F.col("value"),
+    )
+
+
+def decode_jsonstat_str(spark: SparkSession, payload: str) -> DataFrame:
+    """Single-payload convenience wrapper (tests / demo queries)."""
+    return decode_jsonstat(spark.createDataFrame([(payload,)], "payload string"))
