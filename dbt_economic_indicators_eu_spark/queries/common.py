@@ -100,10 +100,10 @@ class QueryDef:
 
 
 def all_queries() -> dict[str, QueryDef]:
-    from . import datapipe, engine, ml, relational
+    from . import datapipe, engine, ml, relational, simsearch
 
     out: dict[str, QueryDef] = {}
-    for mod in (relational, ml, datapipe, engine):
+    for mod in (relational, ml, datapipe, engine, simsearch):
         for q in mod.QUERIES:
             out[q.name] = q
     return out

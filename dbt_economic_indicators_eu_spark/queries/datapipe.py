@@ -156,8 +156,283 @@ FROM shingled
 """
 
 
+# --------------------------------------------------------------------------
+# q_dedup_minhash — EXT-DEDUP-MINHASH-LSH: banded MinHash near-dup
+# detection. 8 md5-derived min-hashes per doc → 4 bands of 2 → docs
+# sharing any band become candidate pairs (bucket join — NEVER
+# all-pairs) → exact 3-gram Jaccard verify (EXT-DEDUP-NGRAM-JACCARD)
+# keeps pairs ≥ 0.8. At 100 TB: the only shuffle is groupon
+# (band_idx, band_hash); buckets are tiny for non-dup corpora, and the
+# expensive exact Jaccard runs ONLY on candidates.
+# --------------------------------------------------------------------------
+
+_NUM_PERM = 8
+_BAND_ROWS = 2
+_NUM_BANDS = _NUM_PERM // _BAND_ROWS
+_JACCARD_THRESHOLD = 0.8
+
+
+def _minhash_exprs(shingles):
+    """k md5-permutation min-hashes (lexicographic min of salted md5 —
+    md5 is bit-identical across engines, making the oracle exact)."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s, i=i: F.md5(F.concat_ws("|", F.lit(str(i)), s)))
+        )
+        for i in range(_NUM_PERM)
+    ]
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingle_expr().alias("sg"))
+    mh = _minhash_exprs(F.col("sg"))
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws("|", mh[b * _BAND_ROWS], mh[b * _BAND_ROWS + 1]))
+            for b in range(_NUM_BANDS)
+        ]
+    )
+    banded = sh.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sg").alias("sg_a")), "doc_id_a")
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sg").alias("sg_b")), "doc_id_b")
+    )
+    jaccard = F.size(F.array_intersect("sg_a", "sg_b")).cast("double") / F.size(
+        F.array_union("sg_a", "sg_b")
+    )
+    return pairs.select("doc_id_a", "doc_id_b", jaccard.alias("jaccard")).filter(
+        F.col("jaccard") >= _JACCARD_THRESHOLD
+    )
+
+
+def _oracle_minhash_list(i: int) -> str:
+    return f"list_min([md5('{i}|' || s) for s in sg])"
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH shingled AS (SELECT doc_id, shingles AS sg FROM ({_ORACLE_SHINGLES})),
+banded_src AS (
+  SELECT doc_id, sg,
+         [{", ".join(f"md5({_oracle_minhash_list(b * _BAND_ROWS)} || '|' || {_oracle_minhash_list(b * _BAND_ROWS + 1)})" for b in range(_NUM_BANDS))}]
+           AS bands
+  FROM shingled
+),
+banded AS (
+  SELECT doc_id, i - 1 AS band_idx, bands[i] AS band_hash
+  FROM banded_src, (SELECT unnest(range(1, {_NUM_BANDS} + 1)) AS i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT
+  c.doc_id_a, c.doc_id_b,
+  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / len(list_distinct(sa.sg || sb.sg)) AS jaccard
+FROM cand c
+JOIN shingled sa ON sa.doc_id = c.doc_id_a
+JOIN shingled sb ON sb.doc_id = c.doc_id_b
+WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / len(list_distinct(sa.sg || sb.sg))
+      >= {_JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# q_simhash — EXT-DEDUP-SIMHASH: 16-bit SimHash per document. Shingle →
+# 32-bit hash (md5 hex prefix); fingerprint bit k = sign of Σ(±1) over
+# shingles. Explode + one groupBy(doc_id) — scales linearly, no UDFs.
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingle_expr().alias("sg"))
+    ex = sh.select("doc_id", F.explode("sg").alias("s")).withColumn(
+        "h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{k}")
+        for k in range(_SIMHASH_BITS)
+    ]
+    agg = ex.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for k in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return agg.select("doc_id", simhash.cast("int").alias("simhash16"))
+
+
+ORACLE_SIMHASH = f"""
+WITH shingled AS (SELECT doc_id, shingles AS sg FROM ({_ORACLE_SHINGLES})),
+ex AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h
+  FROM shingled, unnest(sg) AS t(s)
+),
+bits AS (
+  SELECT doc_id,
+         {", ".join(f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}" for k in range(_SIMHASH_BITS))}
+  FROM ex GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END" for k in range(_SIMHASH_BITS))} AS INTEGER) AS simhash16
+FROM bits
+"""
+
+
+# --------------------------------------------------------------------------
+# q_lang_id — EXT-TEXT-LANGID: n-gram/stopword heuristic language ID.
+# Stopword-hit counts per language over the token array (occurrences,
+# not distinct), argmax with deterministic tie-break. All JVM-side.
+# --------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+
+    def score(sw: list[str]):
+        arr = F.array(*[F.lit(w) for w in sw])
+        return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: score(sw) for lang, sw in _STOPWORDS.items()}
+    best = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]) & (scores["en"] > 0),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] > 0), "de")
+        .when(scores["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        scores["en"].alias("hits_en"),
+        scores["de"].alias("hits_de"),
+        scores["fr"].alias("hits_fr"),
+        best.alias("predicted_lang"),
+    )
+
+
+def _oracle_sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _STOPWORDS[lang]) + "]"
+
+
+ORACLE_LANG_ID = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tokens
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(tokens, t -> list_contains({_oracle_sw_list("en")}, t))) AS hits_en,
+         len(list_filter(tokens, t -> list_contains({_oracle_sw_list("de")}, t))) AS hits_de,
+         len(list_filter(tokens, t -> list_contains({_oracle_sw_list("fr")}, t))) AS hits_fr
+  FROM toks
+)
+SELECT doc_id, lang AS labeled_lang, hits_en, hits_de, hits_fr,
+       CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+            WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+            WHEN hits_fr > 0 THEN 'fr'
+            ELSE 'unknown' END AS predicted_lang
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# q_token_count — EXT-TEXT-TOKENS: whitespace tokens vs a BPE-ish
+# pre-tokenizer regex (letter runs / digit runs / punct runs — the
+# GPT-2-style split approximation), chars-per-token ratio.
+# --------------------------------------------------------------------------
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("n_ws_tokens"),
+        bpe_tokens.alias("n_bpe_tokens"),
+        F.when(bpe_tokens > 0, F.length("text").cast("double") / bpe_tokens).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
+ORACLE_TOKEN_COUNT = rf"""
+SELECT
+  doc_id,
+  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+  CASE WHEN len(regexp_extract_all(text, '{_BPE_RE}')) > 0
+       THEN CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '{_BPE_RE}'))
+  END AS chars_per_bpe_token
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q_media_features — EXT-MULTIMODAL: binary media column → Arrow-batched
+# mapInPandas feature extraction (operators/multimodal.py). The media
+# here is the utf-8 encoding of each document (a stand-in payload —
+# codec libs are stubbed), so DuckDB can verify the byte-level features
+# exactly: the *plumbing* (binary column, Arrow batches, schema) is the
+# operator under test.
+# --------------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_media_features
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return extract_media_features(docs)
+
+
+ORACLE_MEDIA_FEATURES = """
+SELECT
+  doc_id,
+  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+  md5(text) AS content_md5,
+  octet_length(encode(text)) = 0 AS is_empty
+FROM documents
+"""
+
+
 QUERIES = [
     QueryDef("text_stats", q_text_stats, ORACLE_TEXT_STATS, ("EXT-TEXT-QUALITY",)),
     QueryDef("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, ("EXT-DEDUP-EXACT",)),
     QueryDef("fingerprint", q_fingerprint, ORACLE_FINGERPRINT, ("EXT-TEXT-FINGERPRINT",)),
+    QueryDef("dedup_minhash", q_dedup_minhash, ORACLE_DEDUP_MINHASH, ("EXT-DEDUP-MINHASH-LSH", "EXT-DEDUP-NGRAM-JACCARD")),
+    QueryDef("simhash", q_simhash, ORACLE_SIMHASH, ("EXT-DEDUP-SIMHASH",)),
+    QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, ("EXT-TEXT-LANGID",)),
+    QueryDef("token_count", q_token_count, ORACLE_TOKEN_COUNT, ("EXT-TEXT-TOKENS",)),
+    QueryDef("media_features", q_media_features, ORACLE_MEDIA_FEATURES, ("EXT-MULTIMODAL",)),
 ]
