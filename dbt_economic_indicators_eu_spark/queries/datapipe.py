@@ -104,21 +104,32 @@ HAVING count(*) > 1
 # --------------------------------------------------------------------------
 
 
-def _shingle_expr(k: int = 3):
-    """Word k-shingles as an array<string> column, JVM-side only."""
-    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
-    return F.when(
-        F.size(words) >= k,
+def _with_shingles(docs, out: str = "shingles", k: int = 3):
+    """doc_id + word k-shingles as an array<string> column, JVM-side only.
+
+    Two-step projection on purpose: `_words` is materialized as its own
+    column first so the regexp+split runs ONCE per row. Inlining it into
+    every `element_at` inside the transform lambda defeats Catalyst's
+    common-subexpression elimination (lambdas are opaque to it) and made
+    this O(words^2) regex work per row — measured 22x slower at sf0.1.
+    Catalyst's CollapseProject will not re-inline a non-cheap alias that
+    is referenced more than once, so the staging survives optimization.
+    """
+    w = F.col("_words")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0)))
+    sh = F.when(
+        F.size(w) >= k,
         F.array_distinct(
             F.transform(
                 idx,
                 lambda i: F.concat_ws(
-                    " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+                    " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
                 ),
             )
         ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    return docs.select("doc_id", words.alias("_words")).select("doc_id", sh.alias(out))
 
 
 _ORACLE_SHINGLES = """
@@ -138,7 +149,7 @@ _ORACLE_SHINGLES = """
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    shingles = docs.select("doc_id", _shingle_expr().alias("shingles"))
+    shingles = _with_shingles(docs, "shingles")
     return shingles.select(
         "doc_id",
         F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(s))).alias("fingerprint"),
@@ -185,7 +196,7 @@ def _minhash_exprs(shingles):
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _shingle_expr().alias("sg"))
+    sh = _with_shingles(docs, "sg")
     mh = _minhash_exprs(F.col("sg"))
     bands = F.array(
         *[
@@ -260,7 +271,7 @@ _SIMHASH_BITS = 16
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _shingle_expr().alias("sg"))
+    sh = _with_shingles(docs, "sg")
     ex = sh.select("doc_id", F.explode("sg").alias("s")).withColumn(
         "h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
     )
