@@ -100,10 +100,10 @@ class QueryDef:
 
 
 def all_queries() -> dict[str, QueryDef]:
-    from . import datapipe, engine, ml, relational, simsearch
+    from . import datapipe, engine, ml, relational, simsearch, streamq
 
     out: dict[str, QueryDef] = {}
-    for mod in (relational, ml, datapipe, engine, simsearch):
+    for mod in (relational, ml, datapipe, engine, simsearch, streamq):
         for q in mod.QUERIES:
             out[q.name] = q
     return out

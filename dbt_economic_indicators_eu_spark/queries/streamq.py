@@ -1,0 +1,92 @@
+"""Structured Streaming demo queries — the streaming twin of the batch
+event pipeline (reference: the incremental model
+``models/marts/fct_economic_indicators.sql:3-8`` re-expressed as a
+stream; see ``streaming/pipeline.py`` for the design rationale).
+
+Each query runs the REAL streaming engine (readStream → stateful agg →
+memory sink, trigger=availableNow) and returns the drained result as a
+static DataFrame, so the DuckDB oracle can check it value-for-value:
+streaming correctness here is not "it ran", it is hash-equality with
+the batch-SQL answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import pipeline as streaming
+from .common import EVENTS_NORM_SQL, QueryDef
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming.events_stream(spark, sf_dir)
+    return streaming.run_available_now(
+        streaming.windowed_counts(ev), "stream_window_counts"
+    )
+
+
+# Tumbling 1-day windows are epoch-aligned → UTC midnight boundaries,
+# which date_trunc reproduces exactly.
+ORACLE_STREAM_WINDOW_COUNTS = f"""
+SELECT
+  date_trunc('day', ts) AS window_start,
+  date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+  event_type,
+  count(*) AS n_events,
+  round(sum(value), 2) AS total_value
+FROM {EVENTS_NORM_SQL} e
+GROUP BY 1, 2, 3
+"""
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming.events_stream(spark, sf_dir)
+    return streaming.run_available_now(streaming.sessionize(ev), "stream_sessionize")
+
+
+# session_window boundary semantics (pinned by
+# tests/test_streaming.py::test_session_gap_boundary): merge on
+# diff <= gap, split on diff > gap — the same lag-rule as the batch
+# sessionize oracle; session_end = last event ts + gap.
+ORACLE_STREAM_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT
+    user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM {EVENTS_NORM_SQL} e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT
+    user_id, ts, value,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT
+  user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events,
+  round(sum(value), 2) AS total_value
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
+QUERIES = [
+    QueryDef(
+        "stream_window_counts",
+        q_stream_window_counts,
+        ORACLE_STREAM_WINDOW_COUNTS,
+        ("EXT-STREAM-WINDOW",),
+    ),
+    QueryDef(
+        "stream_sessionize",
+        q_stream_sessionize,
+        ORACLE_STREAM_SESSIONIZE,
+        ("EXT-STREAM-SESSION",),
+    ),
+]

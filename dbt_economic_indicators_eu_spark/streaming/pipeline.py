@@ -1,0 +1,131 @@
+"""Structured Streaming variant of the event pipeline.
+
+The reference is batch-only (dbt+DuckDB), but its incremental model
+(``models/marts/fct_economic_indicators.sql:3-8`` — watermark filter +
+merge) is exactly the problem Structured Streaming solves natively:
+``readStream`` + event-time watermark replaces the hand-rolled
+high-watermark scan, and windowed/session aggregations maintain state
+across micro-batches instead of re-reading history.
+
+Design notes:
+
+- The *transformations* (`windowed_counts`, `sessionize`) accept batch
+  OR streaming DataFrames — the logical plan is identical, only the
+  source differs. That is the Spark-first shape of dbt's "model"
+  concept: one declarative plan, two execution modes.
+- ``run_available_now`` drains everything currently in the source
+  (one micro-batch for a single file) into an in-memory sink and
+  returns the result as a static DataFrame. The memory sink +
+  ``complete`` output mode is a test/demo harness ONLY: at 100 TB the
+  same plan writes ``append`` mode to parquet/Kafka with
+  ``checkpointLocation`` on durable storage, and the watermark bounds
+  state (sessions/windows older than the watermark are finalized,
+  emitted, and evicted — state size is O(open windows), not O(data)).
+- ``session_window`` (gap = 30 min) is the stateful-session operator;
+  its batch twin is the lag/cumsum sessionize in
+  ``queries/relational.py:q_sessionize``. Boundary semantics: an event
+  exactly ``gap`` after its predecessor MERGES into the session
+  (touching per-event windows ``[ts, ts+gap)`` coalesce), i.e. merge on
+  ``diff <= gap``, split strictly on ``diff > gap`` — identical to the
+  batch lag-rule, pinned by
+  ``tests/test_streaming.py::test_session_gap_boundary``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+SESSION_GAP = "30 minutes"
+DEFAULT_WATERMARK = "1 hour"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    The parquet stores TIMESTAMP(NANOS); the runtime conf reads it as a
+    long and we floor to microseconds — same normalization as the batch
+    ``queries/common.py:load``. The schema must be explicit (streaming
+    file sources don't infer), which also guarantees column pruning at
+    the scan.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window_dur: str = "1 day", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Tumbling event-time windows per event_type: count + sum(value).
+
+    Works on batch and streaming inputs alike; the watermark is attached
+    only when streaming (batch frames have no late-data concept).
+    """
+    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        df.groupBy(F.window("ts", window_dur).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = SESSION_GAP, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Gap-based sessions per user via the native session_window operator.
+
+    State stays inside Spark's streaming aggregation (no
+    applyInPandasWithState needed — the built-in operator expresses the
+    semantics exactly, and is JVM-side)."""
+    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain the stream (trigger=availableNow) into a memory sink and
+    return the result as a static DataFrame.
+
+    ``complete`` mode emits every window including still-open ones —
+    deterministic for a finite source. Production sinks use ``append``
+    (only watermark-finalized windows) to parquet/Kafka instead."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

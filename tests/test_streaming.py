@@ -1,0 +1,79 @@
+"""Structured Streaming pipeline tests (streaming/pipeline.py).
+
+Pins (a) session_window gap-boundary semantics the oracle SQL depends
+on, and (b) batch/stream plan equivalence: the same transformation fed
+from readStream must produce exactly the rows the batch path produces.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dbt_economic_indicators_eu_spark.streaming import pipeline as streaming
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_session_gap_boundary(spark):
+    # Events exactly gap (1800s) apart MERGE; gap + 1 microsecond splits.
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        (1, dt.datetime(2024, 1, 1, 0, 30, 0), 5.0),  # +1800s  -> merge
+        (1, dt.datetime(2024, 1, 1, 1, 0, 0, 1), 1.0),  # +1800.000001s -> split
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = streaming.sessionize(df).orderBy("session_start").collect()
+    assert [r.n_events for r in out] == [2, 1]
+    # session_end = last event ts + gap
+    assert out[0].session_end == dt.datetime(2024, 1, 1, 1, 0, 0)
+    assert out[1].session_start == dt.datetime(2024, 1, 1, 1, 0, 0, 1)
+
+
+def test_windowed_counts_epoch_aligned(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 23, 59, 59), "a", 1.0),
+        (2, dt.datetime(2024, 1, 2, 0, 0, 0), "a", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, event_type string, value double")
+    out = {r.window_start: r.n_events for r in streaming.windowed_counts(df).collect()}
+    assert out == {
+        dt.datetime(2024, 1, 1): 1,
+        dt.datetime(2024, 1, 2): 1,
+    }
+
+
+def test_stream_matches_batch(spark):
+    """readStream → stateful agg → memory sink == identical batch plan."""
+    ev_stream = streaming.events_stream(spark, SF_DIR)
+    got = streaming.run_available_now(
+        streaming.windowed_counts(ev_stream), "t_stream_eq_batch"
+    )
+
+    from dbt_economic_indicators_eu_spark.queries.common import load
+
+    ev_batch = load(spark, SF_DIR, "events")
+    want = streaming.windowed_counts(ev_batch)
+
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_stream_sessionize_matches_batch(spark):
+    ev_stream = streaming.events_stream(spark, SF_DIR)
+    got = streaming.run_available_now(
+        streaming.sessionize(ev_stream), "t_stream_sess_eq_batch"
+    )
+
+    from dbt_economic_indicators_eu_spark.queries.common import load
+
+    ev_batch = load(spark, SF_DIR, "events")
+    want = streaming.sessionize(ev_batch)
+
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # sessions are no finer than events, no coarser than users
+    n_users = ev_batch.select("user_id").distinct().count()
+    assert n_users <= got.count() <= ev_batch.count()
