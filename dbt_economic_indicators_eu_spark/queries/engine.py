@@ -449,6 +449,72 @@ WHERE doc.value[CAST(i AS INT) + 1] IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# q_rest_ingest — OP-SRC-REST + OP-SINK-RAWLOAD (extract_eurostat.py:79-117
+# fetch, :181-226,319-353 load): end-to-end ingest with an injected
+# fixture transport (no network): fetch 2 datasets -> Spark-side JSON-stat
+# decode -> full-refresh load of the first, append of the second ->
+# read-back. The oracle replays the stride decode over the same fixtures.
+# --------------------------------------------------------------------------
+
+_JS2_GEO = ["ES", "PL"]
+_JS2_VALUES = [13.0, 14.1, None, 12.2, 3.4, 3.0, 5.6, None]
+_JS2_PAYLOAD = json.dumps(
+    {
+        "id": ["geo", "time"],
+        "size": [len(_JS2_GEO), len(_JS_TIME)],
+        "dimension": {"geo": _JS2_GEO, "time": _JS_TIME},
+        "value": _JS2_VALUES,
+    }
+)
+_REST_FIXTURES = {"nama_10_gdp": _JS_PAYLOAD, "une_rt_m": _JS2_PAYLOAD}
+
+
+def q_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.jsonstat import decode_jsonstat
+    from ..sources.rest import fetch_datasets, load_raw
+
+    def fixture_transport(url: str, params) -> str:
+        code = url.rsplit("?", 1)[0].rsplit("/", 1)[-1]
+        return _REST_FIXTURES[code]
+
+    def extract(code: str) -> DataFrame:
+        payloads = fetch_datasets(
+            spark, [code], params={"format": "JSON", "geo": ["DE", "FR"]},
+            fetch_fn=fixture_transport,
+        )
+        decoded = decode_jsonstat(payloads.select("dataset_code", "payload"))
+        # decode_jsonstat preserves no extra cols; re-attach via literal
+        # (one dataset per extract call, as the reference's per-dataset loop)
+        return decoded.select(
+            F.lit(code).alias("dataset_code"),
+            F.col("codes")["geo"].alias("geo_code"),
+            F.col("codes")["time"].alias("time_code"),
+            F.col("value"),
+        )
+
+    raw_path = tempfile.mkdtemp(prefix="rest_raw_") + "/raw_eurostat"
+    load_raw(extract("nama_10_gdp"), raw_path, full_refresh=True)
+    return load_raw(extract("une_rt_m"), raw_path)  # append + read-back
+
+
+def _rest_expected_rows():
+    for code, geo_list, values in (
+        ("nama_10_gdp", _JS_GEO, _JS_VALUES),
+        ("une_rt_m", _JS2_GEO, _JS2_VALUES),
+    ):
+        for flat, v in enumerate(values):
+            if v is not None:
+                yield code, geo_list[flat // len(_JS_TIME)], _JS_TIME[flat % len(_JS_TIME)], v
+
+
+ORACLE_REST_INGEST = "SELECT * FROM (VALUES\n" + ",\n".join(
+    f"  ('{c}', '{g}', '{t}', {v})" for c, g, t, v in _rest_expected_rows()
+) + "\n) AS t(dataset_code, geo_code, time_code, value)"
+
+
 QUERIES = [
     QueryDef("incremental_upsert", q_incremental_upsert, ORACLE_INCREMENTAL_UPSERT, ("OP-SINK-INCR",)),
     QueryDef("scd2_snapshot", q_scd2_snapshot, ORACLE_SCD2_SNAPSHOT, ("OP-SINK-SCD2",)),
@@ -459,4 +525,5 @@ QUERIES = [
     QueryDef("contract_check", q_contract_check, ORACLE_CONTRACT_CHECK, ("OP-TEST-CONTRACT",)),
     QueryDef("notnull_violations", q_notnull_violations, ORACLE_NOTNULL_VIOLATIONS, ("OP-TEST-NOTNULL",)),
     QueryDef("jsonstat_decode", q_jsonstat_decode, ORACLE_JSONSTAT_DECODE, ("OP-SRC-JSONSTAT",)),
+    QueryDef("rest_ingest", q_rest_ingest, ORACLE_REST_INGEST, ("OP-SRC-REST", "OP-SINK-RAWLOAD")),
 ]
