@@ -104,6 +104,25 @@ HAVING count(*) > 1
 # --------------------------------------------------------------------------
 
 
+_INFER_GEN_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def _exclude_infer_filters_from_generate(spark) -> None:
+    """Disable InferFiltersFromGenerate (merged into any pre-set
+    excludedRules). The rule infers ``size(arr) > 0`` from an explode
+    and predicate-pushdown re-inlines the WHOLE generator expression
+    into a Filter at the scan — for the shingle array that resurrects
+    the O(words^2) regex pathology (measured 17s -> 1.5s at sf0.1 for
+    simhash with the rule off). Our generators always produce >= 1
+    element, so the inferred filter is vacuous anyway."""
+    cur = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    rules = [r for r in (cur.split(",") if cur else []) if r]
+    if _INFER_GEN_RULE not in rules:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules", ",".join(rules + [_INFER_GEN_RULE])
+        )
+
+
 def _with_shingles(docs, out: str = "shingles", k: int = 3):
     """doc_id + word k-shingles as an array<string> column, JVM-side only.
 
@@ -115,6 +134,7 @@ def _with_shingles(docs, out: str = "shingles", k: int = 3):
     Catalyst's CollapseProject will not re-inline a non-cheap alias that
     is referenced more than once, so the staging survives optimization.
     """
+    _exclude_infer_filters_from_generate(docs.sparkSession)
     w = F.col("_words")
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0)))
     sh = F.when(
@@ -183,28 +203,50 @@ _NUM_BANDS = _NUM_PERM // _BAND_ROWS
 _JACCARD_THRESHOLD = 0.8
 
 
-def _minhash_exprs(shingles):
-    """k md5-permutation min-hashes (lexicographic min of salted md5 —
-    md5 is bit-identical across engines, making the oracle exact)."""
-    return [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.md5(F.concat_ws("|", F.lit(str(i)), s)))
-        )
-        for i in range(_NUM_PERM)
-    ]
+# Universal-hash permutation family over a single 32-bit base hash:
+# perm_i(h) = (a_i*h + b_i) mod p with p prime > 2^32. ONE md5 per
+# shingle (vs one per permutation) — 8x less hashing; a_i < 2^31 and
+# h < 2^32 keep a*h + b strictly under 2^63, so the modular arithmetic
+# is exact 64-bit in both engines — the oracle stays bit-identical.
+_MH_PRIME = 4294967311
+_MH_A = (1327217885, 2147483587, 1073741827, 668265263, 374761393, 1431655765, 987654323, 1181783497)
+_MH_B = (1, 7, 13, 31, 61, 127, 251, 509)
+
+
+def _minhash_exprs(hv):
+    """k universal-hash min-hashes over the base-hash array column.
+
+    One-arg lambdas built by a factory — a two-arg lambda (``h, i=i``)
+    would be handed (element, index) by ``F.transform`` and clobber the
+    captured permutation index."""
+
+    def perm(i):
+        return lambda h: (F.lit(_MH_A[i]) * h + F.lit(_MH_B[i])) % F.lit(_MH_PRIME)
+
+    return [F.array_min(F.transform(hv, perm(i))) for i in range(_NUM_PERM)]
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = _with_shingles(docs, "sg")
-    mh = _minhash_exprs(F.col("sg"))
+    # hv staged as its own aliased column (multi-referenced, non-cheap →
+    # CollapseProject keeps it; md5 runs once per shingle).
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            "sg", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        ).alias("hv"),
+    )
+    mh = _minhash_exprs(F.col("hv"))
+    # Band key = plain signature concat — bucketing needs equality, not
+    # another hash.
     bands = F.array(
         *[
-            F.md5(F.concat_ws("|", mh[b * _BAND_ROWS], mh[b * _BAND_ROWS + 1]))
+            F.concat_ws("|", mh[b * _BAND_ROWS].cast("string"), mh[b * _BAND_ROWS + 1].cast("string"))
             for b in range(_NUM_BANDS)
         ]
     )
-    banded = sh.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    banded = hashed.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
     cand = (
         banded.alias("a")
         .join(
@@ -216,6 +258,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
+    # Broadcast the candidate list into the verify joins: candidates are
+    # a tiny fraction of the corpus (LSH buckets are near-singleton for
+    # non-dup data), so this keeps the heavy shingle table un-shuffled —
+    # the correct shape at 100 TB, not just a small-scale win.
+    cand = F.broadcast(cand)
     pairs = (
         cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sg").alias("sg_a")), "doc_id_a")
         .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sg").alias("sg_b")), "doc_id_b")
@@ -229,16 +276,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_minhash_list(i: int) -> str:
-    return f"list_min([md5('{i}|' || s) for s in sg])"
+    return f"list_min([({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_PRIME} for h in hv])"
+
+
+def _oracle_band(b: int) -> str:
+    lo = _oracle_minhash_list(b * _BAND_ROWS)
+    hi = _oracle_minhash_list(b * _BAND_ROWS + 1)
+    return f"CAST({lo} AS VARCHAR) || '|' || CAST({hi} AS VARCHAR)"
 
 
 ORACLE_DEDUP_MINHASH = f"""
 WITH shingled AS (SELECT doc_id, shingles AS sg FROM ({_ORACLE_SHINGLES})),
+hashed AS (
+  SELECT doc_id, sg,
+         [CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) for s in sg] AS hv
+  FROM shingled
+),
 banded_src AS (
   SELECT doc_id, sg,
-         [{", ".join(f"md5({_oracle_minhash_list(b * _BAND_ROWS)} || '|' || {_oracle_minhash_list(b * _BAND_ROWS + 1)})" for b in range(_NUM_BANDS))}]
+         [{", ".join(_oracle_band(b) for b in range(_NUM_BANDS))}]
            AS bands
-  FROM shingled
+  FROM hashed
 ),
 banded AS (
   SELECT doc_id, i - 1 AS band_idx, bands[i] AS band_hash
