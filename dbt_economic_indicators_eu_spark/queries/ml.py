@@ -35,15 +35,30 @@ from .common import QueryDef, load, r2, r4, r6
 
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
 
-    mean = F.avg("value").over(w)
-    std = F.stddev_samp("value").over(w)
-    n_obs = F.count(F.lit(1)).over(w)
-    # exact percentiles to match pandas .quantile / DuckDB quantile_cont
-    q1 = F.expr("percentile(value, 0.25)").over(w)
-    q3 = F.expr("percentile(value, 0.75)").over(w)
+    # Per-user stats as a groupBy-agg (map-side partial aggregation, tiny
+    # shuffle) joined back on user_id — NOT window functions: an exact
+    # percentile window buffers and sorts every partition's full value
+    # array per row group. The join reuses the lag-window's
+    # hashpartitioning(user_id), so the fact side shuffles exactly once,
+    # and AQE broadcasts the stats side when it is small. Exact
+    # percentile (matches pandas .quantile / DuckDB quantile_cont) is
+    # still required for oracle parity.
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("_mean"),
+        F.stddev_samp("value").alias("_std"),
+        F.count(F.lit(1)).alias("_n_obs"),
+        F.expr("percentile(value, 0.25)").alias("_q1"),
+        F.expr("percentile(value, 0.75)").alias("_q3"),
+    )
+    ev = ev.withColumn("_prev", F.lag("value").over(w_ord)).join(stats, "user_id")
+
+    mean = F.col("_mean")
+    std = F.col("_std")
+    n_obs = F.col("_n_obs")
+    q1 = F.col("_q1")
+    q3 = F.col("_q3")
     iqr = q3 - q1
     lo = q1 - 1.5 * iqr
     hi = q3 + 1.5 * iqr
@@ -51,7 +66,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z_raw = F.when((std.isNotNull()) & (std != 0), (F.col("value") - mean) / std).otherwise(
         F.lit(0.0)
     )
-    prev = F.lag("value").over(w_ord)
+    prev = F.col("_prev")
     # raw: computed from identical inputs in both engines → bit-identical
     pct_change = F.when(prev.isNotNull() & (prev != 0), (F.col("value") - prev) / prev)
 

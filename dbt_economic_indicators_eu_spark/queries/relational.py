@@ -405,15 +405,22 @@ FROM annual
 def q_latest_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
-    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return (
-        cust.join(F.broadcast(nation.select("n_nationkey", "n_name")), cust.c_nationkey == nation.n_nationkey)
-        .select(
-            F.col("n_name").alias("nation_name"),
-            F.first_value(F.col("c_name")).over(w).alias("top_customer_name"),
-            F.first_value(F.col("c_acctbal")).over(w).alias("top_customer_balance"),
-        )
-        .distinct()
+    # Single-shuffle max_by aggregation, not first_value-window+distinct:
+    # the window form sorts the full table and then dedups (two wide
+    # stages); max_by folds to one partial-aggregated groupBy, and the
+    # dim join runs on the 25-row aggregate instead of the full table.
+    # Tie-break (acctbal desc, custkey asc) = max of (acctbal, -custkey).
+    agg = cust.groupBy("c_nationkey").agg(
+        F.expr("max_by(c_name, struct(c_acctbal, -c_custkey))").alias("top_customer_name"),
+        F.max("c_acctbal").alias("top_customer_balance"),
+    )
+    return agg.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        agg.c_nationkey == nation.n_nationkey,
+    ).select(
+        F.col("n_name").alias("nation_name"),
+        "top_customer_name",
+        "top_customer_balance",
     )
 
 
