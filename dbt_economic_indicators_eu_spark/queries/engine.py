@@ -515,6 +515,69 @@ ORACLE_REST_INGEST = "SELECT * FROM (VALUES\n" + ",\n".join(
 ) + "\n) AS t(dataset_code, geo_code, time_code, value)"
 
 
+# --------------------------------------------------------------------------
+# q_unit_test_mock — OP-TEST-UNIT (_intermediate__unit_tests.yml:8-34): the
+# reference's gdp-per-capita unit test run THROUGH the registry with
+# mock-ref injection; the query returns the model's output over the mock
+# inputs so the oracle pins the expected rows (incl. zero-population →
+# null, not error).
+# --------------------------------------------------------------------------
+
+
+def q_unit_test_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..models.econ import build_registry
+    from ..testing.unit import mock_df
+
+    registry = build_registry()
+    gdp_schema = "country_code string, reference_year int, gdp_million_eur double, _extracted_at string"
+    pop_schema = "country_code string, reference_year int, population_count double"
+    unemp_schema = (
+        "country_code string, country_name string, reference_year int, reference_month int, "
+        "reference_date date, unemployment_rate_pct double"
+    )
+    infl_schema = (
+        "country_code string, reference_year int, reference_date date, inflation_rate_mom_pct double"
+    )
+    given = {
+        "stg_eurostat__gdp": mock_df(
+            spark,
+            [
+                {"country_code": "DE", "reference_year": 2023, "gdp_million_eur": 4000000.0, "_extracted_at": "x"},
+                {"country_code": "MT", "reference_year": 2023, "gdp_million_eur": 18000.0, "_extracted_at": "x"},
+                {"country_code": "XX", "reference_year": 2023, "gdp_million_eur": 1000.0, "_extracted_at": "x"},
+            ],
+            gdp_schema,
+        ),
+        "stg_eurostat__population": mock_df(
+            spark,
+            [
+                {"country_code": "DE", "reference_year": 2023, "population_count": 84000000.0},
+                {"country_code": "MT", "reference_year": 2023, "population_count": 520000.0},
+                {"country_code": "XX", "reference_year": 2023, "population_count": 0.0},
+            ],
+            pop_schema,
+        ),
+        "stg_eurostat__unemployment": mock_df(spark, [], unemp_schema),
+        "stg_eurostat__inflation": mock_df(spark, [], infl_schema),
+    }
+    ctx = registry.context(spark, mocks=given)
+    out = ctx.ref("int_country_annual_metrics")
+    return out.select(
+        "country_code",
+        "reference_year",
+        F.round("gdp_per_capita_eur", 6).alias("gdp_per_capita_eur"),
+    )
+
+
+ORACLE_UNIT_TEST_MOCK = """
+SELECT * FROM (VALUES
+  ('DE', 2023, 47619.047619),
+  ('MT', 2023, 34615.384615),
+  ('XX', 2023, CAST(NULL AS DOUBLE))
+) AS t(country_code, reference_year, gdp_per_capita_eur)
+"""
+
+
 QUERIES = [
     QueryDef("incremental_upsert", q_incremental_upsert, ORACLE_INCREMENTAL_UPSERT, ("OP-SINK-INCR",)),
     QueryDef("scd2_snapshot", q_scd2_snapshot, ORACLE_SCD2_SNAPSHOT, ("OP-SINK-SCD2",)),
@@ -526,4 +589,5 @@ QUERIES = [
     QueryDef("notnull_violations", q_notnull_violations, ORACLE_NOTNULL_VIOLATIONS, ("OP-TEST-NOTNULL",)),
     QueryDef("jsonstat_decode", q_jsonstat_decode, ORACLE_JSONSTAT_DECODE, ("OP-SRC-JSONSTAT",)),
     QueryDef("rest_ingest", q_rest_ingest, ORACLE_REST_INGEST, ("OP-SRC-REST", "OP-SINK-RAWLOAD")),
+    QueryDef("unit_test_mock", q_unit_test_mock, ORACLE_UNIT_TEST_MOCK, ("OP-TEST-UNIT",)),
 ]

@@ -334,6 +334,11 @@ def q_forecast_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.lit(6))).alias("horizon_step"),
         F.col("last_t"),
     )
+    # forecast_month: last obs date offset by the horizon, snapped to
+    # day 1 — add_months + trunc('MM'), the reference's
+    # `last_date + DateOffset(months=i+1)` (py_unemployment_forecast.py:
+    # 152-155, OP-FN-DATEOFFSET).
+    last_date = F.date_add(F.to_date(F.lit("1970-01-01")), F.col("last_t"))
     return horizon.select(
         "user_id",
         "n_obs",
@@ -341,6 +346,7 @@ def q_forecast_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "intercept",
         "horizon_step",
         (F.col("last_t") + F.col("horizon_step")).alias("t_index"),
+        F.add_months(F.trunc(last_date, "MM"), F.col("horizon_step")).alias("forecast_month"),
         (F.col("intercept") + F.col("slope") * (F.col("last_t") + F.col("horizon_step"))).alias(
             "forecast_value"
         ),
@@ -366,6 +372,8 @@ SELECT
   intercept,
   h.horizon_step,
   last_t + h.horizon_step AS t_index,
+  CAST(date_trunc('month', DATE '1970-01-01' + last_t)
+       + to_months(CAST(h.horizon_step AS INT)) AS DATE) AS forecast_month,
   intercept + slope * (last_t + h.horizon_step) AS forecast_value
 FROM fitted, (SELECT unnest(range(1, 7)) AS horizon_step) h
 WHERE n_obs >= 6
@@ -431,8 +439,11 @@ def _fit_forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
     sx, sy = sum(xs), float(y.sum())
     sxy = sum(i * float(v) for i, v in zip(xs, y))
     sxx = sum(i * i for i in xs)
+    # degenerate fit (constant t) → NaN forecast, excluded by the
+    # null-safe ensemble mean below (np.nanmean semantics,
+    # py_unemployment_forecast.py:161-166 — OP-FN-NANMEAN)
     denom = n * sxx - sx * sx
-    slope = (n * sxy - sx * sy) / denom if denom else 0.0
+    slope = (n * sxy - sx * sy) / denom if denom else float("nan")
     intercept = (sy - slope * sx) / n
 
     # 95% PI from std of first differences
@@ -450,7 +461,8 @@ def _fit_forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
         f_es = es_fc
         f_holt = l_t + h * b_t
         f_ols = intercept + slope * (n - 1 + h)
-        ens = (f_es + f_holt + f_ols) / 3.0
+        parts = [f for f in (f_es, f_holt, f_ols) if not math.isnan(f)]
+        ens = sum(parts) / len(parts)  # np.nanmean of the 3 methods
         rows.append(
             {
                 "user_id": user_id,
@@ -477,14 +489,14 @@ QUERIES = [
         "anomaly_zscore",
         q_anomaly_zscore,
         ORACLE_ANOMALY_ZSCORE,
-        ("OP-ML-ANOM", "OP-AGG-ZSCORE", "OP-AGG-IQR", "OP-FN-PCTCHANGE", "OP-FN-CLIP", "OP-FN-BOOLOR"),
+        ("OP-ML-ANOM", "OP-AGG-ZSCORE", "OP-AGG-IQR", "OP-FN-PCTCHANGE", "OP-FN-CLIP", "OP-FN-BOOLOR", "OP-FIL-NEQ", "OP-FN-FILLNA"),
     ),
     QueryDef(
         "quality_scorecard",
         q_quality_scorecard,
         ORACLE_QUALITY_SCORECARD,
-        ("OP-ML-QUALITY", "OP-AGG-QUALITY", "OP-FN-GRADE", "OP-FN-DAYSSINCE"),
+        ("OP-ML-QUALITY", "OP-AGG-QUALITY", "OP-FN-GRADE", "OP-FN-DAYSSINCE", "OP-FN-NOW"),
     ),
-    QueryDef("forecast_ols", q_forecast_ols, ORACLE_FORECAST_OLS, ("OP-ML-FCAST",)),
-    QueryDef("forecast_ensemble", q_forecast_ensemble, None, ("OP-ML-FCAST",)),
+    QueryDef("forecast_ols", q_forecast_ols, ORACLE_FORECAST_OLS, ("OP-ML-FCAST", "OP-FN-DATEOFFSET")),
+    QueryDef("forecast_ensemble", q_forecast_ensemble, None, ("OP-ML-FCAST", "OP-FN-NANMEAN")),
 ]

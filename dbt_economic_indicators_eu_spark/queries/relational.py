@@ -781,18 +781,18 @@ QUERIES = [
         "staging_projection",
         q_staging_projection,
         ORACLE_STAGING_PROJECTION,
-        ("OP-SRC-TABLE", "OP-PROJ-RENAME", "OP-PROJ-CAST", "OP-FIL-NOTNULL", "OP-FIL-LEN", "OP-FN-SURRKEY", "OP-FN-MAKEDATE", "OP-FN-SUBSTR"),
+        ("OP-SRC-TABLE", "OP-PROJ-RENAME", "OP-PROJ-CAST", "OP-FIL-NOTNULL", "OP-FIL-LEN", "OP-FN-SURRKEY", "OP-FN-MAKEDATE", "OP-FN-SUBSTR", "OP-FN-LENGTH"),
     ),
     QueryDef("annual_agg", q_annual_agg, ORACLE_ANNUAL_AGG, ("OP-AGG-ANNUAL-U", "OP-AGG-ANNUAL-I")),
     QueryDef("left_join_enrich", q_left_join_enrich, ORACLE_LEFT_JOIN_ENRICH, ("OP-JOIN-LEFT2", "OP-JOIN-SPINE")),
     QueryDef("region_share", q_region_share, ORACLE_REGION_SHARE, ("OP-JOIN-DIM", "OP-JOIN-YEARAGG", "OP-AGG-EU")),
-    QueryDef("monthly_lag", q_monthly_lag, ORACLE_MONTHLY_LAG, ("OP-WIN-LAG1", "OP-WIN-LAG12", "OP-WIN-YOY%", "OP-WIN-DIFF")),
+    QueryDef("monthly_lag", q_monthly_lag, ORACLE_MONTHLY_LAG, ("OP-WIN-LAG1", "OP-WIN-LAG12", "OP-WIN-YOY%", "OP-WIN-DIFF", "OP-FN-ARITH")),
     QueryDef("rolling_avg", q_rolling_avg, ORACLE_ROLLING_AVG, ("OP-WIN-ROLL12",)),
     QueryDef("rank_in_year", q_rank_in_year, ORACLE_RANK_IN_YEAR, ("OP-WIN-RANK",)),
     QueryDef("latest_per_entity", q_latest_per_entity, ORACLE_LATEST_PER_ENTITY, ("OP-WIN-FIRST", "OP-AGG-DISTINCT")),
     QueryDef("case_bands", q_case_bands, ORACLE_CASE_BANDS, ("OP-EXPR-CASE", "OP-FN-COALESCE", "OP-FN-ABS")),
     QueryDef("distinct_spine", q_distinct_spine, ORACLE_DISTINCT_SPINE, ("OP-AGG-DISTINCT",)),
-    QueryDef("union_append", q_union_append, ORACLE_UNION_APPEND, ("OP-SET-UNION",)),
+    QueryDef("union_append", q_union_append, ORACLE_UNION_APPEND, ("OP-SET-UNION", "OP-FN-LITMETA")),
     QueryDef("test_unique", q_test_unique, ORACLE_TEST_UNIQUE, ("OP-TEST-UNIQUE",)),
     QueryDef("test_relationships", q_test_relationships, ORACLE_TEST_RELATIONSHIPS, ("OP-TEST-REL",)),
     QueryDef("test_range_nofuture", q_test_range_nofuture, ORACLE_TEST_RANGE_NOFUTURE, ("OP-TEST-RANGE", "OP-TEST-NOFUTURE")),
