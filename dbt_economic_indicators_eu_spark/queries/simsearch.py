@@ -206,8 +206,108 @@ WHERE rnk <= {_TOP_K_LSH}
 """
 
 
+# --------------------------------------------------------------------------
+# q_dedup_embedding — EXT-DEDUP-EMBEDDING: embedding-cosine near-dup
+# pairs via MULTI-TABLE LSH. One 6-plane table keeps only ~9% of
+# cos≈0.5 pairs in the same bucket; L=4 independent tables of 3 planes
+# each lift recall to ~1-(1-(2/3)^3)^4 ≈ 75% while the candidate join
+# still shuffles on (table, bucket) only — never all-pairs. Candidates
+# are exact-verified (cosine >= threshold), so precision is 1.0; the
+# threshold is calibrated to the synthetic corpus (random vectors:
+# max pair cosine ≈ 0.51 at sf0.01).
+# --------------------------------------------------------------------------
+
+_DEDUP_TABLES = 4
+_DEDUP_PLANES_PER_TABLE = 3
+_DEDUP_COS_THRESHOLD = 0.5
+# fresh planes (offset 100) — independent of the knn_lsh table
+_DEDUP_PLANES = [
+    [_hyperplane(100 + t * _DEDUP_PLANES_PER_TABLE + i) for i in range(_DEDUP_PLANES_PER_TABLE)]
+    for t in range(_DEDUP_TABLES)
+]
+
+
+def _dedup_bucket_expr(v: Column, t: int) -> Column:
+    out = None
+    for j, plane in enumerate(_DEDUP_PLANES[t]):
+        bit = F.when(_dot(v, _lit_array(plane)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("int")
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    buckets = F.array(*[_dedup_bucket_expr(F.col("v"), t) for t in range(_DEDUP_TABLES)])
+    banded = emb.select("vec_id", F.posexplode(buckets).alias("table_idx", "bucket"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    # candidates are rare → broadcast into the verify joins (same shape
+    # as dedup_minhash: the vector table is never shuffled)
+    cand = F.broadcast(cand)
+    pairs = cand.join(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
+        "id_a",
+    ).join(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
+        "id_b",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= _DEDUP_COS_THRESHOLD)
+        .select("id_a", "id_b", r6(F.col("cos")).alias("cosine"))
+    )
+
+
+def _oracle_dedup_bucket_sql(vcol: str, t: int) -> str:
+    terms = [
+        f"CASE WHEN list_dot_product({vcol}, {_sql_array(p)}) > 0 THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(_DEDUP_PLANES[t])
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+src AS (
+  SELECT vec_id,
+         [{", ".join(_oracle_dedup_bucket_sql("v", t) for t in range(_DEDUP_TABLES))}] AS buckets
+  FROM n
+),
+banded AS (
+  SELECT vec_id, i - 1 AS table_idx, buckets[i] AS bucket
+  FROM src, (SELECT unnest(range(1, {_DEDUP_TABLES} + 1)) AS i)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine
+FROM cand c
+JOIN n na ON na.vec_id = c.id_a
+JOIN n nb ON nb.vec_id = c.id_b
+WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= {_DEDUP_COS_THRESHOLD}
+"""
+
+
 QUERIES = [
     QueryDef("knn_brute", q_knn_brute, ORACLE_KNN_BRUTE, ("EXT-ANN-BRUTE",)),
     QueryDef("lsh_buckets", q_lsh_buckets, ORACLE_LSH_BUCKETS, ("EXT-ANN-LSH",)),
     QueryDef("knn_lsh", q_knn_lsh, ORACLE_KNN_LSH, ("EXT-ANN-LSH",)),
+    QueryDef("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING, ("EXT-DEDUP-EMBEDDING",)),
 ]
