@@ -776,6 +776,47 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q_salted_agg — EXT-SKEW-SALT: two-phase salted aggregation for skewed
+# group keys. events has ~5 event_types over the whole table — at 100 TB
+# a plain groupBy(event_type) funnels everything through 5 reducers.
+# Phase 1 groups on (event_type, salt=event_id mod 16) → 16-way fan-out
+# of each hot key with map-side partial aggregation; phase 2 combines
+# the tiny per-salt partials. Float discipline: partial sums stay raw,
+# only the final total is rounded (true sum of 2-dec data terminates at
+# 2 → r2 is order-safe; see common.py).
+# --------------------------------------------------------------------------
+
+_SALT_BUCKETS = 16
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        "event_type", F.pmod(F.col("event_id"), F.lit(_SALT_BUCKETS)).alias("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pv"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        r2(F.sum("pv")).alias("total_value"),
+        F.max("pmax").alias("max_value"),
+    )
+
+
+ORACLE_SALTED_AGG = """
+SELECT
+  event_type,
+  count(*) AS n_events,
+  round(sum(value), 2) AS total_value,
+  max(value) AS max_value
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QueryDef(
         "staging_projection",
@@ -800,4 +841,5 @@ QUERIES = [
     QueryDef("completeness", q_completeness, ORACLE_COMPLETENESS, ("OP-AGG-COUNTNULL", "OP-TEST-COMPLETE")),
     QueryDef("watermark_filter", q_watermark_filter, ORACLE_WATERMARK_FILTER, ("OP-FIL-WATERMARK",)),
     QueryDef("sessionize", q_sessionize, ORACLE_SESSIONIZE, ("EXT-SESSIONIZE",)),
+    QueryDef("salted_agg", q_salted_agg, ORACLE_SALTED_AGG, ("EXT-SKEW-SALT", "OP-AGG-SUMGROUP")),
 ]
