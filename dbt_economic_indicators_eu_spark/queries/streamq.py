@@ -76,12 +76,38 @@ GROUP BY user_id, session_idx
 """
 
 
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming.events_stream(spark, sf_dir)
+    return streaming.run_available_now(
+        streaming.stateful_user_totals(ev), "stream_stateful_totals", output_mode="update"
+    )
+
+
+# applyInPandasWithState folds batches into per-user state; with one
+# drain batch the emitted update rows equal the batch-SQL aggregation.
+ORACLE_STREAM_STATEFUL_TOTALS = f"""
+SELECT
+  user_id,
+  count(*) AS n_events,
+  count(value) AS n_values,
+  round(sum(value), 2) AS total_value
+FROM {EVENTS_NORM_SQL} e
+GROUP BY user_id
+"""
+
+
 QUERIES = [
     QueryDef(
         "stream_window_counts",
         q_stream_window_counts,
         ORACLE_STREAM_WINDOW_COUNTS,
         ("EXT-STREAM-WINDOW",),
+    ),
+    QueryDef(
+        "stream_stateful_totals",
+        q_stream_stateful_totals,
+        ORACLE_STREAM_STATEFUL_TOTALS,
+        ("EXT-STREAM-STATEFUL",),
     ),
     QueryDef(
         "stream_sessionize",

@@ -113,17 +113,60 @@ def sessionize(
     )
 
 
-def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for stream logic the built-in aggregations can't
+    express (here deliberately simple — per-user running totals — so a
+    batch oracle can verify the state machinery exactly).
+
+    State = (rows seen, non-null values seen, running sum); each
+    micro-batch folds its Arrow batches into the state and emits the
+    updated per-user row. At scale, state lives in the state store
+    (RocksDB), partitioned by the group key — memory is O(users), not
+    O(events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, n_values bigint, total_value double"
+    state_schema = "n bigint, n_val bigint, total double"
+
+    def fold(key, pdfs, state: GroupState):
+        n, n_val, total = state.get if state.exists else (0, 0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            vals = pdf["value"].dropna()
+            n_val += len(vals)
+            total += float(vals.sum())
+        state.update((n, n_val, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_values": [n_val],
+                # round only at emit (2-dec data → r2 is order-safe);
+                # all-null users emit null, matching SQL sum semantics
+                "total_value": [round(total, 2) if n_val else None],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drain the stream (trigger=availableNow) into a memory sink and
     return the result as a static DataFrame.
 
     ``complete`` mode emits every window including still-open ones —
-    deterministic for a finite source. Production sinks use ``append``
-    (only watermark-finalized windows) to parquet/Kafka instead."""
+    deterministic for a finite source (stateful update-mode operators
+    pass ``update``: with one drain batch that is also the final state).
+    Production sinks use ``append`` (only watermark-finalized windows)
+    to parquet/Kafka instead."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

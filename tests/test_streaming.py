@@ -61,6 +61,45 @@ def test_stream_matches_batch(spark):
     assert got.count() > 0
 
 
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState must FOLD state across micro-batches, not
+    recompute per batch: feed two files one-per-trigger and assert the
+    final update per user equals the global batch aggregate."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "ev")
+    rows1 = [(1, 100, 1.5), (2, 100, 2.5), (3, 200, None)]
+    rows2 = [(4, 100, 4.0), (5, 200, 6.25)]
+    schema = "event_id bigint, user_id bigint, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = streaming.run_available_now(
+        streaming.stateful_user_totals(stream), "t_stateful_2batch", output_mode="update"
+    )
+    # update mode emits one row per user per batch that touched it —
+    # the row with the highest n_events is the final folded state
+    final = {
+        r.user_id: r
+        for r in out.withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("_rn = 1")
+        .collect()
+    }
+    assert final[100].n_events == 3 and final[100].total_value == 8.0
+    assert final[200].n_events == 2 and final[200].n_values == 1
+    assert final[200].total_value == 6.25
+
+
 def test_stream_sessionize_matches_batch(spark):
     ev_stream = streaming.events_stream(spark, SF_DIR)
     got = streaming.run_available_now(
