@@ -208,17 +208,22 @@ WHERE rnk <= {_TOP_K_LSH}
 
 # --------------------------------------------------------------------------
 # q_dedup_embedding — EXT-DEDUP-EMBEDDING: embedding-cosine near-dup
-# pairs via MULTI-TABLE LSH. One 6-plane table keeps only ~9% of
-# cos≈0.5 pairs in the same bucket; L=4 independent tables of 3 planes
-# each lift recall to ~1-(1-(2/3)^3)^4 ≈ 75% while the candidate join
-# still shuffles on (table, bucket) only — never all-pairs. Candidates
-# are exact-verified (cosine >= threshold), so precision is 1.0; the
-# threshold is calibrated to the synthetic corpus (random vectors:
-# max pair cosine ≈ 0.51 at sf0.01).
+# pairs via MULTI-TABLE LSH (L=4 tables x 8 hyperplanes = 256 buckets
+# per table). Geometry is sized for the regime dedup actually targets,
+# near-identical vectors: at cos 0.9 each plane agrees w.p.
+# 1 - acos(0.9)/pi ≈ 0.857, so one table keeps 0.857^8 ≈ 29% of true
+# pairs and 4 tables reach ~75% recall — while a RANDOM pair collides
+# w.p. (1/2)^8 = 1/256 per table, keeping candidates ~L*n^2/256 instead
+# of all-pairs. (Coarser buckets, e.g. 3 planes, collide 1/8 of all
+# pairs — millions of candidates on a 5k random corpus; that is the
+# failure mode this geometry avoids.) Candidates are exact-verified, so
+# precision is 1.0. The synthetic corpus is random (max pair cosine
+# ≈ 0.5-0.6), so at the 0.5 threshold the verified output is tiny or
+# empty — the machinery, not the hit count, is what the oracle checks.
 # --------------------------------------------------------------------------
 
 _DEDUP_TABLES = 4
-_DEDUP_PLANES_PER_TABLE = 3
+_DEDUP_PLANES_PER_TABLE = 8
 _DEDUP_COS_THRESHOLD = 0.5
 # fresh planes (offset 100) — independent of the knn_lsh table
 _DEDUP_PLANES = [
@@ -240,15 +245,27 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     buckets = F.array(*[_dedup_bucket_expr(F.col("v"), t) for t in range(_DEDUP_TABLES)])
     banded = emb.select("vec_id", F.posexplode(buckets).alias("table_idx", "bucket"))
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.table_idx") == F.col("b.table_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # group-then-pair, not a banded SELF-join: a self-join recomputes the
+    # 32-plane bucket expression on both sides; grouping computes it once
+    # and emits each bucket's ordered pairs from the sorted id list (one
+    # shuffle on (table, bucket)). Production note: guard hot buckets
+    # (cap |ids|) before pairing — pair count is quadratic per bucket.
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    cand = (
+        banded.groupBy("table_idx", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     # candidates are rare → broadcast into the verify joins (same shape
