@@ -14,8 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..streaming import pipeline as streaming
-from .common import EVENTS_NORM_SQL, QueryDef
+from .common import EVENTS_NORM_SQL, QueryDef, load
 
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +98,43 @@ GROUP BY user_id
 """
 
 
+def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed the target with stale values for 1/3 of the keys, then
+    stream-merge ALL events via foreachBatch upsert: the final table
+    must hold every event with its true (stream-won) value — proving
+    key-collision replacement through the streaming path."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_incr_")
+    target, checkpoint = f"{base}/target", f"{base}/ckpt"
+
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    seed = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(*[c for c in cols if c != "value"], F.lit(-1.0).alias("value"))
+        .select(*cols)
+    )
+    seed.write.parquet(target)
+
+    ev = streaming.events_stream(spark, sf_dir).select(*cols)
+    streaming.stream_merge_incremental(ev, target, checkpoint)
+    return spark.read.parquet(target)
+
+
+ORACLE_STREAM_INCREMENTAL = f"""
+SELECT event_id, user_id, event_type, ts, value
+FROM {EVENTS_NORM_SQL} e
+"""
+
+
 QUERIES = [
+    QueryDef(
+        "stream_incremental",
+        q_stream_incremental,
+        ORACLE_STREAM_INCREMENTAL,
+        ("EXT-STREAM-INCR", "OP-SINK-INCR"),
+    ),
     QueryDef(
         "stream_window_counts",
         q_stream_window_counts,

@@ -154,6 +154,33 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_merge_incremental(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    unique_key: str = "event_id",
+) -> None:
+    """Streaming twin of the incremental materialization: every
+    micro-batch is key-upserted into the target via ``foreachBatch`` +
+    ``materialize.incremental.run_incremental`` — the exact batch merge
+    logic, driven by the streaming engine. The checkpoint gives
+    exactly-once batch replay (a re-run resumes after the last committed
+    batch id); with Delta/Iceberg the inner merge would be MERGE INTO
+    and the swap-write disappears."""
+    from ..materialize.incremental import run_incremental
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        run_incremental(batch_df.sparkSession, target_path, batch_df, unique_key)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drain the stream (trigger=availableNow) into a memory sink and
     return the result as a static DataFrame.
