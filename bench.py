@@ -26,10 +26,16 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    # Shuffle partitions sized to the DATA, not the core count: sf0.1 is
+    # a few hundred MB, so 32 shuffle tasks are pure scheduling overhead
+    # (measured 22% of total wall time). AQE re-splits if a partition
+    # grows; at cluster scale target ~128MB per shuffle partition.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "8")
+
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("spark-graft-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "24g")
