@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the scale properties the docstrings
+claim must actually appear in the optimized plans — broadcast joins for
+dims, filter/column pushdown into the parquet scan, map-side partial
+aggregation, and no cartesian products or row-at-a-time Python UDFs
+anywhere in the batch surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_economic_indicators_eu_spark.queries.common import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# streaming queries execute eagerly (drain a stream) and engine queries
+# with filesystem side effects don't belong in a plan sweep
+_PLAN_EXEMPT = {
+    "stream_window_counts",
+    "stream_sessionize",
+    "stream_stateful_totals",
+    "stream_incremental",
+    "rest_ingest",
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_staging_projection_pushdown(spark):
+    plan = _plan(spark, "staging_projection")
+    assert "PushedFilters: [IsNotNull" in plan
+    # column pruning: o_comment-sized strings never leave the scan
+    assert "ReadSchema" in plan and "l_comment" not in plan
+
+
+def test_dim_joins_broadcast_not_sortmerge(spark):
+    for q in ("left_join_enrich", "region_share", "annual_agg", "latest_per_entity"):
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_annual_agg_partial_aggregation(spark):
+    # partial_sum markers → map-side combine before the exchange
+    plan = _plan(spark, "annual_agg")
+    assert "partial_" in plan
+
+
+def test_no_cartesian_products(spark):
+    for name in sorted(set(all_queries()) - _PLAN_EXEMPT):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_no_python_row_udfs(spark):
+    """BatchEvalPython = row-at-a-time Python UDF (the slow path).
+    Arrow-batched plans (ArrowEvalPython / FlatMapGroupsInPandas /
+    MapInPandas) are the sanctioned Python escape hatches."""
+    for name in sorted(set(all_queries()) - _PLAN_EXEMPT):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_anomaly_zscore_single_fact_shuffle(spark):
+    """The fact table shuffles once (window partitioning reused by the
+    stats join) — no second full-data exchange."""
+    plan = _plan(spark, "anomaly_zscore")
+    # the stats side may exchange (tiny aggregate); the events scan must
+    # appear exactly twice (once per branch) but hashpartitioning on
+    # user_id must be the only full-row distribution
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_no_shuffle_of_shingles(spark):
+    """Verify joins take broadcast candidates; the shingle table must
+    not sort-merge (which would shuffle the heavy arrays)."""
+    plan = _plan(spark, "dedup_minhash")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
