@@ -297,12 +297,17 @@ def _daily_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     its Eurostat data, not of the algorithm.
     """
     ev = load(spark, sf_dir, "events")
+    # daily TOTAL, not daily mean: a 2-decimal-terminating measure, so
+    # downstream sums of it can be rounded order-safely (common.py float
+    # discipline) — a mean is a non-terminating ratio whose sums have no
+    # safe rounding digit (bit us at sf0.1: regr_intercept accumulation
+    # order differed at 1e-9 and r6 rounding amplified it to 1e-6).
     return (
         ev.groupBy(
             F.col("user_id"),
             F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("t_index"),
         )
-        .agg((F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"))
+        .agg(F.round(F.sum("value"), 2).alias("daily_value"))
     )
 
 
@@ -310,7 +315,7 @@ _ORACLE_DAILY_USER_SERIES = """
   SELECT
     user_id,
     CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INTEGER) AS t_index,
-    round(sum(value), 2) / count(*) AS avg_value
+    round(sum(value), 2) AS daily_value
   FROM (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e
   GROUP BY 1, 2
 """
@@ -318,21 +323,38 @@ _ORACLE_DAILY_USER_SERIES = """
 
 def q_forecast_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = _daily_user_series(spark, sf_dir)
+    # Closed-form OLS from ROUNDED TERMINATING SUMS, slope/intercept
+    # left raw: regr_slope/regr_intercept accumulate engine-internally
+    # (order-dependent, unroundable safely), while Σy / Σxy of
+    # 2-decimal daily totals terminate at 2 → r2 is order-safe, and
+    # everything derived from the identical rounded sums is
+    # bit-identical across engines (verified at sf0.1, not just the
+    # driver's sf0.01).
+    t = F.col("t_index").cast("double")
     fitted = series.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_obs"),
-        F.round(F.regr_slope(F.col("avg_value"), F.col("t_index").cast("double")), 6).alias("slope"),
-        F.round(
-            F.regr_intercept(F.col("avg_value"), F.col("t_index").cast("double")), 6
-        ).alias("intercept"),
+        F.sum(t).alias("sx"),
+        F.sum(t * t).alias("sxx"),  # integer-valued → exact in double
+        F.round(F.sum("daily_value"), 2).alias("sy"),
+        F.round(F.sum(t * F.col("daily_value")), 2).alias("sxy"),
         F.max("t_index").alias("last_t"),
     )
-    horizon = fitted.filter(F.col("n_obs") >= 6).select(
-        "user_id",
-        "n_obs",
-        "slope",
-        "intercept",
-        F.explode(F.sequence(F.lit(1), F.lit(6))).alias("horizon_step"),
-        F.col("last_t"),
+    n = F.col("n_obs").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    horizon = (
+        fitted.filter(F.col("n_obs") >= 6)
+        .withColumn("slope", slope)
+        .withColumn("intercept", (F.col("sy") - F.col("slope") * F.col("sx")) / n)
+        .select(
+            "user_id",
+            "n_obs",
+            "slope",
+            "intercept",
+            F.explode(F.sequence(F.lit(1), F.lit(6))).alias("horizon_step"),
+            F.col("last_t"),
+        )
     )
     # forecast_month: last obs date offset by the horizon, snapped to
     # day 1 — add_months + trunc('MM'), the reference's
@@ -359,23 +381,30 @@ fitted AS (
   SELECT
     user_id,
     count(*) AS n_obs,
-    round(regr_slope(avg_value, CAST(t_index AS DOUBLE)), 6) AS slope,
-    round(regr_intercept(avg_value, CAST(t_index AS DOUBLE)), 6) AS intercept,
+    sum(CAST(t_index AS DOUBLE)) AS sx,
+    sum(CAST(t_index AS DOUBLE) * CAST(t_index AS DOUBLE)) AS sxx,
+    round(sum(daily_value), 2) AS sy,
+    round(sum(CAST(t_index AS DOUBLE) * daily_value), 2) AS sxy,
     max(t_index) AS last_t
   FROM series
   GROUP BY 1
+),
+solved AS (
+  SELECT *,
+    (n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx) AS slope
+  FROM fitted
 )
 SELECT
   user_id,
   n_obs,
   slope,
-  intercept,
+  (sy - slope * sx) / n_obs AS intercept,
   h.horizon_step,
   last_t + h.horizon_step AS t_index,
   CAST(date_trunc('month', DATE '1970-01-01' + last_t)
        + to_months(CAST(h.horizon_step AS INT)) AS DATE) AS forecast_month,
-  intercept + slope * (last_t + h.horizon_step) AS forecast_value
-FROM fitted, (SELECT unnest(range(1, 7)) AS horizon_step) h
+  (sy - slope * sx) / n_obs + slope * (last_t + h.horizon_step) AS forecast_value
+FROM solved, (SELECT unnest(range(1, 7)) AS horizon_step) h
 WHERE n_obs >= 6
 """
 
@@ -409,7 +438,7 @@ def _fit_forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
     import math
 
     pdf = pdf.sort_values("t_index")
-    y = pdf["avg_value"].to_numpy(dtype=float)
+    y = pdf["daily_value"].to_numpy(dtype=float)
     n = len(y)
     user_id = int(pdf["user_id"].iloc[0])
     if n < _MIN_OBS_ENSEMBLE:
