@@ -322,8 +322,117 @@ WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= {_DEDUP_COS_THRESHOLD}
 """
 
 
+# --------------------------------------------------------------------------
+# q_knn_ivf — EXT-ANN-IVF: IVF-Flat approximate nearest neighbors.
+# Coarse quantizer = a deterministic subset of the corpus as centroids
+# (vec_id % stride == 7 — a real IVF trains k-means; a fixed subset
+# keeps both engines bit-identical while exercising the same plan
+# shape). Every vector is assigned to its nearest centroid (broadcast
+# centroids, argmin per vector); a query probes its nprobe=2 nearest
+# centroid lists and ranks candidates by exact cosine. At scale the
+# inverted lists are the partitioning: assignment is one broadcast-join
+# pass, search touches only probed partitions — never the full corpus.
+# --------------------------------------------------------------------------
+
+_IVF_CENTROID_STRIDE = 125  # 500 vecs → 4 centroids; 2000 → 16
+_IVF_NPROBE = 2
+_TOP_K_IVF = 5
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cent = emb.filter(F.col("vec_id") % _IVF_CENTROID_STRIDE == 7).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+
+    def nearest(df, id_col, n):
+        w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("c_id"))
+        return (
+            df.join(F.broadcast(cent))
+            .select(id_col, "c_id", ccos.alias("ccos"))
+            .withColumn("crnk", F.row_number().over(w))
+            .filter(F.col("crnk") <= n)
+        )
+
+    assigned = nearest(emb, "vec_id", 1).select("vec_id", F.col("c_id").alias("cluster"))
+    inv = emb.join(assigned, "vec_id")  # inverted lists: vector + cluster
+
+    q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    probes = nearest(
+        q.select(F.col("vec_id").alias("q_id"), "v", "nrm"), "q_id", _IVF_NPROBE
+    ).select("q_id", F.col("c_id").alias("cluster"))
+    qside = probes.join(
+        q.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")),
+        "q_id",
+    )
+
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    scored = (
+        inv.join(qside, "cluster")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K_IVF)
+        .select("q_id", "neighbor_id", r6(F.col("cos")).alias("cosine"), "rnk")
+    )
+
+
+ORACLE_KNN_IVF = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cent AS (
+  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
+  WHERE vec_id % {_IVF_CENTROID_STRIDE} = 7
+),
+assigned AS (
+  SELECT vec_id, c_id AS cluster FROM (
+    SELECT n.vec_id, cent.c_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm) DESC, cent.c_id
+           ) AS crnk
+    FROM n, cent
+  ) WHERE crnk = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % {_QUERY_MOD} = 0),
+probes AS (
+  SELECT q_id, c_id AS cluster FROM (
+    SELECT q.q_id, cent.c_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_dot_product(q.qv, cent.cv) / (q.qnrm * cent.cnrm) DESC, cent.c_id
+           ) AS crnk
+    FROM q, cent
+  ) WHERE crnk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.q_id, n.vec_id AS neighbor_id,
+         list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS cos
+  FROM probes p
+  JOIN q ON q.q_id = p.q_id
+  JOIN assigned a ON a.cluster = p.cluster
+  JOIN n ON n.vec_id = a.vec_id
+  WHERE n.vec_id != q.q_id
+)
+SELECT q_id, neighbor_id, round(cos, 6) AS cosine, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_K_IVF}
+"""
+
+
 QUERIES = [
     QueryDef("knn_brute", q_knn_brute, ORACLE_KNN_BRUTE, ("EXT-ANN-BRUTE",)),
+    QueryDef("knn_ivf", q_knn_ivf, ORACLE_KNN_IVF, ("EXT-ANN-IVF",)),
     QueryDef("lsh_buckets", q_lsh_buckets, ORACLE_LSH_BUCKETS, ("EXT-ANN-LSH",)),
     QueryDef("knn_lsh", q_knn_lsh, ORACLE_KNN_LSH, ("EXT-ANN-LSH",)),
     QueryDef("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING, ("EXT-DEDUP-EMBEDDING",)),
