@@ -1,0 +1,109 @@
+"""Storage-layout operator demos: the two physical-design levers that
+matter most at 100 TB — bucketing (co-located joins, no shuffle) and
+partitioned layout (partition pruning at the scan).
+
+The reference runs on a single DuckDB file and has no notion of either;
+these are the Spark-side capabilities a user migrating to cluster scale
+gains. Both queries WRITE a laid-out copy of the synthetic data to a
+temp location, then run the read-side plan whose shape the plan tests
+assert (no Exchange before the bucketed join; PartitionFilters on the
+pruned scan) — the oracle verifies the answers are layout-invariant.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import EVENTS_NORM_SQL, QueryDef, load, r2
+
+_N_BUCKETS = 8
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket both join sides on the key → SortMergeJoin with ZERO
+    exchanges: each bucket pair joins in place. At 100 TB this is the
+    difference between shuffling the fact table per join and never
+    shuffling it — bucket once at write time, join forever for free.
+    (Broadcast is disabled for the join via hint-free bucketing only if
+    the dim is large; here the plan test asserts no Exchange, which
+    holds for bucketed scans regardless.)"""
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    # unique table names per run; overwrite keeps reruns idempotent
+    (
+        orders.write.mode("overwrite")
+        .option("path", f"{base}/orders_b")
+        .bucketBy(_N_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("orders_bucketed")
+    )
+    (
+        cust.write.mode("overwrite")
+        .option("path", f"{base}/cust_b")
+        .bucketBy(_N_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("customer_bucketed")
+    )
+    ob = spark.table("orders_bucketed")
+    cb = spark.table("customer_bucketed")
+    joined = ob.join(cb.hint("merge"), ob.o_custkey == cb.c_custkey)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r2(F.sum("o_totalprice")).alias("total_price"),
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT
+  c.c_mktsegment AS segment,
+  count(*) AS n_orders,
+  round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+_PRUNE_DATE = "2024-01-15"
+
+
+def q_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events partitioned by event_date, read back ONE day: the
+    date filter becomes a PartitionFilter — Spark lists only that
+    day's directory and never opens the rest. The layout is the 100 TB
+    answer to 'incremental models re-read history': time-partition the
+    target and every watermark filter prunes to the new partitions."""
+    base = tempfile.mkdtemp(prefix="partitioned_")
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(f"{base}/events_p")
+
+    back = spark.read.parquet(f"{base}/events_p")
+    day = back.filter(F.col("event_date") == F.lit(_PRUNE_DATE).cast("date"))
+    return day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r2(F.sum("value")).alias("total_value"),
+    )
+
+
+ORACLE_PARTITION_PRUNED = f"""
+SELECT
+  event_type,
+  count(*) AS n_events,
+  round(sum(value), 2) AS total_value
+FROM {EVENTS_NORM_SQL} e
+WHERE CAST(ts AS DATE) = DATE '{_PRUNE_DATE}'
+GROUP BY 1
+"""
+
+
+QUERIES = [
+    QueryDef("bucketed_join", q_bucketed_join, ORACLE_BUCKETED_JOIN, ("EXT-LAYOUT-BUCKET",)),
+    QueryDef(
+        "partition_pruned", q_partition_pruned, ORACLE_PARTITION_PRUNED, ("EXT-LAYOUT-PARTITION",)
+    ),
+]

@@ -21,6 +21,8 @@ _PLAN_EXEMPT = {
     "stream_stateful_totals",
     "stream_incremental",
     "rest_ingest",
+    "bucketed_join",
+    "partition_pruned",
 }
 
 
@@ -73,6 +75,27 @@ def test_anomaly_zscore_single_fact_shuffle(spark):
     # user_id must be the only full-row distribution
     assert plan.count("Exchange hashpartitioning(user_id") <= 2
     assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Bucketed scans co-locate the join: the SortMergeJoin must have
+    NO Exchange on either side (SelectedBucketsCount appears instead)."""
+    from dbt_economic_indicators_eu_spark.queries.storage import q_bucketed_join
+
+    df = q_bucketed_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+    assert "SelectedBucketsCount" in plan
+
+
+def test_partition_pruning_reaches_scan(spark):
+    from dbt_economic_indicators_eu_spark.queries.storage import q_partition_pruned
+
+    df = q_partition_pruned(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters", 1)[1][:200]
 
 
 def test_minhash_no_shuffle_of_shingles(spark):
