@@ -48,9 +48,16 @@ def main() -> int:
 
     qs = queries()
 
-    # warm the JVM/codegen once on a trivial plan so q1 isn't charged
-    # the session startup cost
+    # Warm the JVM paths a query can hit, so q1 isn't charged session
+    # startup: codegen, the parquet datasource (footer/vectorized-reader
+    # class loading costs ~2s on first touch), the Python worker daemon
+    # (applyInPandas), and the local-collection createDataFrame path.
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warm.write.mode("overwrite").format("noop").save()
+    spark.createDataFrame([(1,)], "x int").groupBy("x").applyInPandas(
+        lambda pdf: pdf, "x int"
+    ).write.mode("overwrite").format("noop").save()
 
     per_query: dict[str, float] = {}
     for name, builder in qs.items():

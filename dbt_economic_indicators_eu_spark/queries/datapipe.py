@@ -247,30 +247,54 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     banded = hashed.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Group-then-pair, not a banded SELF-join: a self-join recomputes
+    # the whole shingle+minhash pipeline on both sides; grouping
+    # computes it once and emits each bucket's ordered pairs from the
+    # sorted id list (one shuffle on (band_idx, band_hash)). Production
+    # note: guard hot buckets (cap |ids|) before pairing — pair count
+    # is quadratic per bucket.
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_id_a"), y.alias("doc_id_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+    )
+    cand = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
-    # Broadcast the candidate list into the verify joins: candidates are
-    # a tiny fraction of the corpus (LSH buckets are near-singleton for
-    # non-dup data), so this keeps the heavy shingle table un-shuffled —
-    # the correct shape at 100 TB, not just a small-scale win.
-    cand = F.broadcast(cand)
-    pairs = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sg").alias("sg_a")), "doc_id_a")
-        .join(sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sg").alias("sg_b")), "doc_id_b")
+    # Verify with ONE more scan of the shingle pipeline (not one per
+    # pair side): explode each candidate pair into its two members,
+    # broadcast-join the tiny exploded list against the shingle table
+    # (which therefore streams, un-shuffled — the correct shape at
+    # 100 TB), and regroup the pair to line up both shingle sets.
+    sides = F.broadcast(
+        cand.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.explode(F.array("doc_id_a", "doc_id_b")).alias("doc_id"),
+        )
+    )
+    regrouped = (
+        sides.join(sh, "doc_id")
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(
+            F.first(F.when(F.col("doc_id") == F.col("doc_id_a"), F.col("sg")), True).alias("sg_a"),
+            F.first(F.when(F.col("doc_id") == F.col("doc_id_b"), F.col("sg")), True).alias("sg_b"),
+        )
     )
     jaccard = F.size(F.array_intersect("sg_a", "sg_b")).cast("double") / F.size(
         F.array_union("sg_a", "sg_b")
     )
-    return pairs.select("doc_id_a", "doc_id_b", jaccard.alias("jaccard")).filter(
+    return regrouped.select("doc_id_a", "doc_id_b", jaccard.alias("jaccard")).filter(
         F.col("jaccard") >= _JACCARD_THRESHOLD
     )
 

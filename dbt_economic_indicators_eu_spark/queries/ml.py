@@ -510,7 +510,19 @@ def _fit_forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def q_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = _daily_user_series(spark, sf_dir)
-    return series.groupBy("user_id").applyInPandas(_fit_forecast_group, schema=_FCAST_SCHEMA)
+    # Pin the applyInPandas fan-out to one partition per core: the
+    # series is tiny in BYTES (AQE would coalesce the shuffle to 1
+    # partition → one Python worker fits every group serially) but the
+    # per-GROUP Python cost is the real unit of work here. An explicit
+    # numPartitions repartition is exempt from AQE coalescing, and its
+    # HashPartitioning(user_id) satisfies applyInPandas's required
+    # distribution, so no second shuffle is added.
+    par = spark.sparkContext.defaultParallelism
+    return (
+        series.repartition(par, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(_fit_forecast_group, schema=_FCAST_SCHEMA)
+    )
 
 
 QUERIES = [
