@@ -10,15 +10,14 @@ py_unemployment_forecast.py). Here:
   linearly with partition count);
 - OLS forecasting is closed-form via ``regr_slope``/``regr_intercept``
   (pure JVM aggregation);
-- the ES/Holt ensemble forecast is per-group ``applyInPandas`` — the
-  idiomatic Spark shape for inherently-sequential recursions: state
-  stays inside one group = one pandas batch, groups parallelize across
-  executors.
+- the ES/Holt ensemble forecast expresses the per-series recursions
+  as native ``F.aggregate`` left folds over sorted
+  ``collect_list`` arrays — sequential within a series, parallel
+  across series, zero Python in the hot path.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -412,117 +411,240 @@ WHERE n_obs >= 6
 # --------------------------------------------------------------------------
 # q_forecast_ensemble — OP-ML-FCAST (full ensemble: exponential smoothing
 # α=0.3, Holt α=0.3 β=0.1, OLS; mean + 95% prediction interval z·σ·√(1+1/n)
-# — py_unemployment_forecast.py:41-122,161-172). The ES/Holt recursions are
-# inherently sequential → per-group applyInPandas; deterministic, but not
-# SQL-expressible → rows-only oracle check.
+# — py_unemployment_forecast.py:41-122,161-172) + OP-FN-NANMEAN
+# (:161-166, np.nanmean over the three methods).
+#
+# The ES/Holt recursions are sequential PER SERIES but each is a plain
+# left fold over the ordered observations — exactly what
+# ``F.aggregate`` expresses over a ``sort_array(collect_list(...))``
+# array, entirely JVM-side. That beats the earlier applyInPandas shape
+# on every axis: no Python workers / Arrow hop in the hot path, and the
+# fold order is pinned by the expression itself, so DuckDB's
+# ``list_reduce`` (same left fold) reproduces it bit-for-bit — this
+# query is fully oracle-checked, not rows-only. At scale the one
+# shuffle is the groupBy(user_id); per-series state is O(1).
 # --------------------------------------------------------------------------
-
-_FCAST_SCHEMA = (
-    "user_id bigint, horizon_step int, forecast_es double, forecast_holt double, "
-    "forecast_ols double, forecast_ensemble double, pi_lower double, pi_upper double, "
-    "confidence string"
-)
 
 _MIN_OBS_ENSEMBLE = 6
 _HORIZON = 6
-
-
-def _fit_forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Fit ES / Holt / OLS on one entity's ordered series; emit horizon rows.
-
-    Mirrors reference py_unemployment_forecast.py semantics: ES α=0.3
-    (:41-52), Holt α=0.3 β=0.1 (:54-72), closed-form OLS (:74-104),
-    ensemble mean (:161-166), 95% PI from std of first differences
-    (:106-122), confidence ladder (:195-203).
-    """
-    import math
-
-    pdf = pdf.sort_values("t_index")
-    y = pdf["daily_value"].to_numpy(dtype=float)
-    n = len(y)
-    user_id = int(pdf["user_id"].iloc[0])
-    if n < _MIN_OBS_ENSEMBLE:
-        return pd.DataFrame(
-            columns=[
-                "user_id", "horizon_step", "forecast_es", "forecast_holt",
-                "forecast_ols", "forecast_ensemble", "pi_lower", "pi_upper", "confidence",
-            ]
-        )
-
-    alpha, beta = 0.3, 0.1
-    # simple exponential smoothing
-    level = y[0]
-    for v in y[1:]:
-        level = alpha * v + (1 - alpha) * level
-    es_fc = level
-
-    # Holt linear trend
-    l_t, b_t = y[0], y[1] - y[0] if n > 1 else 0.0
-    for v in y[1:]:
-        l_prev = l_t
-        l_t = alpha * v + (1 - alpha) * (l_t + b_t)
-        b_t = beta * (l_t - l_prev) + (1 - beta) * b_t
-
-    # closed-form OLS on t = 0..n-1
-    xs = list(range(n))
-    sx, sy = sum(xs), float(y.sum())
-    sxy = sum(i * float(v) for i, v in zip(xs, y))
-    sxx = sum(i * i for i in xs)
-    # degenerate fit (constant t) → NaN forecast, excluded by the
-    # null-safe ensemble mean below (np.nanmean semantics,
-    # py_unemployment_forecast.py:161-166 — OP-FN-NANMEAN)
-    denom = n * sxx - sx * sx
-    slope = (n * sxy - sx * sy) / denom if denom else float("nan")
-    intercept = (sy - slope * sx) / n
-
-    # 95% PI from std of first differences
-    diffs = [float(y[i + 1] - y[i]) for i in range(n - 1)]
-    mu = sum(diffs) / len(diffs)
-    var = sum((d - mu) ** 2 for d in diffs) / (len(diffs) - 1) if len(diffs) > 1 else 0.0
-    sigma = math.sqrt(var)
-    z95 = 1.96
-    half_width = z95 * sigma * math.sqrt(1 + 1.0 / n)
-
-    confidence = "high" if n >= 24 else ("medium" if n >= 12 else "low")
-
-    rows = []
-    for h in range(1, _HORIZON + 1):
-        f_es = es_fc
-        f_holt = l_t + h * b_t
-        f_ols = intercept + slope * (n - 1 + h)
-        parts = [f for f in (f_es, f_holt, f_ols) if not math.isnan(f)]
-        ens = sum(parts) / len(parts)  # np.nanmean of the 3 methods
-        rows.append(
-            {
-                "user_id": user_id,
-                "horizon_step": h,
-                "forecast_es": round(f_es, 4),
-                "forecast_holt": round(f_holt, 4),
-                "forecast_ols": round(f_ols, 4),
-                "forecast_ensemble": round(ens, 4),
-                "pi_lower": round(ens - half_width, 4),
-                "pi_upper": round(ens + half_width, 4),
-                "confidence": confidence,
-            }
-        )
-    return pd.DataFrame(rows)
+_ES_ALPHA = 0.3
+_HOLT_BETA = 0.1
+_Z95 = 1.96
 
 
 def q_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = _daily_user_series(spark, sf_dir)
-    # Pin the applyInPandas fan-out to one partition per core: the
-    # series is tiny in BYTES (AQE would coalesce the shuffle to 1
-    # partition → one Python worker fits every group serially) but the
-    # per-GROUP Python cost is the real unit of work here. An explicit
-    # numPartitions repartition is exempt from AQE coalescing, and its
-    # HashPartitioning(user_id) satisfies applyInPandas's required
-    # distribution, so no second shuffle is added.
-    par = spark.sparkContext.defaultParallelism
-    return (
-        series.repartition(par, "user_id")
-        .groupBy("user_id")
-        .applyInPandas(_fit_forecast_group, schema=_FCAST_SCHEMA)
+    a, b_ = F.lit(_ES_ALPHA), F.lit(_HOLT_BETA)
+
+    grouped = (
+        series.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("t_index", "daily_value"))).alias("pts"))
+        .select(
+            "user_id",
+            F.transform("pts", lambda p: p["daily_value"]).alias("ys"),
+        )
+        .withColumn("n", F.size("ys"))
+        .filter(F.col("n") >= _MIN_OBS_ENSEMBLE)
     )
+
+    y0 = F.element_at("ys", 1)
+    y1 = F.element_at("ys", 2)
+    rest = F.slice(F.col("ys"), 2, F.col("n") - 1)  # ys[1:]
+
+    # ES: level = α·v + (1-α)·level, seeded with y0 — a left fold.
+    es = F.aggregate(rest, y0, lambda acc, v: a * v + (F.lit(1.0) - a) * acc)
+
+    # Holt: 2-state (level, trend) linear recurrence, seeded
+    # (l=y0, b=y1-y0), folded over ys[1:] (py_unemployment_forecast.py:
+    # 54-72 — note the reference folds y[1:] INCLUDING y1).
+    def holt_step(acc, v):
+        l_new = a * v + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (b_ * (l_new - acc["l"]) + (F.lit(1.0) - b_) * acc["b"]).alias("b"),
+        )
+
+    holt = F.aggregate(rest, F.struct(y0.alias("l"), (y1 - y0).alias("b")), holt_step)
+
+    # Closed-form OLS on t = 0..n-1: Σt and Σt² are exact integer
+    # closed forms; Σy and Σty are left folds (order pinned → the
+    # oracle's list_reduce matches bit-for-bit).
+    nd = F.col("n").cast("double")
+    sx = (nd * (nd - 1)) / 2
+    sxx = ((nd - 1) * nd * (2 * nd - 1)) / 6
+    sy = F.aggregate("ys", F.lit(0.0), lambda acc, v: acc + v)
+    txy = F.zip_with(
+        F.transform(F.sequence(F.lit(0), F.col("n") - 1), lambda i: i.cast("double")),
+        F.col("ys"),
+        lambda i, y: i * y,
+    )
+    sxy = F.aggregate(txy, F.lit(0.0), lambda acc, v: acc + v)
+
+    # 95% PI from the sample std of first differences (:106-122).
+    diffs = F.zip_with(
+        rest, F.slice(F.col("ys"), 1, F.col("n") - 1), lambda nxt, prv: nxt - prv
+    )
+    md = (F.col("n") - 1).cast("double")  # number of diffs; n≥6 → md≥5
+
+    calc = grouped.select(
+        "user_id",
+        "n",
+        es.alias("f_es"),
+        holt["l"].alias("holt_l"),
+        holt["b"].alias("holt_b"),
+        sx.alias("sx"),
+        sxx.alias("sxx"),
+        sy.alias("sy"),
+        sxy.alias("sxy"),
+        (F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d) / md).alias("mu"),
+        diffs.alias("diffs"),
+    )
+    var = (
+        F.aggregate(
+            "diffs",
+            F.lit(0.0),
+            lambda acc, d: acc + (d - F.col("mu")) * (d - F.col("mu")),
+        )
+        / (md - 1)
+    )
+    nd2 = F.col("n").cast("double")
+    slope = (nd2 * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd2 * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    solved = calc.select(
+        "user_id",
+        "n",
+        "f_es",
+        "holt_l",
+        "holt_b",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd2).alias("intercept"),
+        (F.lit(_Z95) * F.sqrt(var) * F.sqrt(F.lit(1.0) + F.lit(1.0) / nd2)).alias("half_width"),
+    )
+
+    h = F.col("horizon_step")
+    f_holt = F.col("holt_l") + h.cast("double") * F.col("holt_b")
+    f_ols = F.col("intercept") + F.col("slope") * (F.col("n") - 1 + h).cast("double")
+    horizon = solved.select(
+        "user_id",
+        "n",
+        "f_es",
+        "holt_l",
+        "holt_b",
+        "slope",
+        "intercept",
+        "half_width",
+        F.explode(F.sequence(F.lit(1), F.lit(_HORIZON))).alias("horizon_step"),
+    ).withColumn("f_holt", f_holt).withColumn("f_ols", f_ols)
+
+    # np.nanmean over the three methods (OP-FN-NANMEAN): drop NaN fits
+    # (a degenerate OLS emits NaN) before averaging.
+    parts = F.filter(
+        F.array(F.col("f_es"), F.col("f_holt"), F.col("f_ols")), lambda x: ~F.isnan(x)
+    )
+    ens = F.aggregate(parts, F.lit(0.0), lambda acc, v: acc + v) / F.size(parts).cast("double")
+    return horizon.withColumn("ens", ens).select(
+        "user_id",
+        "horizon_step",
+        r4(F.col("f_es")).alias("forecast_es"),
+        r4(F.col("f_holt")).alias("forecast_holt"),
+        r4(F.col("f_ols")).alias("forecast_ols"),
+        r4(F.col("ens")).alias("forecast_ensemble"),
+        r4(F.col("ens") - F.col("half_width")).alias("pi_lower"),
+        r4(F.col("ens") + F.col("half_width")).alias("pi_upper"),
+        F.when(F.col("n") >= 24, "high")
+        .when(F.col("n") >= 12, "medium")
+        .otherwise("low")
+        .alias("confidence"),
+    )
+
+
+# DuckDB twin: list(… ORDER BY t_index) pins the same ordering;
+# list_reduce is the same left fold (its no-initial form seeds acc with
+# the first element — exactly the ES/Holt seeding). Holt's 2-field
+# state is encoded as a DOUBLE[2] whose first element is the seed
+# state, since list_reduce has no initial-value form in DuckDB 1.0.
+ORACLE_FORECAST_ENSEMBLE = f"""
+WITH series AS ({_ORACLE_DAILY_USER_SERIES}),
+g AS (
+  SELECT user_id,
+         list(CAST(daily_value AS DOUBLE) ORDER BY t_index) AS ys,
+         count(*) AS n
+  FROM series
+  GROUP BY user_id
+  HAVING count(*) >= {_MIN_OBS_ENSEMBLE}
+),
+calc AS (
+  SELECT user_id, n, ys,
+    list_reduce(ys, (acc, v) -> CAST({_ES_ALPHA} AS DOUBLE) * v
+                                + CAST({1.0 - _ES_ALPHA!r} AS DOUBLE) * acc) AS f_es,
+    list_reduce(
+      list_concat([[ys[1], ys[2] - ys[1]]],
+                  list_transform(ys[2:], v -> [v, CAST(0.0 AS DOUBLE)])),
+      (acc, x) -> [
+        CAST({_ES_ALPHA} AS DOUBLE) * x[1]
+          + CAST({1.0 - _ES_ALPHA!r} AS DOUBLE) * (acc[1] + acc[2]),
+        CAST({_HOLT_BETA} AS DOUBLE)
+          * ((CAST({_ES_ALPHA} AS DOUBLE) * x[1]
+              + CAST({1.0 - _ES_ALPHA!r} AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+          + CAST({1.0 - _HOLT_BETA!r} AS DOUBLE) * acc[2]
+      ]) AS holt,
+    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2 AS sx,
+    (CAST(n AS DOUBLE) - 1) * CAST(n AS DOUBLE) * (2 * CAST(n AS DOUBLE) - 1) / 6 AS sxx,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys), (acc, v) -> acc + v) AS sy,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list_zip(range(0, CAST(n AS INT)), ys),
+                                  p -> CAST(p[1] AS DOUBLE) * p[2])),
+      (acc, v) -> acc + v) AS sxy,
+    list_transform(range(1, CAST(n AS INT)), i -> ys[i + 1] - ys[i]) AS diffs
+  FROM g
+),
+stats AS (
+  SELECT *,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), diffs), (acc, d) -> acc + d)
+      / (CAST(n AS DOUBLE) - 1) AS mu
+  FROM calc
+),
+solved AS (
+  SELECT user_id, n, f_es, holt[1] AS holt_l, holt[2] AS holt_b,
+    (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+    (sy - (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+      / CAST(n AS DOUBLE) AS intercept,
+    CAST({_Z95} AS DOUBLE)
+      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list_transform(diffs, d -> (d - mu) * (d - mu))),
+                         (acc, v) -> acc + v)
+             / (CAST(n AS DOUBLE) - 2))
+      * sqrt(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE)) AS half_width
+  FROM stats
+),
+horizon AS (
+  SELECT s.*, h.horizon_step,
+    s.holt_l + CAST(h.horizon_step AS DOUBLE) * s.holt_b AS f_holt,
+    s.intercept + s.slope * CAST(s.n - 1 + h.horizon_step AS DOUBLE) AS f_ols
+  FROM solved s, (SELECT unnest(range(1, {_HORIZON} + 1)) AS horizon_step) h
+),
+ensed AS (
+  SELECT *,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_filter([f_es, f_holt, f_ols], x -> NOT isnan(x))),
+                (acc, v) -> acc + v)
+      / CAST(len(list_filter([f_es, f_holt, f_ols], x -> NOT isnan(x))) AS DOUBLE) AS ens
+  FROM horizon
+)
+SELECT
+  user_id,
+  CAST(horizon_step AS INT) AS horizon_step,
+  round(f_es, 4) AS forecast_es,
+  round(f_holt, 4) AS forecast_holt,
+  round(f_ols, 4) AS forecast_ols,
+  round(ens, 4) AS forecast_ensemble,
+  round(ens - half_width, 4) AS pi_lower,
+  round(ens + half_width, 4) AS pi_upper,
+  CASE WHEN n >= 24 THEN 'high' WHEN n >= 12 THEN 'medium' ELSE 'low' END AS confidence
+FROM ensed
+"""
 
 
 QUERIES = [
@@ -539,5 +661,10 @@ QUERIES = [
         ("OP-ML-QUALITY", "OP-AGG-QUALITY", "OP-FN-GRADE", "OP-FN-DAYSSINCE", "OP-FN-NOW"),
     ),
     QueryDef("forecast_ols", q_forecast_ols, ORACLE_FORECAST_OLS, ("OP-ML-FCAST", "OP-FN-DATEOFFSET")),
-    QueryDef("forecast_ensemble", q_forecast_ensemble, None, ("OP-ML-FCAST", "OP-FN-NANMEAN")),
+    QueryDef(
+        "forecast_ensemble",
+        q_forecast_ensemble,
+        ORACLE_FORECAST_ENSEMBLE,
+        ("OP-ML-FCAST", "OP-FN-NANMEAN"),
+    ),
 ]
