@@ -24,6 +24,18 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    # Scratch space on tmpfs when available: streaming checkpoints /
+    # state stores and the materialization temp targets are
+    # latency-bound on tiny data (measured ~4s across the streaming
+    # block at sf0.1). The cluster-scale analogue is fast local NVMe
+    # for spark.local.dir — state/shuffle scratch is never the durable
+    # store.
+    scratch = None
+    if os.path.isdir("/dev/shm"):
+        scratch = "/dev/shm/spark-graft-bench"
+        os.makedirs(scratch, exist_ok=True)
+        os.environ["TMPDIR"] = scratch  # before tempfile.gettempdir() caches
+
     from pyspark.sql import SparkSession
 
     # Shuffle partitions sized to the DATA, not the core count: sf0.1 is
@@ -31,17 +43,22 @@ def main() -> int:
     # (measured 22% of total wall time). AQE re-splits if a partition
     # grows; at cluster scale target ~128MB per shuffle partition.
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "8")
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("spark-graft-bench")
         .config("spark.sql.shuffle.partitions", shuffle)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    if scratch:
+        builder = builder.config("spark.local.dir", scratch).config(
+            "spark.driver.extraJavaOptions", f"-Djava.io.tmpdir={scratch}"
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from __spark_entry__ import queries
