@@ -50,24 +50,108 @@ def extract_media_features(df: DataFrame, id_col: str = "doc_id", media_col: str
     )
 
 
-# ---- codec stubs (no image/audio libs in this container) ----------------
+# ---- codec path: deterministic fake decoder + REAL pixel operators ------
+#
+# The image/audio libraries are not in this container, so the *codec*
+# is a clearly-marked deterministic fake: it derives (width, height)
+# from the byte length and takes the first width*height bytes as 8-bit
+# grayscale pixels. Everything downstream of the fake — nearest-
+# neighbor resize, frame sampling with 1:N Arrow fan-out, and all the
+# Spark-side plumbing (binary in, typed columns out, batch iteration)
+# — is REAL and is exactly what a Pillow/ffmpeg-backed decoder would
+# feed. Because the fake is pure byte arithmetic, a DuckDB oracle can
+# verify the whole pipeline value-for-value.
 
 DECODED_IMAGE_SCHEMA = "doc_id bigint, width int, height int, channels int, pixels binary"
 
 
+def _fake_dims(n_bytes: int) -> tuple[int, int]:
+    """FAKE codec geometry: w in 8..16 and h capped so w*h <= n_bytes.
+    A real decoder reads these from the image header."""
+    w = 8 + n_bytes % 9
+    h = max(1, min(8 + (n_bytes // 7) % 9, n_bytes // w))
+    return w, h
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id", media_col: str = "media") -> DataFrame:
-    """STUB: real implementation would Pillow/libjpeg-decode each batch
-    inside mapInPandas and emit (width, height, channels, raw pixels).
-    The Spark-side contract (binary in, struct-ish columns out, Arrow
-    batching) is identical to extract_media_features."""
-    raise NotImplementedError(
-        "image codec not available in this environment; see extract_media_features "
-        "for the identical mapInPandas plumbing exercised end-to-end"
+    """Decode a binary media column to 8-bit grayscale pixel rows.
+
+    FAKE CODEC (no image libs in this container): dimensions come from
+    ``_fake_dims`` and pixels are the first width*height raw bytes — a
+    real implementation swaps only the per-row body for
+    Pillow/libjpeg, the mapInPandas contract is unchanged."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "channels": [], "pixels": []}
+            for doc_id, media in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(media) if media is not None else b""
+                w, h = _fake_dims(len(b))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(1)
+                out["pixels"].append(b[: w * h])
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        batches, schema=DECODED_IMAGE_SCHEMA
     )
 
 
-def sample_video_frames(df: DataFrame, every_n_frames: int = 30) -> DataFrame:
-    """STUB: frame sampling (media binary → one row per sampled frame)
-    would be mapInPandas emitting multiple rows per input row — the
-    Arrow path supports 1:N fan-out natively (return longer batches)."""
-    raise NotImplementedError("video codec not available in this environment")
+def resize_nearest(decoded: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL nearest-neighbor downsample on raw grayscale pixels
+    (numpy strided slicing per Arrow batch): output pixel (x, y) =
+    input pixel (factor*x, factor*y). Runs on whatever ``decode_image``
+    (or a real codec) emits."""
+    import numpy as np
+
+    schema = "doc_id bigint, r_width int, r_height int, r_pixels binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "r_width": [], "r_height": [], "r_pixels": []}
+            for doc_id, w, h, px in zip(pdf["doc_id"], pdf["width"], pdf["height"], pdf["pixels"]):
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(int(h), int(w))
+                small = arr[::factor, ::factor]
+                out["doc_id"].append(doc_id)
+                out["r_width"].append(small.shape[1])
+                out["r_height"].append(small.shape[0])
+                out["r_pixels"].append(small.tobytes())
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(batches, schema=schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    frame_size: int = 16,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Sample every ``every_n``-th fixed-size frame from a binary media
+    column — one OUTPUT row per sampled frame (the Arrow path supports
+    1:N fan-out natively: batches out are longer than batches in).
+
+    FAKE CONTAINER (no video libs here): media is treated as a raw
+    concatenation of ``frame_size``-byte frames; a real implementation
+    swaps the frame iterator for an ffmpeg demuxer, keeping the same
+    fan-out contract. frame_sum is a cheap per-frame feature proving
+    each sampled frame's bytes reached Python intact."""
+    schema = "doc_id bigint, frame_idx int, frame_sum bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_sum": []}
+            for doc_id, media in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(media) if media is not None else b""
+                n_frames = len(b) // frame_size
+                for idx in range(0, n_frames, every_n):
+                    frame = b[idx * frame_size : (idx + 1) * frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_sum"].append(sum(frame))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(batches, schema=schema)

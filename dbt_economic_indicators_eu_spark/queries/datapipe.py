@@ -519,6 +519,116 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# q_media_pipeline — EXT-MULTIMODAL-RESIZE: decode → nearest-neighbor
+# resize over binary media (operators/multimodal.py). The decoder is a
+# deterministic fake (byte-length geometry, first w*h bytes as
+# grayscale); the resize is REAL numpy strided slicing inside
+# mapInPandas. Because the fake codec is pure byte arithmetic and the
+# synthetic text is ASCII, DuckDB reproduces every pixel via
+# ascii(substr(text, i, 1)) and the oracle checks the whole
+# decode→resize chain value-for-value (pixel sums, not just shapes).
+# --------------------------------------------------------------------------
+
+
+def _byte_sum(col: str):
+    """Sum of raw byte values of a binary column, JVM-side: decode as
+    ISO-8859-1 (bijective bytes 0-255 → code points 0-255), then fold
+    ``ascii`` over positions. Verifies downstream of mapInPandas that
+    the exact bytes round-tripped through Arrow."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, length(decode({col}, 'ISO-8859-1'))), "
+        f"i -> ascii(substring(decode({col}, 'ISO-8859-1'), i, 1))), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_image, resize_nearest
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    decoded = decode_image(docs)
+    resized = resize_nearest(decoded, factor=2)
+    dec_sum = decoded.select(
+        "doc_id", "width", "height", _byte_sum("pixels").alias("pixel_sum")
+    )
+    rs_sum = resized.select(
+        "doc_id", "r_width", "r_height", _byte_sum("r_pixels").alias("resized_sum")
+    )
+    return dec_sum.join(rs_sum, "doc_id")
+
+
+# The fake codec is pure byte arithmetic over ASCII text, so every
+# pixel is ascii(substr(text, i, 1)) and the oracle recomputes the
+# decode geometry, the pixel sum, AND the strided nearest-neighbor
+# sample (pixel (x,y) -> byte at 2y*w + 2x, 1-indexed) exactly.
+ORACLE_MEDIA_PIPELINE = """
+WITH geom AS (
+  SELECT doc_id, text, length(text) AS n,
+         8 + length(text) % 9 AS w,
+         greatest(1, least(8 + (length(text) // 7) % 9,
+                           length(text) // (8 + length(text) % 9))) AS h
+  FROM documents
+),
+dims AS (
+  SELECT *, (w + 1) // 2 AS rw, (h + 1) // 2 AS rh FROM geom
+)
+SELECT
+  doc_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(list_sum(list_transform(range(1, w * h + 1),
+                               i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
+    AS pixel_sum,
+  CAST(rw AS INTEGER) AS r_width,
+  CAST(rh AS INTEGER) AS r_height,
+  CAST(list_sum(flatten(list_transform(range(0, rh), y ->
+         list_transform(range(0, rw), x ->
+           ascii(substr(text, CAST(2 * y * w + 2 * x + 1 AS INT), 1)))))) AS BIGINT)
+    AS resized_sum
+FROM dims
+"""
+
+
+# --------------------------------------------------------------------------
+# q_frame_sample — EXT-MULTIMODAL-FRAMES: every-Nth fixed-size frame
+# from binary media, one output row per sampled frame — the 1:N Arrow
+# fan-out shape of video frame extraction (operators/multimodal.py:
+# sample_video_frames; the demuxer is a fake byte-splitter, the fan-out
+# contract is the operator under test).
+# --------------------------------------------------------------------------
+
+_FRAME_SIZE = 16
+_FRAME_EVERY = 2
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_video_frames
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return sample_video_frames(docs, frame_size=_FRAME_SIZE, every_n=_FRAME_EVERY)
+
+
+ORACLE_FRAME_SAMPLE = f"""
+WITH frames AS (
+  SELECT doc_id, text,
+         unnest(range(0, length(text) // {_FRAME_SIZE}, {_FRAME_EVERY})) AS frame_idx
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(frame_idx AS INTEGER) AS frame_idx,
+  CAST(list_sum(list_transform(range(1, {_FRAME_SIZE} + 1),
+         i -> ascii(substr(text, CAST(frame_idx * {_FRAME_SIZE} + i AS INT), 1)))) AS BIGINT)
+    AS frame_sum
+FROM frames
+"""
+
+
 QUERIES = [
     QueryDef("text_stats", q_text_stats, ORACLE_TEXT_STATS, ("EXT-TEXT-QUALITY",)),
     QueryDef("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, ("EXT-DEDUP-EXACT",)),
@@ -528,4 +638,8 @@ QUERIES = [
     QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, ("EXT-TEXT-LANGID",)),
     QueryDef("token_count", q_token_count, ORACLE_TOKEN_COUNT, ("EXT-TEXT-TOKENS",)),
     QueryDef("media_features", q_media_features, ORACLE_MEDIA_FEATURES, ("EXT-MULTIMODAL",)),
+    QueryDef(
+        "media_pipeline", q_media_pipeline, ORACLE_MEDIA_PIPELINE, ("EXT-MULTIMODAL-RESIZE",)
+    ),
+    QueryDef("frame_sample", q_frame_sample, ORACLE_FRAME_SAMPLE, ("EXT-MULTIMODAL-FRAMES",)),
 ]

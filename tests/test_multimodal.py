@@ -7,8 +7,10 @@ import hashlib
 import pytest
 
 from dbt_economic_indicators_eu_spark.operators.multimodal import (
+    _fake_dims,
     decode_image,
     extract_media_features,
+    resize_nearest,
     sample_video_frames,
 )
 
@@ -43,9 +45,41 @@ def test_media_features_partition_invariant(spark):
     assert one == many
 
 
-def test_codec_stubs_raise(spark):
-    df = spark.createDataFrame([(1, b"x")], "doc_id bigint, media binary")
-    with pytest.raises(NotImplementedError):
-        decode_image(df)
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(df)
+def test_decode_geometry_and_pixels(spark):
+    media = bytes(range(200))
+    df = spark.createDataFrame([(1, media)], "doc_id bigint, media binary")
+    r = decode_image(df).collect()[0]
+    w, h = _fake_dims(len(media))
+    assert (r.width, r.height, r.channels) == (w, h, 1)
+    assert bytes(r.pixels) == media[: w * h]
+
+
+def test_resize_matches_numpy_strided_slice(spark):
+    np = pytest.importorskip("numpy")
+    media = bytes((7 * i) % 256 for i in range(300))
+    df = spark.createDataFrame([(1, media)], "doc_id bigint, media binary")
+    r = resize_nearest(decode_image(df), factor=2).collect()[0]
+    w, h = _fake_dims(len(media))
+    arr = np.frombuffer(media[: w * h], dtype=np.uint8).reshape(h, w)
+    expect = arr[::2, ::2]
+    assert (r.r_width, r.r_height) == (expect.shape[1], expect.shape[0])
+    assert bytes(r.r_pixels) == expect.tobytes()
+
+
+def test_frame_sample_fanout_and_sums(spark):
+    # 5 complete 16-byte frames + 3 leftover bytes -> frames 0, 2, 4
+    media = bytes(range(83))
+    df = spark.createDataFrame([(1, media)], "doc_id bigint, media binary")
+    rows = sorted(
+        sample_video_frames(df, frame_size=16, every_n=2).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    for r in rows:
+        frame = media[r.frame_idx * 16 : (r.frame_idx + 1) * 16]
+        assert r.frame_sum == sum(frame)
+
+
+def test_frame_sample_short_media_emits_nothing(spark):
+    df = spark.createDataFrame([(1, b"short")], "doc_id bigint, media binary")
+    assert sample_video_frames(df, frame_size=16, every_n=2).count() == 0
