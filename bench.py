@@ -53,6 +53,10 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # benchmark hygiene: no web UI / console progress churn in the
+        # driver event loop while timing
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if scratch:
         builder = builder.config("spark.local.dir", scratch).config(
