@@ -520,6 +520,183 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# q_dedup_cluster — EXT-DEDUP-CLUSTER: connected components over the
+# verified near-dup pairs → one canonical doc per duplicate cluster.
+# The dedup endgame: pairs alone can't drive deletion (a~b, b~c must
+# collapse to ONE cluster even when a~c was never emitted). Iterative
+# hash-min label propagation: every vertex adopts the min component id
+# among itself and its neighbors until a fixed point — the standard
+# MapReduce/Spark CC shape (one join + groupBy per round, state is the
+# (vertex, comp) table, convergence in O(diameter) rounds; near-dup
+# clusters are quasi-cliques, so diameter is tiny). The driver-side
+# loop is the legitimate Pregel-style pattern: each iteration is a
+# distributed join, only the 1-row convergence count hits the driver.
+# Oracle: a recursive CTE enumerates reachability and takes
+# min(reachable id) — true components, so the fixed point must match.
+# --------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 20
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    # undirected edges, both directions; vertices = docs in any pair
+    edges = pairs.union(
+        pairs.select(F.col("doc_id_b").alias("doc_id_a"), F.col("doc_id_a").alias("doc_id_b"))
+    ).toDF("src", "dst")
+    # the edge set feeds every iteration — materialize it once
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+
+    for _ in range(_CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("neighbor_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("comp", F.coalesce("neighbor_comp", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)  # cut the lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    from pyspark.sql import Window as _W
+
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        F.count(F.lit(1)).over(_W.partitionBy("comp")).alias("component_size"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+# Reachability closure via recursive CTE (UNION dedups → terminates),
+# then min(reachable) per vertex = the true component id.
+ORACLE_DEDUP_CLUSTER = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id_a, doc_id_b FROM ({ORACLE_DEDUP_MINHASH})
+),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comps AS (
+  SELECT id, min(comp) AS component_id FROM reach GROUP BY id
+)
+SELECT
+  id AS doc_id,
+  component_id,
+  count(*) OVER (PARTITION BY component_id) AS component_size,
+  id = component_id AS is_canonical
+FROM comps
+"""
+
+
+# --------------------------------------------------------------------------
+# q_hash_split — EXT-SAMPLE-SPLIT: deterministic train/val/test
+# assignment by content-independent key hash (md5 of doc_id → bucket
+# 0-99 → 90/5/5). The property that matters at 100 TB: the split is a
+# pure projection (no shuffle, no RNG state, stable under re-runs and
+# repartitioning), so every pipeline stage computes the same membership
+# without coordination.
+# --------------------------------------------------------------------------
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train").when(bucket < 95, "validation").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+ORACLE_HASH_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'validation'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# q_vocab_topk — EXT-TEXT-VOCAB: corpus vocabulary by document
+# frequency (top 50, ties broken lexicographically). One shuffle on the
+# term after an explode; at 100 TB add a map-side combine-friendly
+# pre-aggregation per (partition, term), which groupBy already gives.
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 50
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.array_distinct(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    )
+    df_counts = (
+        docs.select("doc_id", F.explode(words).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    from pyspark.sql import Window as _W
+
+    rnk = F.row_number().over(_W.orderBy(F.col("doc_freq").desc(), F.col("term")))
+    return df_counts.withColumn("rank", rnk).filter(F.col("rank") <= _VOCAB_K)
+
+
+ORACLE_VOCAB_TOPK = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+         )) AS term
+  FROM documents
+),
+df AS (
+  SELECT term, count(*) AS doc_freq
+  FROM words WHERE length(term) > 0
+  GROUP BY term
+)
+SELECT term, doc_freq,
+       CAST(row_number() OVER (ORDER BY doc_freq DESC, term) AS INT) AS rank
+FROM df
+QUALIFY rank <= {_VOCAB_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # q_media_pipeline — EXT-MULTIMODAL-RESIZE: decode → nearest-neighbor
 # resize over binary media (operators/multimodal.py). The decoder is a
 # deterministic fake (byte-length geometry, first w*h bytes as
@@ -634,6 +811,9 @@ QUERIES = [
     QueryDef("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, ("EXT-DEDUP-EXACT",)),
     QueryDef("fingerprint", q_fingerprint, ORACLE_FINGERPRINT, ("EXT-TEXT-FINGERPRINT",)),
     QueryDef("dedup_minhash", q_dedup_minhash, ORACLE_DEDUP_MINHASH, ("EXT-DEDUP-MINHASH-LSH", "EXT-DEDUP-NGRAM-JACCARD")),
+    QueryDef("dedup_cluster", q_dedup_cluster, ORACLE_DEDUP_CLUSTER, ("EXT-DEDUP-CLUSTER",)),
+    QueryDef("hash_split", q_hash_split, ORACLE_HASH_SPLIT, ("EXT-SAMPLE-SPLIT",)),
+    QueryDef("vocab_topk", q_vocab_topk, ORACLE_VOCAB_TOPK, ("EXT-TEXT-VOCAB",)),
     QueryDef("simhash", q_simhash, ORACLE_SIMHASH, ("EXT-DEDUP-SIMHASH",)),
     QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, ("EXT-TEXT-LANGID",)),
     QueryDef("token_count", q_token_count, ORACLE_TOKEN_COUNT, ("EXT-TEXT-TOKENS",)),

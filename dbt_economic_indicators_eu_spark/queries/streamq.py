@@ -98,6 +98,26 @@ GROUP BY user_id
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-STREAM-DEDUP: streaming deduplication — the stream twin of
+    exact dedup (datapipe.q_dedup_exact): emit each (user_id,
+    event_type) combination once, state = the set of seen keys. In
+    production ``withWatermark`` + ``dropDuplicatesWithinWatermark``
+    bounds that state by event time; with a finite drain the watermark
+    never advances past the data, so the unbounded form is used and the
+    result equals batch DISTINCT exactly (projecting ONLY the key
+    columns keeps the emitted row deterministic — dedup over wider rows
+    would keep an arbitrary first-seen row per key)."""
+    ev = streaming.events_stream(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return streaming.run_available_now(deduped, "stream_dedup", output_mode="append")
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed the target with stale values for 1/3 of the keys, then
     stream-merge ALL events via foreachBatch upsert: the final table
@@ -153,4 +173,5 @@ QUERIES = [
         ORACLE_STREAM_SESSIONIZE,
         ("EXT-STREAM-SESSION",),
     ),
+    QueryDef("stream_dedup", q_stream_dedup, ORACLE_STREAM_DEDUP, ("EXT-STREAM-DEDUP",)),
 ]

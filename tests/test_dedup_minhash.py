@@ -87,3 +87,26 @@ def test_doc_in_many_pairs_gets_correct_shingles(spark, tmp_path):
     expected = {(a, b) for a in range(4) for b in range(a + 1, 4)}
     assert set(pairs) == expected
     assert all(j == pytest.approx(1.0) for j in pairs.values())
+
+
+def test_cluster_merges_chain_via_transitivity(spark, tmp_path):
+    # sliding windows over one word sequence: A~B and B~C clear the 0.8
+    # Jaccard bar, A~C (0.667) does not — yet all three must land in ONE
+    # component with the min doc_id as canonical
+    from dbt_economic_indicators_eu_spark.queries.datapipe import q_dedup_cluster
+
+    words = [f"w{i:03d}" for i in range(122)]
+    docs = [
+        " ".join(words[0:102]),    # shingles 0..99
+        " ".join(words[10:112]),   # shingles 10..109  (J(A,B)=90/110≈0.82)
+        " ".join(words[20:122]),   # shingles 20..119  (J(A,C)=80/120≈0.67)
+    ]
+    sf_dir = _write_docs(spark, tmp_path, docs)
+    rows = q_dedup_cluster(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id) == {0, 1, 2}
+    assert {r["component_id"] for r in rows} == {0}
+    assert all(r["component_size"] == 3 for r in rows)
+    assert [r["is_canonical"] for r in sorted(rows, key=lambda r: r["doc_id"])] == [
+        True, False, False,
+    ]

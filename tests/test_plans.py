@@ -23,6 +23,7 @@ _PLAN_EXEMPT = {
     "rest_ingest",
     "bucketed_join",
     "partition_pruned",
+    "dedup_cluster",  # Pregel-style: executes iterations at build time
 }
 
 
