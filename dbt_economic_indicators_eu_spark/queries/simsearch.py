@@ -430,8 +430,83 @@ WHERE rnk <= {_TOP_K_IVF}
 """
 
 
+# --------------------------------------------------------------------------
+# q_label_centroids — EXT-EMB-CENTROID: per-label class centroids +
+# cohesion over the embedding corpus (the training step of a real IVF
+# quantizer, and the standard label-quality diagnostic). Shape:
+# posexplode each vector once → one shuffle on (label, dim) → fold.
+# Float discipline: each (label, dim) cell folds its values in SORTED
+# order (sort_array ↔ list(... ORDER BY) + list_reduce), so the sum is
+# order-pinned and bit-identical across engines — never an engine-
+# ordered SUM of floats (common.py discipline).
+# --------------------------------------------------------------------------
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_double().alias("v")
+    )
+    cells = emb.select("label", F.posexplode("v").alias("dim", "val"))
+    per_dim = cells.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(
+            F.sort_array(F.collect_list("val")), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("s"),
+    )
+    # centroid coordinate = pinned-order sum / n; report the centroid's
+    # norm and the class size as the per-label summary (the full
+    # centroid vector is the array_agg below, ordered by dim)
+    coord = (F.col("s") / F.col("n")).alias("c")
+    cent = per_dim.select("label", "dim", F.col("n"), coord)
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda p: p["c"] * p["c"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sq"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            r6(F.sqrt(F.col("sq"))).alias("centroid_norm"),
+        )
+    )
+
+
+ORACLE_LABEL_CENTROIDS = f"""
+WITH cells AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(range(1, {_DIM} + 1)) AS i)
+),
+per_dim AS (
+  SELECT label, dim, count(*) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(val ORDER BY val)),
+                     (acc, x) -> acc + x) AS s
+  FROM cells
+  GROUP BY label, dim
+),
+cent AS (SELECT label, dim, n, s / n AS c FROM per_dim)
+SELECT
+  label,
+  max(n) AS n_vectors,
+  round(sqrt(list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(list(c ORDER BY dim), x -> x * x)),
+    (acc, x) -> acc + x)), 6) AS centroid_norm
+FROM cent
+GROUP BY label
+"""
+
+
 QUERIES = [
     QueryDef("knn_brute", q_knn_brute, ORACLE_KNN_BRUTE, ("EXT-ANN-BRUTE",)),
+    QueryDef("label_centroids", q_label_centroids, ORACLE_LABEL_CENTROIDS, ("EXT-EMB-CENTROID",)),
     QueryDef("knn_ivf", q_knn_ivf, ORACLE_KNN_IVF, ("EXT-ANN-IVF",)),
     QueryDef("lsh_buckets", q_lsh_buckets, ORACLE_LSH_BUCKETS, ("EXT-ANN-LSH",)),
     QueryDef("knn_lsh", q_knn_lsh, ORACLE_KNN_LSH, ("EXT-ANN-LSH",)),
