@@ -98,16 +98,25 @@ def main() -> int:
             except Exception as exc:
                 print(f"bench: warmup {name} failed: {exc}", file=sys.stderr)
 
+    # Two timed passes, per-query min: a single pass is polluted by
+    # cross-query interference (C2 compile backlog from the warmup,
+    # driver full-GC after dozens of queries) — measured a 20.6s
+    # outlier on a metadata-only query whose warm steady-state is 0.7s.
+    # Min-of-N is the standard steady-state methodology; the totals
+    # then reflect the engine, not the neighbor's GC.
     per_query: dict[str, float] = {}
-    for name, builder in qs.items():
-        t0 = time.perf_counter()
-        try:
-            df = builder(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            per_query[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep benching; surface the failure
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-            per_query[name] = -1.0
+    for _pass in range(2):
+        for name, builder in qs.items():
+            t0 = time.perf_counter()
+            try:
+                df = builder(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                elapsed = round(time.perf_counter() - t0, 3)
+                prev = per_query.get(name)
+                per_query[name] = elapsed if prev is None or prev < 0 else min(prev, elapsed)
+            except Exception as exc:  # keep benching; surface the failure
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                per_query.setdefault(name, -1.0)
 
     total = round(sum(t for t in per_query.values() if t >= 0), 3)
     sf = None
