@@ -100,10 +100,10 @@ class QueryDef:
 
 
 def all_queries() -> dict[str, QueryDef]:
-    from . import datapipe, engine, ml, relational, simsearch, storage, streamq
+    from . import datapipe, engine, ml, relational, simsearch, storage, streamq, timeseries
 
     out: dict[str, QueryDef] = {}
-    for mod in (relational, ml, datapipe, engine, simsearch, streamq, storage):
+    for mod in (relational, ml, datapipe, engine, simsearch, streamq, storage, timeseries):
         for q in mod.QUERIES:
             out[q.name] = q
     return out

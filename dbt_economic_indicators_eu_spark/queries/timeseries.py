@@ -1,0 +1,263 @@
+"""Time-series operator demos: as-of join, range join, multi-granularity
+rollup, sketch aggregates, wide pivot.
+
+These are the "operators the engine lacks" extensions (EXT-ASOF-JOIN,
+EXT-RANGE-JOIN, EXT-ROLLUP-TIME, EXT-SKETCH-APPROX, EXT-PIVOT-WIDE) —
+the time-series / OLAP surface an economic-indicator user reaches for
+next: attach the latest prior reading to an observation (as-of), match
+points into reporting windows (range join), one-pass day/total rollups
+(grouping sets), sketch-based distinct/quantile for the 100 TB path,
+and long→wide reshaping (pivot). Reference analogues: the lag/window
+macros of ``macros/calculations.sql`` and the wide mart layout of
+``models/marts/rpt_annual_economic_summary.sql`` — re-expressed on the
+synthetic event/order tables so DuckDB can verify them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.rangejoin import range_join
+from .common import EVENTS_NORM_SQL, QueryDef, load, r2, r6
+
+# --------------------------------------------------------------------------
+# q_asof_join — EXT-ASOF-JOIN: for every 'view' event, the most recent
+# at-or-before 'purchase' of the same user (operators/asof.py: one
+# shuffle, union+window — see module docstring for why not a range
+# join). Right side is pre-aggregated to one row per (user, ts) with
+# max_by so timestamp ties are deterministic in both engines. Oracle:
+# DuckDB's native ASOF LEFT JOIN.
+# --------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), "ts", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(
+            F.max("event_id").alias("purchase_event_id"),
+            F.max_by("value", "event_id").alias("purchase_value"),
+        )
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="purchase_ts",
+        values=["purchase_ts", "purchase_event_id", "purchase_value"],
+    )
+    return joined.select(
+        "user_id",
+        "view_event_id",
+        "ts",
+        "value",
+        "purchase_event_id",
+        "purchase_value",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("purchase_ts"))).alias(
+            "micros_since_purchase"
+        ),
+    )
+
+
+ORACLE_ASOF_JOIN = f"""
+WITH ev AS (SELECT * FROM {EVENTS_NORM_SQL} e),
+v AS (
+  SELECT user_id, event_id AS view_event_id, ts, value
+  FROM ev WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts AS purchase_ts,
+         max(event_id) AS purchase_event_id,
+         arg_max(value, event_id) AS purchase_value
+  FROM ev WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT
+  v.user_id, v.view_event_id, v.ts, v.value,
+  p.purchase_event_id, p.purchase_value,
+  epoch_us(v.ts) - epoch_us(p.purchase_ts) AS micros_since_purchase
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.purchase_ts
+"""
+
+
+# --------------------------------------------------------------------------
+# q_range_join_agg — EXT-RANGE-JOIN: shipments falling inside 7-day
+# windows opened by sampled orders (operators/rangejoin.py: bin-
+# bucketed equi-join, intervals broadcast — never a nested loop).
+# Oracle: plain BETWEEN join (DuckDB plans its own IEJoin).
+# --------------------------------------------------------------------------
+
+_RANGE_BIN_SECONDS = 7 * 86400  # bin ≈ interval length → ~1-2 bins each
+
+
+def q_range_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_quantity")
+    windows = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            F.col("o_orderkey").alias("window_key"),
+            F.col("o_orderdate").alias("window_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("window_end"),
+        )
+    )
+    matched = range_join(
+        li,
+        "l_shipdate",
+        windows,
+        "window_start",
+        "window_end",
+        _RANGE_BIN_SECONDS,
+        broadcast_intervals=True,
+    )
+    return matched.groupBy("window_key", "window_start").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        r2(F.sum("l_quantity")).alias("total_qty"),
+    )
+
+
+ORACLE_RANGE_JOIN_AGG = """
+SELECT
+  o.o_orderkey AS window_key,
+  o.o_orderdate AS window_start,
+  count(*) AS n_shipments,
+  round(sum(l.l_quantity), 2) AS total_qty
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+WHERE o.o_orderkey % 1000 = 0
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q_rollup_time — EXT-ROLLUP-TIME: hypertable-style multi-granularity
+# rollup in ONE scan via ROLLUP grouping sets (event_type, day) →
+# per-type-per-day, per-type, and grand-total rows with grouping
+# flags. At scale this is strictly better than 3 separate groupBys:
+# one shuffle, partial aggregation map-side, no re-read.
+# --------------------------------------------------------------------------
+
+
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day boundary as TIMESTAMP, not DATE: both engines hand a timestamp
+    # to the comparison layer identically, DATE stringifies differently
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("event_day"), "value"
+    )
+    return ev.rollup("event_type", "event_day").agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("event_day").cast("int").alias("g_day"),
+        F.count(F.lit(1)).alias("n_events"),
+        r2(F.sum("value")).alias("total_value"),
+    )
+
+
+ORACLE_ROLLUP_TIME = f"""
+SELECT
+  event_type,
+  date_trunc('day', ts) AS event_day,
+  CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+  CAST(GROUPING(date_trunc('day', ts)) AS INTEGER) AS g_day,
+  count(*) AS n_events,
+  round(sum(value), 2) AS total_value
+FROM {EVENTS_NORM_SQL} e
+GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+"""
+
+
+# --------------------------------------------------------------------------
+# q_sketch_agg — EXT-SKETCH-APPROX: the 100 TB path for distinct counts
+# and quantiles is sketches (HLL, t-digest/KLL) — mergeable, bounded
+# memory, one pass. Exact countDistinct re-shuffles by value; exact
+# percentile buffers the group. Both engines' sketches are internally
+# deterministic but algorithm-specific, so the oracle checks the
+# CONTRACT, not the estimate: the approximation must land within
+# tolerance of the exact answer (emitted alongside). Exact quartile
+# interpolations of 2-dec data terminate ≤6 digits → r6 is parity-safe
+# (queries/common.py discipline).
+# --------------------------------------------------------------------------
+
+
+def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    exact_distinct = F.countDistinct("user_id")
+    approx_distinct = F.approx_count_distinct("user_id")
+    exact_p50 = F.percentile("value", F.lit(0.5))
+    approx_p50 = F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+    return ev.groupBy("event_type").agg(
+        exact_distinct.alias("n_users_exact"),
+        (F.abs(approx_distinct - exact_distinct) <= 0.1 * exact_distinct).alias(
+            "hll_within_10pct"
+        ),
+        r6(exact_p50).alias("p50_exact"),
+        (F.abs(approx_p50 - exact_p50) <= 0.05 * F.abs(exact_p50)).alias(
+            "p50_within_5pct"
+        ),
+    )
+
+
+ORACLE_SKETCH_AGG = f"""
+SELECT
+  event_type,
+  count(DISTINCT user_id) AS n_users_exact,
+  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+    <= 0.1 * count(DISTINCT user_id) AS hll_within_10pct,
+  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+    <= 0.05 * abs(quantile_cont(value, 0.5)) AS p50_within_5pct
+FROM {EVENTS_NORM_SQL} e
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q_pivot_events — EXT-PIVOT-WIDE: long→wide reshape, the shape of the
+# reference's wide marts (rpt_annual_economic_summary: one row per
+# country-year, one column set per indicator). Pivot values are pinned
+# explicitly — with an inferred value list Spark runs an extra distinct
+# job AND the output schema becomes data-dependent, which breaks
+# contracts; at scale the value list is metadata, not discovery.
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum("value")).alias("total"),
+        )
+    )
+
+
+ORACLE_PIVOT_EVENTS = (
+    "SELECT user_id,\n"
+    + ",\n".join(
+        f"  count(*) FILTER (WHERE event_type = '{t}') AS {t}_n,\n"
+        f"  round(sum(value) FILTER (WHERE event_type = '{t}'), 2) AS {t}_total"
+        for t in _EVENT_TYPES
+    )
+    + "\nFROM events GROUP BY user_id"
+)
+
+
+QUERIES = [
+    QueryDef("asof_join", q_asof_join, ORACLE_ASOF_JOIN, ("EXT-ASOF-JOIN",)),
+    QueryDef("range_join_agg", q_range_join_agg, ORACLE_RANGE_JOIN_AGG, ("EXT-RANGE-JOIN",)),
+    QueryDef("rollup_time", q_rollup_time, ORACLE_ROLLUP_TIME, ("EXT-ROLLUP-TIME",)),
+    QueryDef("sketch_agg", q_sketch_agg, ORACLE_SKETCH_AGG, ("EXT-SKETCH-APPROX",)),
+    QueryDef("pivot_events", q_pivot_events, ORACLE_PIVOT_EVENTS, ("EXT-PIVOT-WIDE",)),
+]

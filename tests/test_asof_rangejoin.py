@@ -1,0 +1,146 @@
+"""Semantics pins for the as-of join and bin-bucketed range join
+operators — the edge cases the oracle queries can't isolate:
+tie-at-boundary inclusion, no-match nulls, row atomicity of the right
+payload, multi-bin intervals matching exactly once, and half-open
+interval boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_economic_indicators_eu_spark.operators.asof import asof_join
+from dbt_economic_indicators_eu_spark.operators.rangejoin import range_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0, "a"),
+            (1, _ts("2024-01-01T12:00:00"), 110.0, "b"),
+            (2, _ts("2024-01-01T11:00:00"), 200.0, "c"),
+        ],
+        "key bigint, qts timestamp, px double, tag string",
+    )
+
+
+def test_asof_backward_basic(spark, quotes):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T11:30:00"), "t1"),  # between quotes -> 100.0
+            (1, _ts("2024-01-01T12:00:00"), "t2"),  # tie -> inclusive, 110.0
+            (1, _ts("2024-01-01T09:00:00"), "t3"),  # before all -> null
+            (3, _ts("2024-01-01T11:00:00"), "t4"),  # key with no quotes -> null
+        ],
+        "key bigint, tts timestamp, trade_id string",
+    )
+    out = asof_join(
+        trades, quotes, on=["key"], left_ts="tts", right_ts="qts", values=["px", "tag"]
+    )
+    got = {r["trade_id"]: (r["px"], r["tag"]) for r in out.collect()}
+    assert got == {
+        "t1": (100.0, "a"),
+        "t2": (110.0, "b"),
+        "t3": (None, None),
+        "t4": (None, None),
+    }
+
+
+def test_asof_forward(spark, quotes):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:30:00"), "t1"),  # next quote at 12:00
+            (1, _ts("2024-01-01T12:00:00"), "t2"),  # tie -> inclusive, 110.0
+            (1, _ts("2024-01-01T13:00:00"), "t3"),  # after all -> null
+        ],
+        "key bigint, tts timestamp, trade_id string",
+    )
+    out = asof_join(
+        trades,
+        quotes,
+        on=["key"],
+        left_ts="tts",
+        right_ts="qts",
+        values=["px"],
+        direction="forward",
+    )
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    assert got == {"t1": 110.0, "t2": 110.0, "t3": None}
+
+
+def test_asof_row_atomicity(spark):
+    """A legitimately-null value column must not be backfilled from an
+    OLDER right row — all values travel as one struct."""
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 1.0, "old"),
+            (1, _ts("2024-01-01T11:00:00"), None, "new"),
+        ],
+        "key bigint, rts timestamp, px double, tag string",
+    )
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"))], "key bigint, lts timestamp"
+    )
+    row = asof_join(
+        left, right, on=["key"], left_ts="lts", right_ts="rts", values=["px", "tag"]
+    ).collect()[0]
+    assert row["tag"] == "new" and row["px"] is None  # NOT (1.0, "new")
+
+
+def test_asof_rejects_colliding_values(spark, quotes):
+    left = quotes.select("key", F.col("qts").alias("lts"), F.lit(1.0).alias("px"))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, quotes, on=["key"], left_ts="lts", right_ts="qts", values=["px"])
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    return spark.createDataFrame(
+        [
+            ("w1", _ts("2024-01-01T00:00:00"), _ts("2024-01-15T00:00:00")),  # 2 bins
+            ("w2", _ts("2024-01-03T00:00:00"), _ts("2024-01-04T00:00:00")),  # sub-bin
+            ("w3", _ts("2024-01-05T00:00:00"), _ts("2024-01-05T00:00:00")),  # empty
+        ],
+        "wid string, ws timestamp, we timestamp",
+    )
+
+
+def test_range_join_multibin_matches_once(spark, intervals):
+    facts = spark.createDataFrame(
+        [
+            ("f1", _ts("2024-01-02T12:00:00")),  # w1 only
+            ("f2", _ts("2024-01-03T06:00:00")),  # w1 + w2
+            ("f3", _ts("2024-01-10T00:00:00")),  # w1, second bin
+            ("f4", _ts("2024-01-20T00:00:00")),  # nothing
+        ],
+        "fid string, fts timestamp",
+    )
+    out = range_join(facts, "fts", intervals, "ws", "we", bin_seconds=7 * 86400)
+    got = sorted((r["fid"], r["wid"]) for r in out.collect())
+    assert got == [("f1", "w1"), ("f2", "w1"), ("f2", "w2"), ("f3", "w1")]
+
+
+def test_range_join_half_open_boundaries(spark, intervals):
+    facts = spark.createDataFrame(
+        [
+            ("start", _ts("2024-01-03T00:00:00")),  # == w2 start -> in
+            ("end", _ts("2024-01-04T00:00:00")),  # == w2 end -> out (but in w1)
+        ],
+        "fid string, fts timestamp",
+    )
+    out = range_join(facts, "fts", intervals, "ws", "we", bin_seconds=86400)
+    got = sorted((r["fid"], r["wid"]) for r in out.collect())
+    assert got == [("end", "w1"), ("start", "w1"), ("start", "w2")]
+
+
+def test_range_join_rejects_collision(spark, intervals):
+    facts = intervals.select(F.col("wid"), F.col("ws").alias("fts"))
+    with pytest.raises(ValueError, match="collision"):
+        range_join(facts, "fts", intervals, "ws", "we", bin_seconds=86400)
