@@ -105,3 +105,24 @@ def test_minhash_no_shuffle_of_shingles(spark):
     plan = _plan(spark, "dedup_minhash")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_window_not_range_join(spark):
+    """The as-of operator must plan as union + window — one full-data
+    hash exchange on the key — never as a join of left against right
+    (no join operator over the unioned stream at all)."""
+    plan = _plan(spark, "asof_join")
+    assert "Window" in plan and "Union" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2  # window + pre-agg
+
+
+def test_range_join_binned_equi_not_nested_loop(spark):
+    """Interval containment must ride the exploded-bin equi-join
+    (BroadcastHashJoin over Generate), not the BroadcastNestedLoopJoin
+    Spark plans for raw inequality joins."""
+    plan = _plan(spark, "range_join_agg")
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
