@@ -806,6 +806,120 @@ FROM frames
 """
 
 
+# --------------------------------------------------------------------------
+# q_pack_sequences — EXT-PACK-SEQ: concat-and-chunk sequence packing —
+# the layout step of a pretraining pipeline: documents are concatenated
+# (per shard, in a deterministic order) and chunked into fixed
+# context-window bins; each doc is labeled with its starting bin and
+# whether it straddles a window boundary. Distributed shape: hash-shard
+# the corpus (content-independent md5 bucket, same recipe as
+# hash_split), then ONE window cumsum per shard — no sequential global
+# scan, shards pack in parallel; at 100 TB the shard count scales with
+# the cluster and packing stays a single shuffle.
+# --------------------------------------------------------------------------
+
+_PACK_WINDOW_TOKENS = 2048
+_PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _PACK_SHARDS
+    )
+    base = docs.select(
+        "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    L = F.lit(_PACK_WINDOW_TOKENS)
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / L).alias("pack_id"),
+        (
+            (F.col("n_tokens") > 0)
+            & (F.floor((cum - F.col("n_tokens")) / L) != F.floor((cum - 1) / L))
+        ).alias("crosses_boundary"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_PACK_SHARDS} AS shard,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       cum - n_tokens AS start_offset,
+       (cum - n_tokens) // {_PACK_WINDOW_TOKENS} AS pack_id,
+       n_tokens > 0 AND
+         (cum - n_tokens) // {_PACK_WINDOW_TOKENS} != (cum - 1) // {_PACK_WINDOW_TOKENS}
+         AS crosses_boundary
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# q_sample_stratified — EXT-SAMPLE-STRAT: deterministic per-language
+# sampling rates (downsample the dominant language, keep the rest) via
+# the same content-independent md5 bucket as hash_split — a pure
+# projection + filter: no RNG state, no shuffle, identical membership
+# under re-runs and repartitioning, which is what makes a 100 TB sample
+# reproducible. Rates mirror the rebalancing step of a multilingual
+# pretraining mix.
+# --------------------------------------------------------------------------
+
+_STRAT_RATES = {"en": 25, "de": 100, "es": 100, "fr": 100, "zh": 50}  # pct kept
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _STRAT_RATES.items()],
+        F.lit(0),
+    )
+    return (
+        docs.select("doc_id", "lang", "source", bucket.alias("bucket"), rate.alias("keep_pct"))
+        .filter(F.col("bucket") < F.col("keep_pct"))
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+WITH b AS (
+  SELECT doc_id, lang, source,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) % 100
+           AS bucket,
+         CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in _STRAT_RATES.items())}
+              ELSE 0 END AS keep_pct
+  FROM documents
+)
+SELECT doc_id, lang, source, bucket, keep_pct
+FROM b WHERE bucket < keep_pct
+"""
+
+
 QUERIES = [
     QueryDef("text_stats", q_text_stats, ORACLE_TEXT_STATS, ("EXT-TEXT-QUALITY",)),
     QueryDef("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, ("EXT-DEDUP-EXACT",)),
@@ -822,4 +936,11 @@ QUERIES = [
         "media_pipeline", q_media_pipeline, ORACLE_MEDIA_PIPELINE, ("EXT-MULTIMODAL-RESIZE",)
     ),
     QueryDef("frame_sample", q_frame_sample, ORACLE_FRAME_SAMPLE, ("EXT-MULTIMODAL-FRAMES",)),
+    QueryDef("pack_sequences", q_pack_sequences, ORACLE_PACK_SEQUENCES, ("EXT-PACK-SEQ",)),
+    QueryDef(
+        "sample_stratified",
+        q_sample_stratified,
+        ORACLE_SAMPLE_STRATIFIED,
+        ("EXT-SAMPLE-STRAT",),
+    ),
 ]
