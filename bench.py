@@ -98,15 +98,19 @@ def main() -> int:
             except Exception as exc:
                 print(f"bench: warmup {name} failed: {exc}", file=sys.stderr)
 
-    # Two timed passes, per-query min: a single pass is polluted by
-    # cross-query interference (C2 compile backlog from the warmup,
-    # driver full-GC after dozens of queries) — measured a 20.6s
-    # outlier on a metadata-only query whose warm steady-state is 0.7s.
-    # Min-of-N is the standard steady-state methodology; the totals
-    # then reflect the engine, not the neighbor's GC.
+    # Two timed runs per query, BACK-TO-BACK, keep the min: a single
+    # run is polluted by cross-query interference (C2 compile backlog
+    # from the warmup, driver full-GC after dozens of queries) —
+    # measured a 20.6s outlier on a metadata-only query whose warm
+    # steady state is 0.7s. Back-to-back (not two whole-suite passes)
+    # because Spark's generated-class cache holds ~100 codegen units:
+    # with 67 queries a second full pass finds its units evicted and
+    # re-Janino-compiles, so consecutive runs are the only layout where
+    # run 2 measures the engine, not the compiler. Min-of-N is the
+    # standard steady-state methodology.
     per_query: dict[str, float] = {}
-    for _pass in range(2):
-        for name, builder in qs.items():
+    for name, builder in qs.items():
+        for _rep in range(2):
             t0 = time.perf_counter()
             try:
                 df = builder(spark, sf_dir)
