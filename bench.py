@@ -68,6 +68,12 @@ def main() -> int:
     from __spark_entry__ import queries
 
     qs = queries()
+    # Iteration aid: SPARK_GRAFT_ONLY=a,b,c restricts the run to named
+    # queries (warmup + timing). Unset = full suite (driver mode).
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        qs = {n: qs[n] for n in names}
 
     # Warm the JVM paths a query can hit, so q1 isn't charged session
     # startup: codegen, the parquet datasource (footer/vectorized-reader

@@ -188,20 +188,39 @@ GROUP BY ROLLUP(event_type, date_trunc('day', ts))
 
 
 def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two branches joined on the 5-row group key instead of one agg:
+    # mixing countDistinct with a TypedImperativeAggregate (percentile)
+    # makes Catalyst plan an Expand (×2 row blowup) feeding a single
+    # SortAggregate that buffers every expanded row — measured 7.5s at
+    # sf0.1 vs ~0.6s for this split shape. Sketches and exact distinct
+    # each keep their natural partial-agg hash plan; the join is a
+    # broadcast of a handful of rows.
     ev = load(spark, sf_dir, "events")
-    exact_distinct = F.countDistinct("user_id")
-    approx_distinct = F.approx_count_distinct("user_id")
     exact_p50 = F.percentile("value", F.lit(0.5))
     approx_p50 = F.percentile_approx("value", F.lit(0.5), F.lit(10000))
-    return ev.groupBy("event_type").agg(
-        exact_distinct.alias("n_users_exact"),
-        (F.abs(approx_distinct - exact_distinct) <= 0.1 * exact_distinct).alias(
-            "hll_within_10pct"
-        ),
-        r6(exact_p50).alias("p50_exact"),
-        (F.abs(approx_p50 - exact_p50) <= 0.05 * F.abs(exact_p50)).alias(
-            "p50_within_5pct"
-        ),
+    sketches = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("_approx_users"),
+        exact_p50.alias("_p50_raw"),
+        approx_p50.alias("_p50_approx"),
+    )
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users_exact"))
+    )
+    return sketches.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("_approx_users") - F.col("n_users_exact"))
+            <= 0.1 * F.col("n_users_exact")
+        ).alias("hll_within_10pct"),
+        r6(F.col("_p50_raw")).alias("p50_exact"),
+        (
+            F.abs(F.col("_p50_approx") - F.col("_p50_raw"))
+            <= 0.05 * F.abs(F.col("_p50_raw"))
+        ).alias("p50_within_5pct"),
     )
 
 

@@ -33,6 +33,8 @@ Design notes:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,6 +45,33 @@ EVENTS_SCHEMA = (
 
 SESSION_GAP = "30 minutes"
 DEFAULT_WATERMARK = "1 hour"
+
+# Stateful operators create one state-store instance PER shuffle
+# partition, each with its own delta files, maintenance thread, and
+# per-batch commit — for a single-file drain that fixed cost dwarfs the
+# data. Size state partitions to state VOLUME (≈ state bytes / 100 MB
+# per partition at cluster scale), not to the session's shuffle
+# default. The partition count is pinned into the checkpoint at first
+# start, so it is a per-pipeline knob, not a session conf.
+DEFAULT_STATE_PARTITIONS = 4
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming start:
+    the streaming engine reads it once when the query starts, so
+    restoring the previous value immediately after does not affect the
+    running stream — only subsequent batch plans."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,13 +201,14 @@ def stream_merge_incremental(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         run_incremental(batch_df.sparkSession, target_path, batch_df, unique_key)
 
-    q = (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(stream_df.sparkSession, DEFAULT_STATE_PARTITIONS):
+        q = (
+            stream_df.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
@@ -190,12 +220,13 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "compl
     pass ``update``: with one drain batch that is also the final state).
     Production sinks use ``append`` (only watermark-finalized windows)
     to parquet/Kafka instead."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(stream_df.sparkSession, DEFAULT_STATE_PARTITIONS):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
