@@ -10,6 +10,9 @@ oracle can verify the *exact* hash outputs, not just row counts.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -708,16 +711,24 @@ QUALIFY rank <= {_VOCAB_K}
 # --------------------------------------------------------------------------
 
 
-def _byte_sum(col: str):
-    """Sum of raw byte values of a binary column, JVM-side: decode as
-    ISO-8859-1 (bijective bytes 0-255 → code points 0-255), then fold
-    ``ascii`` over positions. Verifies downstream of mapInPandas that
-    the exact bytes round-tripped through Arrow."""
-    return F.expr(
-        f"aggregate(transform(sequence(1, length(decode({col}, 'ISO-8859-1'))), "
-        f"i -> ascii(substring(decode({col}, 'ISO-8859-1'), i, 1))), "
-        f"0L, (acc, v) -> acc + v)"
-    )
+def _byte_sum_udf():
+    """Sum of raw byte values of a binary column as an Arrow-vectorized
+    UDF: the pixels leave the decode operator through Arrow into the
+    plan and re-enter this stage through Arrow, so byte round-trip
+    fidelity is still exercised end-to-end — but the sum itself is one
+    ``np.frombuffer(...).sum()`` per row instead of an interpreted
+    per-character ``aggregate(transform(sequence(...)))`` fold (HOFs
+    are not codegen'd; the fold measured ~1.1s of media_pipeline's
+    1.5s at sf0.1). Byte sums are integer arithmetic — no float-order
+    parity concern."""
+
+    @F.pandas_udf("long")
+    def byte_sum(b: pd.Series) -> pd.Series:
+        return b.map(
+            lambda x: int(np.frombuffer(x, dtype=np.uint8).sum()) if x is not None else None
+        )
+
+    return byte_sum
 
 
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,11 +739,12 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = decode_image(docs)
     resized = resize_nearest(decoded, factor=2)
+    byte_sum = _byte_sum_udf()
     dec_sum = decoded.select(
-        "doc_id", "width", "height", _byte_sum("pixels").alias("pixel_sum")
+        "doc_id", "width", "height", byte_sum("pixels").alias("pixel_sum")
     )
     rs_sum = resized.select(
-        "doc_id", "r_width", "r_height", _byte_sum("r_pixels").alias("resized_sum")
+        "doc_id", "r_width", "r_height", byte_sum("r_pixels").alias("resized_sum")
     )
     return dec_sum.join(rs_sum, "doc_id")
 

@@ -81,7 +81,12 @@ GROUP BY user_id, session_idx
 def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming.events_stream(spark, sf_dir)
     return streaming.run_available_now(
-        streaming.stateful_user_totals(ev), "stream_stateful_totals", output_mode="update"
+        streaming.stateful_user_totals(ev),
+        "stream_stateful_totals",
+        output_mode="update",
+        # Python-stateful: partitions bound worker parallelism (see
+        # run_available_now docstring); 16 measured 2.2s vs 2.9s at 4.
+        n_state_partitions=16,
     )
 
 

@@ -33,6 +33,7 @@ Design notes:
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,7 +54,7 @@ DEFAULT_WATERMARK = "1 hour"
 # per partition at cluster scale), not to the session's shuffle
 # default. The partition count is pinned into the checkpoint at first
 # start, so it is a per-pipeline knob, not a session conf.
-DEFAULT_STATE_PARTITIONS = 4
+DEFAULT_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 
 
 @contextmanager
@@ -211,7 +212,12 @@ def stream_merge_incremental(
         q.awaitTermination()
 
 
-def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    n_state_partitions: int | None = None,
+) -> DataFrame:
     """Drain the stream (trigger=availableNow) into a memory sink and
     return the result as a static DataFrame.
 
@@ -219,8 +225,16 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str = "compl
     deterministic for a finite source (stateful update-mode operators
     pass ``update``: with one drain batch that is also the final state).
     Production sinks use ``append`` (only watermark-finalized windows)
-    to parquet/Kafka instead."""
-    with state_partitions(stream_df.sparkSession, DEFAULT_STATE_PARTITIONS):
+    to parquet/Kafka instead.
+
+    ``n_state_partitions``: JVM-stateful pipelines want FEW state
+    stores (fixed per-store cost dominates); Python-stateful ones
+    (``applyInPandasWithState``) want MORE — each partition is a
+    serial Arrow⇄pandas worker loop, so partitions bound the Python
+    parallelism. Callers override per pipeline."""
+    with state_partitions(
+        stream_df.sparkSession, n_state_partitions or DEFAULT_STATE_PARTITIONS
+    ):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
