@@ -42,6 +42,15 @@ TABLES = (
 )
 
 
+# (applicationId, sf_dir, table) → analyzed scan DataFrame. A DataFrame
+# is an immutable logical plan, so reusing it across queries is safe;
+# without the cache every query re-lists the path and re-reads parquet
+# footers during analysis (~20-50ms × 67 queries × 1-3 tables — the
+# single-node analogue of having no metastore). Keyed by applicationId
+# so a new session never sees another session's plans.
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic parquet table (column pruning + predicate
     pushdown happen automatically downstream of this lazy scan).
@@ -51,6 +60,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamps — the DuckDB oracles apply the equivalent
     ``CAST(ts AS TIMESTAMP)`` so both engines see identical values.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     # Self-contained: the driver supplies its own SparkSession, so the
     # nanos conf must be set here (it is a runtime SQL conf), not only in
     # session.get_spark — otherwise events.parquet (TIMESTAMP NANOS)
@@ -61,6 +74,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             # integer div — ns longs (~1.7e18) overflow double precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _SCAN_CACHE[key] = df
     return df
 
 
