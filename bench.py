@@ -57,6 +57,12 @@ def main() -> int:
         # driver event loop while timing
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # STATIC conf (must be set before the session exists): the
+        # default generated-class cache holds 100 codegen units; 67
+        # queries compile ~300+, so a second full suite pass would
+        # re-Janino-compile almost everything. With the cache sized to
+        # the workload, pass 2 runs entirely from cached classes.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     if scratch:
         builder = builder.config("spark.local.dir", scratch).config(
@@ -104,29 +110,66 @@ def main() -> int:
             except Exception as exc:
                 print(f"bench: warmup {name} failed: {exc}", file=sys.stderr)
 
-    # Two timed runs per query, BACK-TO-BACK, keep the min: a single
-    # run is polluted by cross-query interference (C2 compile backlog
-    # from the warmup, driver full-GC after dozens of queries) —
-    # measured a 20.6s outlier on a metadata-only query whose warm
-    # steady state is 0.7s. Back-to-back (not two whole-suite passes)
-    # because Spark's generated-class cache holds ~100 codegen units:
-    # with 67 queries a second full pass finds its units evicted and
-    # re-Janino-compiles, so consecutive runs are the only layout where
-    # run 2 measures the engine, not the compiler. Min-of-N is the
-    # standard steady-state methodology.
+    # Two whole-suite passes, per-query min: a single sample is
+    # polluted by cross-query interference (C2 compile backlog from
+    # the warmup, driver full-GC after dozens of queries) — measured a
+    # 20.6s outlier on a metadata-only query whose warm steady state
+    # is 0.7s, and a 9.9s one on a window query. The two samples of a
+    # query are minutes apart, so a multi-second JVM event lands in at
+    # most one of them (back-to-back reps shared the event and BOTH
+    # read slow). The codegen cache is sized above so pass 2 reuses
+    # every generated class instead of re-Janino-compiling. Min-of-N
+    # is the standard steady-state methodology.
+    def time_one(name: str, builder) -> float:
+        t0 = time.perf_counter()
+        try:
+            df = builder(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            return round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching; surface the failure
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            return -1.0
+
+    def jvm_quiesce() -> None:
+        # Ask for a full GC OUTSIDE the timed windows so accumulated
+        # driver garbage (codegen classes, memory-sink rows, broadcast
+        # cleanup) is collected between passes instead of pausing a
+        # victim query mid-measurement.
+        try:
+            spark._jvm.System.gc()
+            time.sleep(1.0)
+        except Exception:
+            pass
+
     per_query: dict[str, float] = {}
-    for name, builder in qs.items():
-        for _rep in range(2):
-            t0 = time.perf_counter()
-            try:
-                df = builder(spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
-                elapsed = round(time.perf_counter() - t0, 3)
-                prev = per_query.get(name)
-                per_query[name] = elapsed if prev is None or prev < 0 else min(prev, elapsed)
-            except Exception as exc:  # keep benching; surface the failure
-                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-                per_query.setdefault(name, -1.0)
+    samples: dict[str, list[float]] = {}
+    for _pass in range(2):
+        jvm_quiesce()
+        for name, builder in qs.items():
+            elapsed = time_one(name, builder)
+            samples.setdefault(name, []).append(elapsed)
+            prev = per_query.get(name)
+            per_query[name] = elapsed if prev is None or prev < 0 else min(prev, elapsed)
+
+    # Adaptive third sample: when a query's two samples disagree by
+    # >1.5x, at least one was polluted by a JVM event (C2 backlog,
+    # full GC, streaming-engine teardown of a neighbor) — and a
+    # multi-second event can span BOTH if they were close in time.
+    # One more sample after a quiesce resolves it; bounded to the
+    # disagreeing queries so the extra wall time stays small.
+    retry = [
+        n
+        for n, ss in samples.items()
+        if len([s for s in ss if s >= 0]) == 2
+        and min(s for s in ss if s >= 0) > 0.3
+        and max(ss) / max(min(s for s in ss if s >= 0), 1e-9) > 1.5
+    ]
+    if retry:
+        jvm_quiesce()
+        for name in retry:
+            elapsed = time_one(name, qs[name])
+            if elapsed >= 0:
+                per_query[name] = min(per_query[name], elapsed)
 
     total = round(sum(t for t in per_query.values() if t >= 0), 3)
     sf = None
