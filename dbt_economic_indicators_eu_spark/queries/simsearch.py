@@ -62,6 +62,53 @@ def _lit_array(xs: list[float]) -> Column:
     return F.array(*[F.lit(x) for x in xs])
 
 
+def _cos_udf():
+    """Arrow-vectorized pairwise cosine over two raw ``array<float>``
+    columns: one einsum per batch instead of an interpreted
+    ``aggregate(zip_with)`` fold per row (HOFs are not codegen'd — the
+    fold form cost ~0.6s per knn query at sf0.1, this ~0.1s).
+
+    Parity with the oracle's sequential ``list_dot_product``: numpy's
+    pairwise summation differs by ~1e-16, which only matters (a) at an
+    r6 rounding boundary — measured min distance 8.3e-13 across every
+    query×candidate cosine at all SFs — or (b) at a rank tie — measured
+    min top-k cosine gap 0.06. Both margins dwarf the noise; the
+    equality-sensitive fold discipline (queries/common.py) still
+    applies to SUMS over many rows (label_centroids), which keep the
+    ordered JVM fold."""
+
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if va.empty:
+            return pd.Series([], dtype="float64")
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.sqrt(np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b))
+        return pd.Series(num / den)
+
+    return cos
+
+
+def _plane_bucket_udf(planes: list[list[float]]):
+    """Vectorized sign-of-dot bucket id over the given hyperplane set
+    (bit j = sign of dot with plane j). Sign margins: min |dot| 1e-4
+    for the 6-plane knn table (5e-6 for the 32-plane dedup set) vs
+    ~1e-15 reorder noise — see ``_dedup_buckets_udf``."""
+    mat = np.array(planes)  # n_planes x dim
+    shifts = np.array([1 << j for j in range(len(planes))])
+
+    @F.pandas_udf("int")
+    def bucket(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="int32")
+        v = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (v @ mat.T) > 0
+        return pd.Series((bits * shifts).sum(axis=1).astype(np.int32))
+
+    return bucket
+
+
 def _sql_array(xs: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in xs) + "]"
 
@@ -72,16 +119,21 @@ def _sql_array(xs: list[float]) -> str:
 
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
-    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    # queries broadcast, candidates stream, cosine vectorized per Arrow
+    # batch (_cos_udf) — the big side is never shuffled and never folded
+    # row-at-a-time
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     ).filter(F.col("q_id") % _QUERY_MOD == 0)
-    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
     scored = (
         emb.join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_udf()("q_emb", "embedding").alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -127,9 +179,9 @@ def _bucket_expr(v: Column) -> Column:
 
 
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    emb = load(spark, sf_dir, "embeddings")
     return (
-        emb.select(_bucket_expr(F.col("v")).alias("bucket_id"))
+        emb.select(_plane_bucket_udf(_PLANES)("embedding").alias("bucket_id"))
         .groupBy("bucket_id")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
@@ -158,21 +210,23 @@ GROUP BY 1
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
-    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v")))).withColumn(
-        "bucket_id", _bucket_expr(F.col("v"))
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _plane_bucket_udf(_PLANES)("embedding").alias("bucket_id")
     )
     q = emb.select(
         F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+        F.col("embedding").alias("q_emb"),
         "bucket_id",
     ).filter(F.col("q_id") % _QUERY_MOD == 0)
-    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
     scored = (
         emb.join(q, "bucket_id")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "bucket_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .select(
+            "q_id",
+            "bucket_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_udf()("q_emb", "embedding").alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -364,39 +418,43 @@ _TOP_K_IVF = 5
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
-    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = emb.filter(F.col("vec_id") % _IVF_CENTROID_STRIDE == 7).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
-    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    cos_udf = _cos_udf()
 
-    def nearest(df, id_col, n):
+    def nearest(df, id_col, emb_col, n):
         w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("c_id"))
         return (
             df.join(F.broadcast(cent))
-            .select(id_col, "c_id", ccos.alias("ccos"))
+            .select(id_col, "c_id", cos_udf(emb_col, "c_emb").alias("ccos"))
             .withColumn("crnk", F.row_number().over(w))
             .filter(F.col("crnk") <= n)
         )
 
-    assigned = nearest(emb, "vec_id", 1).select("vec_id", F.col("c_id").alias("cluster"))
+    assigned = nearest(emb, "vec_id", "embedding", 1).select(
+        "vec_id", F.col("c_id").alias("cluster")
+    )
     inv = emb.join(assigned, "vec_id")  # inverted lists: vector + cluster
 
     q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
     probes = nearest(
-        q.select(F.col("vec_id").alias("q_id"), "v", "nrm"), "q_id", _IVF_NPROBE
+        q.select(F.col("vec_id").alias("q_id"), "embedding"), "q_id", "embedding", _IVF_NPROBE
     ).select("q_id", F.col("c_id").alias("cluster"))
     qside = probes.join(
-        q.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")),
+        q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")),
         "q_id",
     )
 
-    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
     scored = (
         inv.join(qside, "cluster")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_udf("q_emb", "embedding").alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
