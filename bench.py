@@ -64,10 +64,19 @@ def main() -> int:
         # the workload, pass 2 runs entirely from cached classes.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
+    # The suite compiles ~300+ whole-stage units twice over; with the
+    # generated-class cache above keeping them all live, the JIT'd
+    # machine code outgrows the JVM's default ~240MB reserved code
+    # cache. When that fills, HotSpot disables compilation ("CodeCache
+    # is full") and every later query runs interpreted — measured as a
+    # sustained late-suite 3-7x slowdown on buffer-heavy plans
+    # (percentile, pivot) that no short subset reproduces. Reserve
+    # enough for the whole workload up front.
+    jvm_opts = "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing"
     if scratch:
-        builder = builder.config("spark.local.dir", scratch).config(
-            "spark.driver.extraJavaOptions", f"-Djava.io.tmpdir={scratch}"
-        )
+        jvm_opts += f" -Djava.io.tmpdir={scratch}"
+        builder = builder.config("spark.local.dir", scratch)
+    builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
