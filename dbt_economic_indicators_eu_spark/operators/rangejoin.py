@@ -28,10 +28,17 @@ from pyspark.sql import functions as F
 _BIN = "__range_bin"
 
 
+def _epoch_ntz() -> Column:
+    # built per call — Column construction needs an active SparkContext
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+
 def _bin_of(ts: Column, bin_seconds: int) -> Column:
-    # cast handles TIMESTAMP_NTZ inputs (parquet dates land as NTZ);
-    # sessions pin UTC so the NTZ->LTZ reinterpretation is the identity
-    return F.floor(F.unix_micros(ts.cast("timestamp")) / F.lit(bin_seconds * 1_000_000))
+    # timestamp_diff against an NTZ epoch anchor is tz-free for DATE,
+    # TIMESTAMP_NTZ, and (coerced) TIMESTAMP inputs alike — unlike
+    # unix_micros, which rejects NTZ outright
+    micros = F.timestamp_diff("MICROSECOND", _epoch_ntz(), ts.cast("timestamp_ntz"))
+    return F.floor(micros / F.lit(bin_seconds * 1_000_000))
 
 
 def range_join(
@@ -64,8 +71,8 @@ def range_join(
                 F.sequence(
                     _bin_of(F.col(start_col), bin_seconds),
                     _bin_of(
-                        F.timestamp_micros(
-                            F.unix_micros(F.col(end_col).cast("timestamp")) - 1
+                        F.timestamp_add(
+                            "MICROSECOND", F.lit(-1), F.col(end_col).cast("timestamp_ntz")
                         ),
                         bin_seconds,
                     ),

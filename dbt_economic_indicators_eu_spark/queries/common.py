@@ -51,29 +51,56 @@ TABLES = (
 _SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+# NTZ epoch anchor: timestamp_diff/add against it give tz-free epoch
+# micros regardless of the session time zone (unlike unix_micros, which
+# rejects TIMESTAMP_NTZ, and NTZ<->LTZ casts, which shift by session tz).
+# Built per call — Column construction needs an active SparkContext.
+def EPOCH_NTZ() -> Column:
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+
+def epoch_micros(c: Column) -> Column:
+    """Microseconds since epoch for TIMESTAMP_NTZ (wall-clock) columns;
+    LTZ inputs coerce. Use this instead of ``unix_micros`` anywhere
+    ``events.ts`` flows — the canonical ``ts`` type is NTZ (see load)."""
+    return F.timestamp_diff("MICROSECOND", EPOCH_NTZ(), c)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic parquet table (column pruning + predicate
     pushdown happen automatically downstream of this lazy scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as a long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and we floor-truncate to
-    microsecond timestamps — the DuckDB oracles apply the equivalent
-    ``CAST(ts AS TIMESTAMP)`` so both engines see identical values.
+    ``events.ts`` is normalized to TIMESTAMP_NTZ — the tz-free wall
+    clock that DuckDB's naive TIMESTAMP also uses, so the oracle's
+    ``CAST(ts AS TIMESTAMP)`` sees identical values. Two physical
+    encodings are handled: parquet TIMESTAMP(MICROS, no-tz) reads as
+    NTZ directly (current testdata), and legacy TIMESTAMP(NANOS) reads
+    as a long (``nanosAsLong``) which we floor to µs.
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached
-    # Self-contained: the driver supplies its own SparkSession, so the
-    # nanos conf must be set here (it is a runtime SQL conf), not only in
-    # session.get_spark — otherwise events.parquet (TIMESTAMP NANOS)
-    # raises PARQUET_TYPE_ILLEGAL.
+    # Self-contained: the driver supplies its own SparkSession, so these
+    # runtime SQL confs must be set here, not only in session.get_spark —
+    # otherwise TIMESTAMP(NANOS) parquet raises PARQUET_TYPE_ILLEGAL.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            # integer div — ns longs (~1.7e18) overflow double precision
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
+            # legacy nanos-as-long: integer div (ns longs ~1.7e18
+            # overflow double precision), then anchor onto the NTZ epoch
+            df = df.withColumn(
+                "ts", F.timestamp_add("MICROSECOND", F.expr("ts div 1000"), EPOCH_NTZ())
+            )
+        elif kind == "timestamp":
+            # only reachable if a driver session disabled NTZ inference;
+            # sessions pin UTC so this cast is the identity reinterpret
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     _SCAN_CACHE[key] = df
     return df
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import rank_within_group, safe_divide, surrogate_key
-from .common import QueryDef, load, r2, r4
+from .common import QueryDef, epoch_micros, load, r2, r4
 
 # --------------------------------------------------------------------------
 # q_staging_projection — OP-SRC-TABLE, OP-PROJ-RENAME, OP-PROJ-CAST,
@@ -586,7 +586,7 @@ WHERE NOT EXISTS (
 def q_test_range_nofuture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     out_of_range = (F.col("value") < 0) | (F.col("value") > 500)
-    future = F.col("ts") > F.lit("2026-01-01").cast("timestamp")
+    future = F.col("ts") > F.lit("2026-01-01").cast("timestamp_ntz")
     return (
         ev.filter(out_of_range | future)
         .select(
@@ -735,7 +735,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differently than the oracle's fractional epoch() near the boundary.
     is_new = F.when(
         prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+        | (epoch_micros(F.col("ts")) - epoch_micros(prev_ts) > 1800 * 1_000_000),
         1,
     ).otherwise(0)
     with_session = ev.withColumn("session_idx", F.sum(is_new).over(w_user))

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join
-from .common import EVENTS_NORM_SQL, QueryDef, load, r2, r6
+from .common import EVENTS_NORM_SQL, QueryDef, epoch_micros, load, r2, r6
 
 # --------------------------------------------------------------------------
 # q_asof_join — EXT-ASOF-JOIN: for every 'view' event, the most recent
@@ -60,7 +60,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "purchase_event_id",
         "purchase_value",
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("purchase_ts"))).alias(
+        (epoch_micros(F.col("ts")) - epoch_micros(F.col("purchase_ts"))).alias(
             "micros_since_purchase"
         ),
     )

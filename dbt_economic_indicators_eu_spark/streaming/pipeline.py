@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -78,19 +78,33 @@ def state_partitions(spark: SparkSession, n: int | None):
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table.
 
-    The parquet stores TIMESTAMP(NANOS); the runtime conf reads it as a
-    long and we floor to microseconds — same normalization as the batch
-    ``queries/common.py:load``. The schema must be explicit (streaming
-    file sources don't infer), which also guarantees column pruning at
-    the scan.
+    The parquet stores TIMESTAMP(MICROS, no-tz); reading it as
+    TIMESTAMP_NTZ matches the batch normalization in
+    ``queries/common.py:load``. Event-time pipelines cast to LTZ just
+    for ``withWatermark`` (see ``_with_event_time``). The schema must
+    be explicit (streaming file sources don't infer), which also
+    guarantees column pruning at the scan.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _with_event_time(events: DataFrame, watermark: str) -> DataFrame:
+    """Attach the watermark for streaming inputs.
+
+    ``withWatermark`` requires TIMESTAMP (LTZ) event time — it rejects
+    the canonical TIMESTAMP_NTZ ``ts`` — so streaming casts NTZ→LTZ
+    first. Sessions pin UTC, making the cast a wall-clock identity;
+    pipeline outputs cast window bounds back to NTZ so batch and stream
+    emit the identical (tz-free, oracle-comparable) schema."""
+    if not events.isStreaming:
+        return events
+    return events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
 
 
 def windowed_counts(
@@ -101,7 +115,7 @@ def windowed_counts(
     Works on batch and streaming inputs alike; the watermark is attached
     only when streaming (batch frames have no late-data concept).
     """
-    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    df = _with_event_time(events, watermark)
     return (
         df.groupBy(F.window("ts", window_dur).alias("w"), "event_type")
         .agg(
@@ -109,8 +123,8 @@ def windowed_counts(
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
             "event_type",
             "n_events",
             "total_value",
@@ -126,7 +140,7 @@ def sessionize(
     State stays inside Spark's streaming aggregation (no
     applyInPandasWithState needed — the built-in operator expresses the
     semantics exactly, and is JVM-side)."""
-    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    df = _with_event_time(events, watermark)
     return (
         df.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
         .agg(
@@ -135,8 +149,8 @@ def sessionize(
         )
         .select(
             "user_id",
-            F.col("s.start").alias("session_start"),
-            F.col("s.end").alias("session_end"),
+            F.col("s.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("s.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
             "total_value",
         )
