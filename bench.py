@@ -170,7 +170,7 @@ def main() -> int:
         n
         for n, ss in samples.items()
         if len([s for s in ss if s >= 0]) == 2
-        and min(s for s in ss if s >= 0) > 0.3
+        and min(s for s in ss if s >= 0) > 0.15
         and max(ss) / max(min(s for s in ss if s >= 0), 1e-9) > 1.5
     ]
     if retry:
@@ -189,19 +189,55 @@ def main() -> int:
         except ValueError:
             pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+
+    # The gate (BASELINE.md) is "within 2x of the DuckDB oracle at the
+    # same SF" — time the oracle side in the same run, on the same
+    # machine and file cache, so the ratio ships with the number it
+    # qualifies. Opt out with SPARK_GRAFT_ORACLE=0.
+    if os.environ.get("SPARK_GRAFT_ORACLE", "1") != "0":
+        try:
+            oracle_total = _time_oracle(sf_dir, set(qs))
+            payload["oracle_value"] = oracle_total
+            if oracle_total > 0:
+                payload["ratio_vs_oracle"] = round(total / oracle_total, 3)
+        except Exception as exc:  # never let the oracle leg kill the bench
+            print(f"bench: oracle timing failed: {exc}", file=sys.stderr)
+
+    print(json.dumps(payload))
     spark.stop()
     return 0
+
+
+def _time_oracle(sf_dir: str, names: set[str]) -> float:
+    """Wall time for every ``oracle_sql()`` query on DuckDB (same
+    thread count, results materialized to Arrow — the counterpart of
+    the Spark side's noop sink)."""
+    import duckdb
+
+    from __spark_entry__ import oracle_sql
+
+    con = duckdb.connect()
+    con.execute(f"SET threads={int(os.environ.get('SPARK_GRAFT_CPUS', '32'))}")
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    total = 0.0
+    for name, sql in oracle_sql().items():
+        if name not in names:
+            continue
+        t0 = time.perf_counter()
+        con.execute(sql).arrow()
+        total += time.perf_counter() - t0
+    return round(total, 3)
 
 
 if __name__ == "__main__":

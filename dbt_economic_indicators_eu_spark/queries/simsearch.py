@@ -424,17 +424,30 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos_udf = _cos_udf()
 
+    def scored_cent(df, id_col, emb_col):
+        return df.join(F.broadcast(cent)).select(
+            id_col, "c_id", cos_udf(emb_col, "c_emb").alias("ccos")
+        )
+
     def nearest(df, id_col, emb_col, n):
         w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("c_id"))
         return (
-            df.join(F.broadcast(cent))
-            .select(id_col, "c_id", cos_udf(emb_col, "c_emb").alias("ccos"))
+            scored_cent(df, id_col, emb_col)
             .withColumn("crnk", F.row_number().over(w))
             .filter(F.col("crnk") <= n)
         )
 
-    assigned = nearest(emb, "vec_id", "embedding", 1).select(
-        "vec_id", F.col("c_id").alias("cluster")
+    # top-1 as max_by, not a window: partial aggregation collapses the
+    # N x C scored rows map-side, so the shuffle carries one row per
+    # vector instead of C. Tie-break (ccos DESC, c_id ASC) = max of the
+    # lexicographic struct(ccos, -c_id), matching the oracle's
+    # row_number ordering.
+    assigned = (
+        scored_cent(emb, "vec_id", "embedding")
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(c_id, struct(ccos, -c_id))").alias("cluster")
+        )
     )
     inv = emb.join(assigned, "vec_id")  # inverted lists: vector + cluster
 

@@ -53,8 +53,10 @@ DEFAULT_WATERMARK = "1 hour"
 # data. Size state partitions to state VOLUME (≈ state bytes / 100 MB
 # per partition at cluster scale), not to the session's shuffle
 # default. The partition count is pinned into the checkpoint at first
-# start, so it is a per-pipeline knob, not a session conf.
-DEFAULT_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
+# start, so it is a per-pipeline knob, not a session conf. Swept 1/4/
+# 8/16 at sf0.1: 8 minimizes the drain (1 serializes session_window's
+# sort, 16 pays extra store setup).
+DEFAULT_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
 
 
 @contextmanager
