@@ -102,6 +102,7 @@ def load_raw(
     path: str,
     *,
     full_refresh: bool = False,
+    files_per_shard: int = 1,
 ) -> DataFrame:
     """Create-if-absent + append/replace load of parsed records
     (OP-SINK-RAWLOAD; extract_eurostat.py:181-226 create/append,
@@ -110,10 +111,22 @@ def load_raw(
     parquet append is partition-atomic per task file, so concurrent
     ingest shards can land into the same raw table; ``full_refresh``
     maps to mode=overwrite (the drop+recreate of the reference).
-    Returns a fresh scan of the loaded table."""
+    Returns a fresh scan of the loaded table.
+
+    ``files_per_shard``: each call loads ONE ingest shard (one API
+    payload, bounded by response size), so the default writes it as a
+    single file — upstream explode/shuffle partitioning would
+    otherwise fan a few-KB shard into shuffle-partition-many tiny
+    files, the classic small-files failure for the downstream scan.
+    Parallelism at scale comes from many shards loading concurrently,
+    not from splitting one payload. ``repartition`` (a real exchange),
+    NOT ``coalesce``: coalesce(1) folds the whole decode pipeline into
+    one task (measured 4x slower even on a tiny shard), while the
+    round-robin exchange keeps the decode parallel and only the final
+    write runs single-task."""
     exists = os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     )
     mode = "overwrite" if (full_refresh or not exists) else "append"
-    df.write.mode(mode).parquet(path)
+    df.repartition(files_per_shard).write.mode(mode).parquet(path)
     return df.sparkSession.read.parquet(path)
