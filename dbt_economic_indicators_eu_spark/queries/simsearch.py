@@ -119,25 +119,58 @@ def _sql_array(xs: list[float]) -> str:
 
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # queries broadcast, candidates stream, cosine vectorized per Arrow
-    # batch (_cos_udf) — the big side is never shuffled and never folded
-    # row-at-a-time
+    """Distributed exact top-k: candidates stream once through
+    ``mapInPandas``; each Arrow batch scores ALL queries with one GEMM
+    and emits only its LOCAL top-k per query; a final window over the
+    ≤ k x Q x n_batches survivors picks the global top-k (the local
+    ordering equals the global ordering, so every global winner
+    survives its batch — the canonical distributed-TopK reduction).
+
+    vs. the pair-explosion form (broadcast join then pairwise cosine):
+    that ships |candidates| x |queries| embedding PAIRS through Arrow
+    (~1 GB at sf0.1) and shuffles every scored pair into the window;
+    this form transfers each candidate vector once (~2.5 MB) and
+    shuffles k x Q rows per batch. At 100 TB the candidate side
+    partitions freely and the query set — the WORKLOAD, a few hundred
+    vectors, not data — rides the UDF closure like any broadcast dim.
+
+    Float parity with the oracle's sequential ``list_dot_product``:
+    BLAS accumulation differs by ~1e-15; measured margins are 8.3e-13
+    to the nearest r6 boundary and 0.06 to the nearest rank tie (see
+    ``_cos_udf``), so gemm order is output-invariant here."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = emb.select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    ).filter(F.col("q_id") % _QUERY_MOD == 0)
-    scored = (
-        emb.join(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _cos_udf()("q_emb", "embedding").alias("cos"),
-        )
-    )
+    q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
+    q_rows.sort(key=lambda r: r.vec_id)
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)  # Q x dim
+    q_nrm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cos = (v @ q_mat.T) / (
+                np.sqrt(np.einsum("ij,ij->i", v, v))[:, None] * q_nrm[None, :]
+            )  # B x Q
+            cos[ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
+            k = min(_TOP_K, len(ids))
+            # local top-k per query under the GLOBAL order (cos desc,
+            # neighbor_id asc) — lexsort is stable, keys last-primary
+            order = np.lexsort((ids[:, None] * np.ones_like(cos), -cos), axis=0)[:k]
+            rows = {
+                "q_id": np.repeat(q_ids, k),
+                "neighbor_id": ids[order].T.ravel(),
+                "cos": np.take_along_axis(cos, order, axis=0).T.ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[out["cos"] > -np.inf]
+
+    cand = emb.mapInPandas(score, "q_id bigint, neighbor_id bigint, cos double")
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", "neighbor_id", r6(F.col("cos")).alias("cosine"), "rnk")
     )
@@ -210,27 +243,56 @@ GROUP BY 1
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _plane_bucket_udf(_PLANES)("embedding").alias("bucket_id")
-    )
-    q = emb.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        "bucket_id",
-    ).filter(F.col("q_id") % _QUERY_MOD == 0)
-    scored = (
-        emb.join(q, "bucket_id")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "bucket_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _cos_udf()("q_emb", "embedding").alias("cos"),
-        )
+    """LSH search fused into one narrow pass (the ``q_knn_brute``
+    reduction with a bucket-equality mask): each batch computes its
+    vectors' plane buckets, scores only (vector, query) pairs sharing
+    a bucket, and emits the local top-k. At scale this is the
+    bucket-equi-join collapsed into the scan — valid because the query
+    side is the tiny workload; bucket-vs-bucket joins (dedup) keep the
+    shuffle form (``q_dedup_embedding``)."""
+    planes_mat = np.array(_PLANES)
+    shifts = np.array([1 << j for j in range(len(_PLANES))])
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return (((v @ planes_mat.T) > 0) * shifts).sum(axis=1).astype(np.int64)
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
+    q_rows.sort(key=lambda r: r.vec_id)
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    q_nrm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    q_buckets = bucket_of(q_mat)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cos = (v @ q_mat.T) / (
+                np.sqrt(np.einsum("ij,ij->i", v, v))[:, None] * q_nrm[None, :]
+            )
+            cos[bucket_of(v)[:, None] != q_buckets[None, :]] = -np.inf
+            cos[ids[:, None] == q_ids[None, :]] = -np.inf
+            k = min(_TOP_K_LSH, len(ids))
+            order = np.lexsort((ids[:, None] * np.ones_like(cos), -cos), axis=0)[:k]
+            out = pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, k),
+                    "bucket_id": np.repeat(q_buckets.astype(np.int32), k),
+                    "neighbor_id": ids[order].T.ravel(),
+                    "cos": np.take_along_axis(cos, order, axis=0).T.ravel(),
+                }
+            )
+            yield out[out["cos"] > -np.inf]
+
+    cand = emb.mapInPandas(
+        score, "q_id bigint, bucket_id int, neighbor_id bigint, cos double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K_LSH)
         .select("q_id", "bucket_id", "neighbor_id", r6(F.col("cos")).alias("cosine"), "rnk")
     )
@@ -418,60 +480,76 @@ _TOP_K_IVF = 5
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat: the coarse quantizer (centroid set) and the query
+    workload are both tiny driver-side artifacts that ride the UDF
+    closure like any broadcast dim; PROBE selection is pure numpy on
+    the driver. Spark does what only Spark must: stream the 100 TB
+    corpus ONCE through a narrow ``mapInPandas`` pass that fuses
+    cluster assignment (GEMM + argmax), probe-mask scoring, and the
+    local top-k reduction — no joins, no assignment shuffle; only the
+    k x Q x n_batches local winners reach the global top-k window.
+
+    Tie-breaks replicate the oracle's (ccos DESC, c_id ASC) ordering
+    via lexsort; sign/rounding margins as in ``q_knn_brute``."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id") % _IVF_CENTROID_STRIDE == 7).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
-    )
-    cos_udf = _cos_udf()
+    cent_rows = emb.filter(F.col("vec_id") % _IVF_CENTROID_STRIDE == 7).collect()
+    cent_rows.sort(key=lambda r: r.vec_id)
+    c_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    c_mat = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    c_nrm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
 
-    def scored_cent(df, id_col, emb_col):
-        return df.join(F.broadcast(cent)).select(
-            id_col, "c_id", cos_udf(emb_col, "c_emb").alias("ccos")
+    def nearest_clusters(v: np.ndarray, n: int) -> np.ndarray:
+        """Indices (rows x n) of the n best centroids per vector under
+        (ccos DESC, c_id ASC) — c_ids is sorted so index order = id
+        order, and lexsort is stable on the secondary key."""
+        cos = (v @ c_mat.T) / (
+            np.sqrt(np.einsum("ij,ij->i", v, v))[:, None] * c_nrm[None, :]
         )
+        return np.argsort(-cos, axis=1, kind="stable")[:, :n]
 
-    def nearest(df, id_col, emb_col, n):
-        w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("c_id"))
-        return (
-            scored_cent(df, id_col, emb_col)
-            .withColumn("crnk", F.row_number().over(w))
-            .filter(F.col("crnk") <= n)
-        )
+    # probes: queries are the workload — collect once (as in knn_brute),
+    # pick nprobe clusters per query in numpy
+    q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
+    q_rows.sort(key=lambda r: r.vec_id)
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    q_nrm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    probe_idx = nearest_clusters(q_mat, _IVF_NPROBE)  # Q x nprobe
+    probe_mask = np.zeros((len(q_ids), len(c_ids)), dtype=bool)
+    np.put_along_axis(probe_mask, probe_idx, True, axis=1)
 
-    # top-1 as max_by, not a window: partial aggregation collapses the
-    # N x C scored rows map-side, so the shuffle carries one row per
-    # vector instead of C. Tie-break (ccos DESC, c_id ASC) = max of the
-    # lexicographic struct(ccos, -c_id), matching the oracle's
-    # row_number ordering.
-    assigned = (
-        scored_cent(emb, "vec_id", "embedding")
-        .groupBy("vec_id")
-        .agg(
-            F.expr("max_by(c_id, struct(ccos, -c_id))").alias("cluster")
-        )
-    )
-    inv = emb.join(assigned, "vec_id")  # inverted lists: vector + cluster
+    # one narrow pass fuses assignment + probe-masked scoring + local
+    # top-k (the knn_brute reduction with an IVF candidate mask): a
+    # vector is a candidate for query q iff its assigned cluster is
+    # probed by q; everything else scores -inf and never leaves the
+    # batch. No joins, no assignment shuffle — the corpus streams once.
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cluster_idx = nearest_clusters(v, 1)[:, 0]
+            cos = (v @ q_mat.T) / (
+                np.sqrt(np.einsum("ij,ij->i", v, v))[:, None] * q_nrm[None, :]
+            )  # B x Q
+            cos[~probe_mask[:, cluster_idx].T] = -np.inf
+            cos[ids[:, None] == q_ids[None, :]] = -np.inf
+            k = min(_TOP_K_IVF, len(ids))
+            order = np.lexsort((ids[:, None] * np.ones_like(cos), -cos), axis=0)[:k]
+            out = pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, k),
+                    "neighbor_id": ids[order].T.ravel(),
+                    "cos": np.take_along_axis(cos, order, axis=0).T.ravel(),
+                }
+            )
+            yield out[out["cos"] > -np.inf]
 
-    q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
-    probes = nearest(
-        q.select(F.col("vec_id").alias("q_id"), "embedding"), "q_id", "embedding", _IVF_NPROBE
-    ).select("q_id", F.col("c_id").alias("cluster"))
-    qside = probes.join(
-        q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")),
-        "q_id",
-    )
-
-    scored = (
-        inv.join(qside, "cluster")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cos_udf("q_emb", "embedding").alias("cos"),
-        )
-    )
+    cand = emb.mapInPandas(score, "q_id bigint, neighbor_id bigint, cos double")
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K_IVF)
         .select("q_id", "neighbor_id", r6(F.col("cos")).alias("cosine"), "rnk")
     )
