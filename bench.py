@@ -42,6 +42,11 @@ def main() -> int:
     # a few hundred MB, so 32 shuffle tasks are pure scheduling overhead
     # (measured 22% of total wall time). AQE re-splits if a partition
     # grows; at cluster scale target ~128MB per shuffle partition.
+    # NOTE on scan parallelism: every sf0.1 table is ONE parquet file
+    # with ONE row group, so Spark cannot split any scan — scan-heavy
+    # stages run single-threaded here. That is a testdata artifact, not
+    # a plan property: production files carry many row groups and the
+    # same plans fan out across executors.
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "8")
     aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
 
@@ -218,7 +223,9 @@ def main() -> int:
 def _time_oracle(sf_dir: str, names: set[str]) -> float:
     """Wall time for every ``oracle_sql()`` query on DuckDB (same
     thread count, results materialized to Arrow — the counterpart of
-    the Spark side's noop sink)."""
+    the Spark side's noop sink). Per-query min over two passes, the
+    same steady-state methodology as the Spark side — a single cold
+    pass swings ±40% run-to-run, mostly on the first big scans."""
     import duckdb
 
     from __spark_entry__ import oracle_sql
@@ -230,14 +237,16 @@ def _time_oracle(sf_dir: str, names: set[str]) -> float:
         "orders", "lineitem", "events", "documents", "embeddings",
     ):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    total = 0.0
-    for name, sql in oracle_sql().items():
-        if name not in names:
-            continue
-        t0 = time.perf_counter()
-        con.execute(sql).arrow()
-        total += time.perf_counter() - t0
-    return round(total, 3)
+    best: dict[str, float] = {}
+    for _ in range(2):
+        for name, sql in oracle_sql().items():
+            if name not in names:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).arrow()
+            dt = time.perf_counter() - t0
+            best[name] = min(best.get(name, dt), dt)
+    return round(sum(best.values()), 3)
 
 
 if __name__ == "__main__":
