@@ -14,13 +14,43 @@ Contract enforcement happens inside Context.ref() before any write
 
 from __future__ import annotations
 
+import logging
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.registry import Context, Registry
 from .incremental import run_incremental
 from .snapshot import run_snapshot
+
+logger = logging.getLogger(__name__)
+
+
+def schema_name(target: str, custom_schema: str) -> str:
+    """Target-aware namespace policy (reference
+    ``macros/data_quality.sql:66-73`` generate_schema_name): prod gets
+    the bare schema, every other target gets a ``<target>_`` prefix so
+    dev/CI runs land beside — never on top of — prod tables."""
+    custom_schema = custom_schema.strip()
+    return custom_schema if target == "prod" else f"{target}_{custom_schema}"
+
+
+def observe_row_count(df: DataFrame, name: str) -> tuple[DataFrame, Observation]:
+    """Row-count monitoring (reference ``macros/data_quality.sql:49-63``
+    log_row_count) the Spark-first way: ``df.observe`` piggybacks an
+    accumulator on the NEXT action instead of running a second
+    count(*) scan — zero extra jobs, exact even mid-pipeline. Read
+    ``observation.get["row_count"]`` after the write/collect; pair with
+    ``log_observed`` to mirror the macro's info-log line."""
+    obs = Observation(f"row_count_{name}")
+    return df.observe(obs, F.count(F.lit(1)).alias("row_count")), obs
+
+
+def log_observed(name: str, obs: Observation) -> int:
+    n = int(obs.get["row_count"])
+    logger.info("Row count for %s: %d", name, n)
+    return n
 
 
 def run_models(
@@ -48,7 +78,9 @@ def run_models(
             df.createOrReplaceTempView(name)
             out[name] = df
         elif model.materialization == "table":
-            df.write.mode("overwrite").parquet(path)
+            observed, obs = observe_row_count(df, name)
+            observed.write.mode("overwrite").parquet(path)
+            log_observed(name, obs)
             out[name] = spark.read.parquet(path)
         elif model.materialization == "incremental":
             assert model.unique_key, f"incremental model {name} needs unique_key"

@@ -139,3 +139,28 @@ def test_scd2_closed_history_carried_verbatim(spark):
     assert len(closed) == 1
     assert closed[0]["gdp"] == 100.0 and closed[0]["valid_to"] == T2
     assert snap3.filter(F.col("is_current")).count() == 2
+
+
+# -- environment/config macro ports (SURVEY §2.11) --------------------------
+
+
+def test_schema_name_policy():
+    from dbt_economic_indicators_eu_spark.materialize.run import schema_name
+
+    # data_quality.sql:66-73 — prod bare, everything else prefixed
+    assert schema_name("prod", "marts") == "marts"
+    assert schema_name("prod", " marts ") == "marts"
+    assert schema_name("dev", "marts") == "dev_marts"
+    assert schema_name("ci", " staging ") == "ci_staging"
+
+
+def test_observe_row_count_piggybacks_on_action(spark, tmp_path):
+    from dbt_economic_indicators_eu_spark.materialize.run import (
+        log_observed,
+        observe_row_count,
+    )
+
+    df = spark.range(37).selectExpr("id", "id * 2 AS v")
+    observed, obs = observe_row_count(df, "t_obs")
+    observed.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    assert log_observed("t_obs", obs) == 37
