@@ -208,7 +208,11 @@ def main() -> int:
     # qualifies. Opt out with SPARK_GRAFT_ORACLE=0.
     if os.environ.get("SPARK_GRAFT_ORACLE", "1") != "0":
         try:
-            oracle_total = _time_oracle(sf_dir, set(qs))
+            # only queries that produced a Spark time — otherwise a failed
+            # Spark query (excluded from `total`) would still add oracle
+            # time and understate the ratio exactly when something broke
+            ok = {n for n, t in per_query.items() if t >= 0}
+            oracle_total = _time_oracle(sf_dir, ok)
             payload["oracle_value"] = oracle_total
             if oracle_total > 0:
                 payload["ratio_vs_oracle"] = round(total / oracle_total, 3)

@@ -62,18 +62,28 @@ def run_models(
     watermark_col: str | None = None,
     now=None,
     mocks: dict[str, DataFrame] | None = None,
+    target: str = "prod",
+    schema: str | None = None,
 ) -> dict[str, DataFrame]:
     """Materialize ``select`` (default: all) models. Returns the final
     DataFrame per model (for views: the lazy plan; for written models:
-    a fresh scan of what was just written)."""
-    os.makedirs(warehouse, exist_ok=True)
+    a fresh scan of what was just written).
+
+    ``target``/``schema`` apply the ``schema_name`` namespace policy:
+    with a schema, written models land under
+    ``<warehouse>/<schema_name(target, schema)>/`` — so a dev/CI run
+    can never overwrite prod tables in a shared warehouse."""
+    base = warehouse if schema is None else os.path.join(
+        warehouse, schema_name(target, schema)
+    )
+    os.makedirs(base, exist_ok=True)
     ctx: Context = registry.context(spark, mocks=mocks)
     names = select if select is not None else list(registry.models)
     out: dict[str, DataFrame] = {}
     for name in names:
         model = registry.get(name)
         df = ctx.ref(name)  # builds upstream chain lazily, checks contracts
-        path = os.path.join(warehouse, name)
+        path = os.path.join(base, name)
         if model.materialization == "view":
             df.createOrReplaceTempView(name)
             out[name] = df

@@ -28,16 +28,12 @@ from pyspark.sql import functions as F
 _BIN = "__range_bin"
 
 
-def _epoch_ntz() -> Column:
-    # built per call — Column construction needs an active SparkContext
-    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-
-
 def _bin_of(ts: Column, bin_seconds: int) -> Column:
-    # timestamp_diff against an NTZ epoch anchor is tz-free for DATE,
-    # TIMESTAMP_NTZ, and (coerced) TIMESTAMP inputs alike — unlike
-    # unix_micros, which rejects NTZ outright
-    micros = F.timestamp_diff("MICROSECOND", _epoch_ntz(), ts.cast("timestamp_ntz"))
+    # epoch_micros is tz-free for DATE, TIMESTAMP_NTZ, and (coerced)
+    # TIMESTAMP inputs alike — unlike unix_micros, which rejects NTZ
+    from ..queries.common import epoch_micros
+
+    micros = epoch_micros(ts.cast("timestamp_ntz"))
     return F.floor(micros / F.lit(bin_seconds * 1_000_000))
 
 

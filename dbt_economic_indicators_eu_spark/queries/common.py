@@ -86,6 +86,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # otherwise TIMESTAMP(NANOS) parquet raises PARQUET_TYPE_ILLEGAL.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    # Pin UTC too: ts itself is NTZ (tz-free), but the few places that
+    # MUST cast to LTZ (streaming watermarks, timestamp literals in
+    # engine queries) are only wall-clock identities under UTC — a
+    # driver session inheriting a non-UTC machine zone would silently
+    # shift them. The oracle (DuckDB naive timestamps) assumes UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name != "ts":

@@ -90,21 +90,28 @@ def _cos_udf():
     return cos
 
 
-def _plane_bucket_udf(planes: list[list[float]]):
-    """Vectorized sign-of-dot bucket id over the given hyperplane set
-    (bit j = sign of dot with plane j). Sign margins: min |dot| 1e-4
-    for the 6-plane knn table (5e-6 for the 32-plane dedup set) vs
-    ~1e-15 reorder noise — see ``_dedup_buckets_udf``."""
-    mat = np.array(planes)  # n_planes x dim
+def _plane_buckets_np(planes: list[list[float]], v: np.ndarray) -> np.ndarray:
+    """Sign-of-dot bucket ids (bit j = sign of dot with plane j) — the
+    ONE implementation of the bucket formula, shared by the pandas UDF,
+    the fused LSH scan, and the tests, and kept in lockstep with
+    ``_oracle_bucket_sql``."""
+    mat = np.array(planes)
     shifts = np.array([1 << j for j in range(len(planes))])
+    return (((v @ mat.T) > 0) * shifts).sum(axis=1)
+
+
+def _plane_bucket_udf(planes: list[list[float]]):
+    """Vectorized bucket id over the given hyperplane set. Sign
+    margins: min |dot| 1e-4 for the 6-plane knn table (5e-6 for the
+    32-plane dedup set) vs ~1e-15 reorder noise — see
+    ``_dedup_buckets_udf``."""
 
     @F.pandas_udf("int")
     def bucket(emb: pd.Series) -> pd.Series:
         if emb.empty:
             return pd.Series([], dtype="int32")
         v = np.stack(emb.to_numpy()).astype(np.float64)
-        bits = (v @ mat.T) > 0
-        return pd.Series((bits * shifts).sum(axis=1).astype(np.int32))
+        return pd.Series(_plane_buckets_np(planes, v).astype(np.int32))
 
     return bucket
 
@@ -250,11 +257,8 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-equi-join collapsed into the scan — valid because the query
     side is the tiny workload; bucket-vs-bucket joins (dedup) keep the
     shuffle form (``q_dedup_embedding``)."""
-    planes_mat = np.array(_PLANES)
-    shifts = np.array([1 << j for j in range(len(_PLANES))])
-
     def bucket_of(v: np.ndarray) -> np.ndarray:
-        return (((v @ planes_mat.T) > 0) * shifts).sum(axis=1).astype(np.int64)
+        return _plane_buckets_np(_PLANES, v).astype(np.int64)
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
@@ -492,8 +496,14 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie-breaks replicate the oracle's (ccos DESC, c_id ASC) ordering
     via lexsort; sign/rounding margins as in ``q_knn_brute``."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent_rows = emb.filter(F.col("vec_id") % _IVF_CENTROID_STRIDE == 7).collect()
-    cent_rows.sort(key=lambda r: r.vec_id)
+    # one scan collects BOTH driver-side artifacts (centroid set + query
+    # workload); they are then split locally
+    small = emb.filter(
+        (F.col("vec_id") % _IVF_CENTROID_STRIDE == 7)
+        | (F.col("vec_id") % _QUERY_MOD == 0)
+    ).collect()
+    small.sort(key=lambda r: r.vec_id)
+    cent_rows = [r for r in small if r.vec_id % _IVF_CENTROID_STRIDE == 7]
     c_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
     c_mat = np.array([r.embedding for r in cent_rows], dtype=np.float64)
     c_nrm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
@@ -507,10 +517,9 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return np.argsort(-cos, axis=1, kind="stable")[:, :n]
 
-    # probes: queries are the workload — collect once (as in knn_brute),
-    # pick nprobe clusters per query in numpy
-    q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
-    q_rows.sort(key=lambda r: r.vec_id)
+    # probes: queries are the workload — pick nprobe clusters per query
+    # in numpy
+    q_rows = [r for r in small if r.vec_id % _QUERY_MOD == 0]
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
     q_nrm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))

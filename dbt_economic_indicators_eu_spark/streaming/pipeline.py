@@ -43,6 +43,10 @@ EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
+EVENTS_SCHEMA_NANOS = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
 
 SESSION_GAP = "30 minutes"
 DEFAULT_WATERMARK = "1 hour"
@@ -80,13 +84,36 @@ def state_partitions(spark: SparkSession, n: int | None):
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table.
 
-    The parquet stores TIMESTAMP(MICROS, no-tz); reading it as
-    TIMESTAMP_NTZ matches the batch normalization in
-    ``queries/common.py:load``. Event-time pipelines cast to LTZ just
-    for ``withWatermark`` (see ``_with_event_time``). The schema must
-    be explicit (streaming file sources don't infer), which also
-    guarantees column pruning at the scan.
+    ``ts`` lands as TIMESTAMP_NTZ, matching the batch normalization in
+    ``queries/common.py:load`` — BOTH physical encodings the driver has
+    shipped are handled (current: TIMESTAMP(MICROS, no-tz); legacy:
+    TIMESTAMP(NANOS), read as long + floored). A streaming source needs
+    its schema up front (no inference), so the encoding is sniffed from
+    the parquet footer driver-side — a metadata read, not a data scan.
+    Event-time pipelines cast to LTZ just for ``withWatermark`` (see
+    ``_with_event_time``); UTC is pinned so that cast is an identity.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import pyarrow.parquet as pq
+
+    ts_type = str(
+        pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+    )
+    if ts_type == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn(
+            "ts",
+            F.timestamp_add(
+                "MICROSECOND",
+                F.expr("ts div 1000"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            ),
+        )
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")

@@ -12,9 +12,12 @@ import pytest
 
 from dbt_economic_indicators_eu_spark.queries import simsearch as s
 
-N = 150  # queries {0,50,100}; IVF centroids {7,132}
+# N chosen so the IVF probe mask is REAL: centroids {7,132,257} (3 >
+# nprobe=2), so some (query, candidate) pairs are excluded and a
+# transposed/mis-indexed mask cannot pass. Queries {0,50,...,250}.
+N = 300
 DIM = s._DIM
-N_DISTINCT = 30  # each vector duplicated 5x -> guaranteed cos==1.0 ties
+N_DISTINCT = 30  # each vector duplicated 10x -> guaranteed cos==1.0 ties
 
 
 def _corpus() -> np.ndarray:
@@ -66,12 +69,11 @@ def test_knn_brute_fused_equals_reference(spark, sf_dir):
         s.q_knn_brute(spark, sf_dir), ["q_id", "neighbor_id", "cosine", "rnk"]
     )
     assert got == _ref_topk(lambda q, i: True, s._TOP_K)
-    # ties actually occurred: every query has 4 exact duplicates, so
-    # rank 1-4 are all cosine 1.0 broken by neighbor_id
+    # ties actually occurred: every query has 9 exact duplicates, so
+    # the whole top-10 but one is cosine 1.0 broken by neighbor_id
     ones = sorted(r[1] for r in got if r[0] == 0 and r[2] == 1.0)
-    assert len(ones) == 4 and ones == sorted(
-        i for i in range(N) if i % N_DISTINCT == 0 and i != 0
-    )
+    dups = sorted(i for i in range(N) if i % N_DISTINCT == 0 and i != 0)
+    assert len(ones) >= s._TOP_K - 1 and ones == dups[: len(ones)]
 
 
 def test_knn_ivf_fused_equals_reference(spark, sf_dir):
@@ -86,6 +88,11 @@ def test_knn_ivf_fused_equals_reference(spark, sf_dir):
     probes = {
         q: set(nearest_cent(q, s._IVF_NPROBE)) for q in range(0, N, s._QUERY_MOD)
     }
+    # the probe mask must be non-trivial, else this test degenerates to
+    # brute force and the mask indexing goes untested
+    assert any(
+        assigned[i] not in ps for ps in probes.values() for i in range(N)
+    )
     got = _rows(
         s.q_knn_ivf(spark, sf_dir), ["q_id", "neighbor_id", "cosine", "rnk"]
     )

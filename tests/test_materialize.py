@@ -164,3 +164,27 @@ def test_observe_row_count_piggybacks_on_action(spark, tmp_path):
     observed, obs = observe_row_count(df, "t_obs")
     observed.write.mode("overwrite").parquet(str(tmp_path / "t"))
     assert log_observed("t_obs", obs) == 37
+
+
+def test_run_models_target_namespacing(spark, tmp_path):
+    """A dev-target run lands under dev_<schema>/ and cannot collide
+    with the prod namespace (data_quality.sql:66-73 policy, enforced)."""
+    import os
+
+    from dbt_economic_indicators_eu_spark.materialize.run import run_models
+    from dbt_economic_indicators_eu_spark.plans.registry import Registry
+
+    reg = Registry()
+
+    @reg.model("t_ns_table", materialization="table")
+    def t_ns_table(ctx):
+        return spark.range(3).selectExpr("id", "id * 2 AS v")
+
+    wh = str(tmp_path / "wh")
+    out = run_models(reg, spark, wh, target="dev", schema="marts")
+    assert out["t_ns_table"].count() == 3
+    assert os.path.isdir(os.path.join(wh, "dev_marts", "t_ns_table"))
+    assert not os.path.exists(os.path.join(wh, "marts"))
+
+    run_models(reg, spark, wh, target="prod", schema="marts")
+    assert os.path.isdir(os.path.join(wh, "marts", "t_ns_table"))

@@ -116,3 +116,38 @@ def test_stream_sessionize_matches_batch(spark):
     # sessions are no finer than events, no coarser than users
     n_users = ev_batch.select("user_id").distinct().count()
     assert n_users <= got.count() <= ev_batch.count()
+
+
+def test_stream_handles_legacy_nanos_encoding(spark, tmp_path):
+    """The driver has shipped events.parquet as TIMESTAMP(NANOS) in a
+    prior round; the stream source must sniff the footer and normalize
+    to the same NTZ values as the micros path."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(
+            [dt.datetime(2025, 1, 1, 0, 10), dt.datetime(2025, 1, 2, 5, 0)],
+            pa.timestamp("ns"),
+        ),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["a", "b"], pa.string()),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"], pa.string()),
+    }
+    d = str(tmp_path / "ns")
+    (tmp_path / "ns").mkdir()
+    pq.write_table(pa.table(rows), f"{d}/events.parquet")
+
+    out = streaming.run_available_now(
+        streaming.windowed_counts(streaming.events_stream(spark, d)),
+        "t_nanos_stream",
+    ).collect()
+    got = {(r.window_start, r.event_type): r.n_events for r in out}
+    assert got == {
+        (dt.datetime(2025, 1, 1), "a"): 1,
+        (dt.datetime(2025, 1, 2), "b"): 1,
+    }
