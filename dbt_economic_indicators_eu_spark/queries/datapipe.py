@@ -216,40 +216,82 @@ _MH_A = (1327217885, 2147483587, 1073741827, 668265263, 374761393, 1431655765, 9
 _MH_B = (1, 7, 13, 31, 61, 127, 251, 509)
 
 
-def _minhash_exprs(hv):
-    """k universal-hash min-hashes over the base-hash array column.
 
-    One-arg lambdas built by a factory — a two-arg lambda (``h, i=i``)
-    would be handed (element, index) by ``F.transform`` and clobber the
-    captured permutation index."""
 
-    def perm(i):
-        return lambda h: (F.lit(_MH_A[i]) * h + F.lit(_MH_B[i])) % F.lit(_MH_PRIME)
+def _shingles_py(text: str, k: int = 3) -> list[str]:
+    """Python twin of ``_with_shingles`` — byte-identical on this
+    corpus. The whitespace class is Java/RE2 ``\\s`` (ASCII), written
+    explicitly so Python's Unicode-aware ``\\s`` cannot diverge."""
+    import re
 
-    return [F.array_min(F.transform(hv, perm(i))) for i in range(_NUM_PERM)]
+    words = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip().split(" ")
+    if len(words) < k:
+        return [" ".join(words)]
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(len(words) - k + 1):
+        s = " ".join(words[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def _banded_minhash_gen():
+    """Arrow-batched shingle→md5→minhash→band pipeline: one hashlib
+    pass and one (n_shingles x n_perm) vectorized modmul per document,
+    emitting (doc_id, band_idx, band_hash) directly — replaces three
+    interpreted HOF layers (transform-md5, 8x array_min folds, the
+    band concat) plus a posexplode. uint64 is exact here: max
+    A * h = 2147483587 * (2^32 - 1) < 2^63 < 2^64."""
+    import hashlib
+
+    a = np.array(_MH_A, dtype=np.uint64)
+    b = np.array(_MH_B, dtype=np.uint64)
+    p = np.uint64(_MH_PRIME)
+
+    def gen(batches):
+        for pdf in batches:
+            doc_ids: list[int] = []
+            band_idx: list[int] = []
+            band_hash: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hv = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                        for s in _shingles_py(text)
+                    ),
+                    dtype=np.uint64,
+                )
+                sig = (hv[:, None] * a[None, :] + b[None, :]) % p
+                sig = sig.min(axis=0)
+                for bi in range(_NUM_BANDS):
+                    doc_ids.append(doc_id)
+                    band_idx.append(bi)
+                    band_hash.append(
+                        f"{sig[bi * _BAND_ROWS]}|{sig[bi * _BAND_ROWS + 1]}"
+                    )
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "band_idx": band_idx, "band_hash": band_hash}
+            )
+
+    return gen
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = _with_shingles(docs, "sg")
-    # hv staged as its own aliased column (multi-referenced, non-cheap →
-    # CollapseProject keeps it; md5 runs once per shingle).
-    hashed = sh.select(
-        "doc_id",
-        F.transform(
-            "sg", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
-        ).alias("hv"),
+    # Band generation is Arrow-vectorized (see _banded_minhash_gen);
+    # the repartition is load-bearing: the hash work scales with the
+    # data, and a single-file scan would otherwise run it on one core —
+    # the exchange it buys costs only |docs| x (id + text) bytes.
+    banded = (
+        docs.select("doc_id", "text")
+        .repartition(max(2, int(spark.conf.get("spark.sql.shuffle.partitions"))))
+        .mapInPandas(
+            _banded_minhash_gen(), "doc_id bigint, band_idx int, band_hash string"
+        )
     )
-    mh = _minhash_exprs(F.col("hv"))
-    # Band key = plain signature concat — bucketing needs equality, not
-    # another hash.
-    bands = F.array(
-        *[
-            F.concat_ws("|", mh[b * _BAND_ROWS].cast("string"), mh[b * _BAND_ROWS + 1].cast("string"))
-            for b in range(_NUM_BANDS)
-        ]
-    )
-    banded = hashed.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
     # Group-then-pair, not a banded SELF-join: a self-join recomputes
     # the whole shingle+minhash pipeline on both sides; grouping
     # computes it once and emits each bucket's ordered pairs from the
