@@ -176,7 +176,7 @@ def main() -> int:
         for n, ss in samples.items()
         if len([s for s in ss if s >= 0]) == 2
         and min(s for s in ss if s >= 0) > 0.15
-        and max(ss) / max(min(s for s in ss if s >= 0), 1e-9) > 1.5
+        and max(ss) / max(min(s for s in ss if s >= 0), 1e-9) > 1.3
     ]
     if retry:
         jvm_quiesce()
