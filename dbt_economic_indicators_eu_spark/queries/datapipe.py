@@ -259,7 +259,9 @@ def _banded_minhash_gen():
                 hv = np.fromiter(
                     (
                         int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-                        for s in _shingles_py(text)
+                        # null text -> null words array -> '' shingle in
+                        # the JVM path; mirror that here
+                        for s in _shingles_py(text if text is not None else "")
                     ),
                     dtype=np.uint64,
                 )
@@ -397,23 +399,41 @@ _SIMHASH_BITS = 16
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document simhash in ONE narrow Arrow pass (no explode, no
+    shuffle): each shingle's md5-derived hash votes ±1 on 16 bit
+    positions and the sign of each bit's tally packs the fingerprint —
+    all small-integer arithmetic, exact in any engine. Replaces the
+    explode → 16 conditional sums → groupBy form, whose shuffle moved
+    |docs| x |shingles| rows just to bring each document's votes back
+    together (they already sit together in the scan)."""
+    import hashlib
+
     docs = load(spark, sf_dir, "documents")
-    sh = _with_shingles(docs, "sg")
-    ex = sh.select("doc_id", F.explode("sg").alias("s")).withColumn(
-        "h", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            out: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hv = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                        for s in _shingles_py(text if text is not None else "")
+                    ),
+                    dtype=np.uint64,
+                )
+                bits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)  # n x 16
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                ids.append(doc_id)
+                out.append(int(((votes > 0) << shifts.astype(np.int64)).sum()))
+            yield pd.DataFrame({"doc_id": ids, "simhash16": pd.array(out, dtype="int32")})
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(max(2, int(spark.conf.get("spark.sql.shuffle.partitions"))))
+        .mapInPandas(gen, "doc_id bigint, simhash16 int")
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{k}")
-        for k in range(_SIMHASH_BITS)
-    ]
-    agg = ex.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for k in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    return agg.select("doc_id", simhash.cast("int").alias("simhash16"))
 
 
 ORACLE_SIMHASH = f"""
