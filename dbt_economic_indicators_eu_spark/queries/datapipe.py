@@ -171,12 +171,37 @@ _ORACLE_SHINGLES = """
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-md5 document fingerprint in one narrow Arrow pass (the
+    1-permutation minhash; shares ``_shingles_py``'s pinned shingle
+    semantics). md5 hex compares lexicographically identically in
+    Python, the JVM, and DuckDB — all lowercase hex of the same 16
+    bytes."""
+    import hashlib
+
     docs = load(spark, sf_dir, "documents")
-    shingles = _with_shingles(docs, "shingles")
-    return shingles.select(
-        "doc_id",
-        F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(s))).alias("fingerprint"),
-        F.size("shingles").alias("n_shingles"),
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            fp: list[str] = []
+            n: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sg = _shingles_py(text if text is not None else "")
+                ids.append(doc_id)
+                fp.append(min(hashlib.md5(s.encode()).hexdigest() for s in sg))
+                n.append(len(sg))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "fingerprint": fp,
+                    "n_shingles": pd.array(n, dtype="int32"),
+                }
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(max(2, int(spark.conf.get("spark.sql.shuffle.partitions"))))
+        .mapInPandas(gen, "doc_id bigint, fingerprint string, n_shingles int")
     )
 
 
