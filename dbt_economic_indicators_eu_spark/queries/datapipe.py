@@ -991,8 +991,10 @@ c AS (
   FROM t
 )
 SELECT doc_id, shard, n_tokens,
-       cum - n_tokens AS start_offset,
-       (cum - n_tokens) // {_PACK_WINDOW_TOKENS} AS pack_id,
+       -- CAST: DuckDB's windowed SUM(BIGINT) yields HUGEINT, which the
+       -- hash comparison serializes as float64; Spark emits bigint.
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // {_PACK_WINDOW_TOKENS} AS BIGINT) AS pack_id,
        n_tokens > 0 AND
          (cum - n_tokens) // {_PACK_WINDOW_TOKENS} != (cum - 1) // {_PACK_WINDOW_TOKENS}
          AS crosses_boundary
