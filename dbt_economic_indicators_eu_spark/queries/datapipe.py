@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .common import QueryDef, load, r4
+from ..operators.banding import candidate_pairs
 
 # --------------------------------------------------------------------------
 # q_text_stats — EXT-TEXT-QUALITY: token count, char-class ratios — the
@@ -319,29 +320,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             _banded_minhash_gen(), "doc_id bigint, band_idx int, band_hash string"
         )
     )
-    # Group-then-pair, not a banded SELF-join: a self-join recomputes
-    # the whole shingle+minhash pipeline on both sides; grouping
-    # computes it once and emits each bucket's ordered pairs from the
-    # sorted id list (one shuffle on (band_idx, band_hash)). Production
-    # note: guard hot buckets (cap |ids|) before pairing — pair count
-    # is quadratic per bucket.
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("doc_id_a"), y.alias("doc_id_b")),
-            ),
-        )
-    )
-    cand = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_id_a", "p.doc_id_b")
-        .distinct()
+    # Group-then-pair with a hot-bucket cap (quadratic-pair guard,
+    # observed drop counts) — see operators/banding.py for the shape
+    # and why it beats a banded self-join.
+    cand = candidate_pairs(
+        banded, ["band_idx", "band_hash"], "doc_id", "doc_id_a", "doc_id_b"
     )
     # Verify with ONE more scan of the shingle pipeline (not one per
     # pair side): explode each candidate pair into its two members,

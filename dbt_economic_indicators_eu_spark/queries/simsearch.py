@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import QueryDef, load, r6
+from ..operators.banding import candidate_pairs
 
 _DIM = 64
 _N_PLANES = 6
@@ -389,29 +390,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = raw.select(
         "vec_id", F.posexplode(_dedup_buckets_udf()("embedding")).alias("table_idx", "bucket")
     )
-    # group-then-pair, not a banded SELF-join: a self-join recomputes the
-    # 32-plane bucket expression on both sides; grouping computes it once
-    # and emits each bucket's ordered pairs from the sorted id list (one
-    # shuffle on (table, bucket)). Production note: guard hot buckets
-    # (cap |ids|) before pairing — pair count is quadratic per bucket.
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    cand = (
-        banded.groupBy("table_idx", "bucket")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    # Group-then-pair with a hot-bucket cap (quadratic-pair guard,
+    # observed drop counts) — see operators/banding.py for the shape
+    # and why it beats a banded self-join.
+    cand = candidate_pairs(banded, ["table_idx", "bucket"], "vec_id", "id_a", "id_b")
     # candidates are rare → broadcast into the verify joins (same shape
     # as dedup_minhash: the vector table is never shuffled)
     cand = F.broadcast(cand)
