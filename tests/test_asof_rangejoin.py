@@ -100,6 +100,67 @@ def test_asof_rejects_colliding_values(spark, quotes):
         asof_join(left, quotes, on=["key"], left_ts="lts", right_ts="qts", values=["px"])
 
 
+def test_asof_rejects_unknown_direction(spark, quotes):
+    left = quotes.select("key", F.col("qts").alias("lts"))
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(
+            left, quotes, on=["key"], left_ts="lts", right_ts="qts",
+            values=["px"], direction="nearest",
+        )
+
+
+def test_asof_forward_matches_duckdb_oracle(spark):
+    """direction='forward' vs DuckDB ``ASOF LEFT JOIN ... l.ts <= r.ts``
+    (smallest right_ts >= left_ts) on a deterministic 200x60 corpus with
+    exact-tie rows, no-match tails, and keys missing from the right."""
+    import datetime as dtm
+
+    import duckdb
+    import pandas as pd
+
+    base = dtm.datetime(2024, 1, 1)
+    left = pd.DataFrame(
+        {
+            "key": [i % 7 for i in range(200)],  # keys 5,6 absent from right
+            "lts": [base + dtm.timedelta(minutes=(i * 37) % 997) for i in range(200)],
+            "lid": list(range(200)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "key": [i % 5 for i in range(60)],
+            # multiples of 37 → guaranteed exact ties with some left rows
+            "rts": [base + dtm.timedelta(minutes=(i * 111) % 997) for i in range(60)],
+            "val": [float(i) * 1.5 for i in range(60)],
+        }
+    )
+    out = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["key"], left_ts="lts", right_ts="rts",
+            values=["val"], direction="forward",
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    oracle = (
+        con.execute(
+            "SELECT l.key, l.lts, l.lid, r.val "
+            "FROM l ASOF LEFT JOIN r ON l.key = r.key AND l.lts <= r.rts"
+        )
+        .fetchdf()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert out["val"].isna().sum() > 0  # no-match tails actually exercised
+    pd.testing.assert_frame_equal(out[["key", "lid", "val"]], oracle[["key", "lid", "val"]])
+
+
 @pytest.fixture(scope="module")
 def intervals(spark):
     return spark.createDataFrame(
