@@ -152,7 +152,12 @@ def _with_shingles(docs, out: str = "shingles", k: int = 3):
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", w)))
-    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    # coalesce: NULL text shingles as [''] — same as the Arrow passes'
+    # explicit None→'' guard and the oracle CTE's coalesce
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
+        " ",
+    )
     return docs.select("doc_id", words.alias("_words")).select("doc_id", sh.alias(out))
 
 
@@ -165,10 +170,15 @@ _ORACLE_SHINGLES = """
     ELSE [array_to_string(words, ' ')] END AS shingles
   FROM (
     SELECT doc_id,
-           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+           string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')
+             AS words
     FROM documents
   )
 """
+# coalesce(text, ''): the Spark shingle passes map NULL text to '' (one
+# shingle ['']); without it DuckDB yields shingles=[NULL] → fingerprint
+# NULL and inverted simhash votes — a cross-engine divergence on any
+# corpus with null text (tests/test_null_text_parity.py pins this).
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,6 +47,45 @@ EVENTS_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
+EVENTS_SCHEMA_LTZ = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_ts_encoding(path: str) -> str:
+    """Classify the ``ts`` encoding from the parquet footer(s):
+    ``'nanos'`` (INT64 TIMESTAMP(NANOS) — needs nanosAsLong), ``'ltz'``
+    (INT96 or tz-adjusted micros — read as TIMESTAMP then reinterpret
+    to NTZ), or ``'ntz'`` (micros, isAdjustedToUTC=false — the current
+    testdata encoding, reads as TIMESTAMP_NTZ directly).
+
+    Handles both a single file and a Spark-written DIRECTORY named
+    ``events.parquet`` (footer of the first part file — one writer, one
+    encoding). Metadata-only read, no data scan. The physical type
+    disambiguates INT96 from INT64 nanos — pyarrow reports BOTH as
+    ``timestamp[ns]``.
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no part files under {path}")
+        path = parts[0]
+    pf = pq.ParquetFile(path)
+    if pf.schema.column(pf.schema.names.index("ts")).physical_type == "INT96":
+        return "ltz"
+    arrow_type = str(pf.schema_arrow.field("ts").type)
+    if arrow_type == "timestamp[ns]":
+        return "nanos"
+    if "tz=" in arrow_type:
+        return "ltz"
+    return "ntz"
 
 SESSION_GAP = "30 minutes"
 DEFAULT_WATERMARK = "1 hour"
@@ -94,19 +133,26 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_with_event_time``); UTC is pinned so that cast is an identity.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    import pyarrow.parquet as pq
+    table_path = f"{sf_dir}/events.parquet"
+    encoding = _events_ts_encoding(table_path)
 
-    ts_type = str(
-        pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
-    )
-    if ts_type == "timestamp[ns]":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+    def _source(schema: str) -> DataFrame:
+        # Spark-written table: events.parquet IS a directory of part
+        # files — stream the directory itself (pathGlobFilter names
+        # only direct children, so it would exclude the parts).
+        # Single-file table: the file source wants a directory, so
+        # stream sf_dir filtered down to the one file.
+        if os.path.isdir(table_path):
+            return spark.readStream.schema(schema).parquet(table_path)
+        return (
+            spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-        return raw.withColumn(
+
+    if encoding == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return _source(EVENTS_SCHEMA_NANOS).withColumn(
             "ts",
             F.timestamp_add(
                 "MICROSECOND",
@@ -114,11 +160,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
             ),
         )
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if encoding == "ltz":
+        # INT96 or tz-adjusted (isAdjustedToUTC) micros: read through
+        # an LTZ schema and normalize to NTZ — the same cast the batch
+        # load() applies; an identity reinterpret under the pinned UTC
+        # zone.
+        return _source(EVENTS_SCHEMA_LTZ).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+    return _source(EVENTS_SCHEMA)
 
 
 def _with_event_time(events: DataFrame, watermark: str) -> DataFrame:

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_economic_indicators_eu_spark.streaming import pipeline as streaming
@@ -145,6 +146,45 @@ def test_stream_handles_legacy_nanos_encoding(spark, tmp_path):
     out = streaming.run_available_now(
         streaming.windowed_counts(streaming.events_stream(spark, d)),
         "t_nanos_stream",
+    ).collect()
+    got = {(r.window_start, r.event_type): r.n_events for r in out}
+    assert got == {
+        (dt.datetime(2025, 1, 1), "a"): 1,
+        (dt.datetime(2025, 1, 2), "b"): 1,
+    }
+
+
+@pytest.mark.parametrize("out_type", ["INT96", "TIMESTAMP_MICROS"])
+def test_stream_handles_directory_and_ltz_encodings(spark, tmp_path, out_type):
+    """Spark-written events.parquet is a DIRECTORY of part files whose
+    ``timestamp`` (LTZ) column is INT96 or tz-adjusted micros in the
+    footer — the sniff must pick a part file (pq.ParquetFile fails on a
+    directory) and normalize LTZ→NTZ like the batch load() (identity
+    wall clock under the pinned UTC zone). INT96 also disambiguates
+    from INT64 nanos: pyarrow reports both as timestamp[ns]."""
+    import datetime as dt
+
+    d = str(tmp_path / f"dir_{out_type}")
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2025, 1, 1, 0, 10), 1, "a", 1.0, "{}"),
+            (2, dt.datetime(2025, 1, 2, 5, 0), 1, "b", 2.0, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, out_type)
+    try:
+        df.coalesce(2).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    finally:
+        spark.conf.set(key, prev)
+
+    ev = streaming.events_stream(spark, d)
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    out = streaming.run_available_now(
+        streaming.windowed_counts(ev), f"t_dir_stream_{out_type}"
     ).collect()
     got = {(r.window_start, r.event_type): r.n_events for r in out}
     assert got == {
