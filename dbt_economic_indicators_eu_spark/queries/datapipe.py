@@ -127,8 +127,9 @@ def _exclude_infer_filters_from_generate(spark) -> None:
         )
 
 
-def _with_shingles(docs, out: str = "shingles", k: int = 3):
-    """doc_id + word k-shingles as an array<string> column, JVM-side only.
+def _with_shingles(docs, out: str = "shingles", k: int = 3, extra: tuple = ()):
+    """doc_id (+ ``extra`` passthrough columns) + word k-shingles as an
+    array<string> column, JVM-side only.
 
     Two-step projection on purpose: `_words` is materialized as its own
     column first so the regexp+split runs ONCE per row. Inlining it into
@@ -158,7 +159,9 @@ def _with_shingles(docs, out: str = "shingles", k: int = 3):
         F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
         " ",
     )
-    return docs.select("doc_id", words.alias("_words")).select("doc_id", sh.alias(out))
+    return docs.select("doc_id", *extra, words.alias("_words")).select(
+        "doc_id", *extra, sh.alias(out)
+    )
 
 
 _ORACLE_SHINGLES = """
@@ -318,7 +321,6 @@ def _banded_minhash_gen():
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = _with_shingles(docs, "sg")
     # Band generation is Arrow-vectorized (see _banded_minhash_gen);
     # the repartition is load-bearing: the hash work scales with the
     # data, and a single-file scan would otherwise run it on one core —
@@ -336,11 +338,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = candidate_pairs(
         banded, ["band_idx", "band_hash"], "doc_id", "doc_id_a", "doc_id_b"
     )
-    # Verify with ONE more scan of the shingle pipeline (not one per
-    # pair side): explode each candidate pair into its two members,
-    # broadcast-join the tiny exploded list against the shingle table
-    # (which therefore streams, un-shuffled — the correct shape at
-    # 100 TB), and regroup the pair to line up both shingle sets.
+    # Verify with ONE more scan of the corpus (not one per pair side):
+    # explode each candidate pair into its two members, broadcast-join
+    # the tiny exploded list against raw (doc_id, text) — the corpus
+    # streams, un-shuffled, the correct shape at 100 TB — and compute
+    # the shingle projection ONLY on the join survivors: the expensive
+    # per-row regex/transform runs on |candidate members| rows, not the
+    # whole corpus. Then regroup the pair to line up both shingle sets.
     sides = F.broadcast(
         cand.select(
             "doc_id_a",
@@ -348,13 +352,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array("doc_id_a", "doc_id_b")).alias("doc_id"),
         )
     )
-    regrouped = (
-        sides.join(sh, "doc_id")
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(
-            F.first(F.when(F.col("doc_id") == F.col("doc_id_a"), F.col("sg")), True).alias("sg_a"),
-            F.first(F.when(F.col("doc_id") == F.col("doc_id_b"), F.col("sg")), True).alias("sg_b"),
-        )
+    matched = docs.select("doc_id", "text").join(sides, "doc_id")
+    sh = _with_shingles(matched, "sg", extra=("doc_id_a", "doc_id_b"))
+    regrouped = sh.groupBy("doc_id_a", "doc_id_b").agg(
+        F.first(F.when(F.col("doc_id") == F.col("doc_id_a"), F.col("sg")), True).alias("sg_a"),
+        F.first(F.when(F.col("doc_id") == F.col("doc_id_b"), F.col("sg")), True).alias("sg_b"),
     )
     jaccard = F.size(F.array_intersect("sg_a", "sg_b")).cast("double") / F.size(
         F.array_union("sg_a", "sg_b")

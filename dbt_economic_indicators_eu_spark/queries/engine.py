@@ -496,7 +496,7 @@ def q_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     raw_path = tempfile.mkdtemp(prefix="rest_raw_") + "/raw_eurostat"
-    load_raw(extract("nama_10_gdp"), raw_path, full_refresh=True)
+    load_raw(extract("nama_10_gdp"), raw_path, full_refresh=True, read_back=False)
     return load_raw(extract("une_rt_m"), raw_path)  # append + read-back
 
 

