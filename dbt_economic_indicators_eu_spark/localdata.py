@@ -1,0 +1,61 @@
+"""Fast small literal relations.
+
+``spark.createDataFrame(list_of_rows)`` serializes through a pickled
+Python RDD and evaluates it with executor-side Python workers — ~250 ms
+per call even for ONE row on a warm local[32] session, because every
+such relation pays a Python-worker round trip. Routing the same rows
+through an object-dtype pandas frame takes the Arrow LocalRelation path
+instead: the data lands JVM-side at plan build time (~40 ms), with
+identical null / date / TIMESTAMP_NTZ semantics (pinned by
+tests/test_localdata.py).
+
+Every fixture/mock/seed-style relation in the query surface builds
+through :func:`local_df`. At cluster scale this is not a hot path —
+literal relations are bounded by definition — but the latency matters
+for interactive sessions and for any per-micro-batch mock input.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+try:
+    import pandas as pd
+except ImportError:  # pragma: no cover — pandas is a hard dep of pyspark[sql]
+    pd = None
+
+
+def local_df(
+    spark: SparkSession,
+    rows: Sequence[Any],
+    schema: Union[str, StructType],
+) -> DataFrame:
+    """Literal rows (tuples or mappings) + explicit schema → DataFrame
+    via the Arrow local-relation path, falling back to the classic
+    pickled path if pandas/Arrow is unavailable or rejects the data."""
+    rows = list(rows)
+    if pd is None:
+        return spark.createDataFrame(rows, schema=schema)
+    if isinstance(schema, StructType):
+        st = schema
+    else:
+        # Parse the DDL string into a StructType without running a job
+        # (an empty createDataFrame builds only the plan).
+        st = spark.createDataFrame([], schema).schema
+    names = [f.name for f in st.fields]
+    if rows and isinstance(rows[0], Mapping):
+        data = {n: [r.get(n) for r in rows] for n in names}
+    else:
+        data = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+    # object dtype keeps None as None (a float64 column would coerce it
+    # to NaN, which Arrow ships as NaN, not NULL).
+    pdf = pd.DataFrame(data, columns=names, dtype=object)
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    try:
+        return spark.createDataFrame(pdf, st)
+    except Exception:
+        # Arrow conversion rejected the data (exotic type) — classic path.
+        return spark.createDataFrame(rows, schema=schema)

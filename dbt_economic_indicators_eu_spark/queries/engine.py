@@ -15,6 +15,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localdata import local_df
 from ..materialize.incremental import merge_upsert
 from ..materialize.snapshot import scd2_merge
 from ..models.econ import load_seed
@@ -356,8 +357,8 @@ def q_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, act in actual_names.items():
         if name not in declared_names:
             rows.append((name, None, act.dataType.simpleString(), "unexpected"))
-    return spark.createDataFrame(
-        rows, "column_name string, declared_type string, actual_type string, status string"
+    return local_df(
+        spark, rows, "column_name string, declared_type string, actual_type string, status string"
     )
 
 
@@ -496,8 +497,13 @@ def q_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     raw_path = tempfile.mkdtemp(prefix="rest_raw_") + "/raw_eurostat"
-    load_raw(extract("nama_10_gdp"), raw_path, full_refresh=True, read_back=False)
-    return load_raw(extract("une_rt_m"), raw_path)  # append + read-back
+    # files_per_shard=None: each shard decodes from a one-payload local
+    # relation (already a single partition) — no exchange needed.
+    load_raw(
+        extract("nama_10_gdp"), raw_path,
+        full_refresh=True, read_back=False, files_per_shard=None,
+    )
+    return load_raw(extract("une_rt_m"), raw_path, files_per_shard=None)
 
 
 def _rest_expected_rows():

@@ -57,27 +57,32 @@ def decode_jsonstat(payloads: DataFrame, json_col: str = "payload") -> DataFrame
 
     # stride for dim i = product of sizes of dims AFTER i
     # (extract_eurostat.py:150-155); code index = (flat // stride) % size.
-    n_dims = F.size(F.col("doc.id"))
-    codes = F.map_from_arrays(
-        F.col("doc.id"),
-        F.transform(
-            F.sequence(F.lit(0), n_dims - 1),
-            lambda i: F.element_at(
-                F.element_at(F.col("doc.dimension"), F.element_at(F.col("doc.id"), i + 1)),
-                (
-                    F.floor(
-                        F.col("flat_index")
-                        / F.aggregate(
-                            F.slice(F.col("doc.size"), i + 2, n_dims),
-                            F.lit(1).cast("long"),
-                            lambda acc, x: acc * x,
-                        )
-                    )
-                    % F.element_at(F.col("doc.size"), i + 1)
-                ).cast("int")
-                + 1,
-            ),
-        ),
+    # One F.expr string instead of nested Column builders: the identical
+    # expression tree, but ~3 py4j round trips instead of ~50 — Column
+    # construction latency was a measurable share of this source's cost
+    # (it is built twice per ingest run).
+    codes = F.expr(
+        """
+        map_from_arrays(
+          doc.id,
+          transform(
+            sequence(0, size(doc.id) - 1),
+            i -> element_at(
+              element_at(doc.dimension, element_at(doc.id, i + 1)),
+              CAST(
+                floor(
+                  flat_index / aggregate(
+                    slice(doc.size, i + 2, size(doc.id)),
+                    CAST(1 AS BIGINT),
+                    (acc, x) -> acc * x
+                  )
+                ) % element_at(doc.size, i + 1)
+                AS INT
+              ) + 1
+            )
+          )
+        )
+        """
     )
     return exploded.select(
         codes.alias("codes"),
@@ -88,4 +93,6 @@ def decode_jsonstat(payloads: DataFrame, json_col: str = "payload") -> DataFrame
 
 def decode_jsonstat_str(spark: SparkSession, payload: str) -> DataFrame:
     """Single-payload convenience wrapper (tests / demo queries)."""
-    return decode_jsonstat(spark.createDataFrame([(payload,)], "payload string"))
+    from ..localdata import local_df
+
+    return decode_jsonstat(local_df(spark, [(payload,)], "payload string"))

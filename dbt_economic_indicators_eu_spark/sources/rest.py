@@ -101,7 +101,9 @@ def fetch_datasets(
                 last_exc = exc
         if last_exc is not None:
             raise last_exc
-    return spark.createDataFrame(rows, "dataset_code string, payload string")
+    from ..localdata import local_df
+
+    return local_df(spark, rows, "dataset_code string, payload string")
 
 
 def load_raw(
@@ -109,7 +111,7 @@ def load_raw(
     path: str,
     *,
     full_refresh: bool = False,
-    files_per_shard: int = 1,
+    files_per_shard: int | None = 1,
     read_back: bool = True,
 ) -> DataFrame | None:
     """Create-if-absent + append/replace load of parsed records
@@ -131,12 +133,17 @@ def load_raw(
     NOT ``coalesce``: coalesce(1) folds the whole decode pipeline into
     one task (measured 4x slower even on a tiny shard), while the
     round-robin exchange keeps the decode parallel and only the final
-    write runs single-task."""
+    write runs single-task. ``None`` skips the exchange entirely — for
+    a shard that is ALREADY a single partition (one payload decoded
+    from a local relation) the repartition would be a pure extra
+    stage."""
     exists = os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     )
     mode = "overwrite" if (full_refresh or not exists) else "append"
-    df.repartition(files_per_shard).write.mode(mode).parquet(path)
+    if files_per_shard is not None:
+        df = df.repartition(files_per_shard)
+    df.write.mode(mode).parquet(path)
     if not read_back:
         # mid-pipeline shard loads skip the read-back: a fresh scan
         # costs a footer/schema-inference job the caller would discard

@@ -18,6 +18,7 @@ from typing import Any, Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from ..localdata import local_df
 from ..plans.registry import Registry
 
 
@@ -33,7 +34,7 @@ def mock_df(
     """Build a mock input from literal given-rows. An explicit schema is
     required (dbt infers from the real model; we cannot — a mock with a
     None in every row of a column would otherwise be untyped)."""
-    return spark.createDataFrame(list(rows), schema=schema)  # type: ignore[arg-type]
+    return local_df(spark, list(rows), schema)
 
 
 def run_unit_test(
