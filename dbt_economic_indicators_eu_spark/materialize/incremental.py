@@ -36,6 +36,7 @@ def merge_upsert(
     incoming: DataFrame,
     unique_key: str,
     watermark_col: str | None = None,
+    broadcast_incoming_keys: bool = False,
 ) -> DataFrame:
     """Pure-plan merge (no I/O): the logical core of the incremental
     materialization, usable standalone and unit-testable.
@@ -57,7 +58,14 @@ def merge_upsert(
             .filter(F.col(watermark_col) > F.col("__wm"))
             .drop("__wm")
         )
-    keep = existing.join(incoming.select(unique_key), on=unique_key, how="left_anti")
+    keys = incoming.select(unique_key)
+    if broadcast_incoming_keys:
+        # Micro-batch merges: the incoming key set is bounded by the
+        # trigger size, so shipping it beats shuffling the (much
+        # larger) target. Batch callers leave this to Catalyst/AQE,
+        # which sees real stats at cluster scale.
+        keys = F.broadcast(keys)
+    keep = existing.join(keys, on=unique_key, how="left_anti")
     return keep.unionByName(incoming, allowMissingColumns=True)
 
 
@@ -67,12 +75,15 @@ def run_incremental(
     incoming: DataFrame,
     unique_key: str,
     watermark_col: str | None = None,
+    broadcast_incoming_keys: bool = False,
 ) -> None:
     """Full materialization: read target (if any), merge, swap-write."""
     existing = None
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path)
-    merged = merge_upsert(existing, incoming, unique_key, watermark_col)
+    merged = merge_upsert(
+        existing, incoming, unique_key, watermark_col, broadcast_incoming_keys
+    )
     tmp = target_path.rstrip("/") + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.exists(target_path):

@@ -62,15 +62,13 @@ def candidate_pairs(
             "hot_ids_dropped"
         ),
     ).filter(~hot)
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
-            ),
-        )
+    # One F.expr string instead of nested Column lambdas: identical
+    # expression tree, a fraction of the py4j round trips (plan-build
+    # latency was measurable on the banded dedup queries).
+    pair_structs = F.expr(
+        f"flatten(transform(ids, (x, i) -> "
+        f"transform(slice(ids, i + 2, size(ids)), "
+        f"y -> struct(x AS {a_name}, y AS {b_name}))))"
     )
     return (
         grouped.select(F.explode(pair_structs).alias("p"))

@@ -174,14 +174,32 @@ _VERIFY_FIRST = (
     # red in r2 (oracle HUGEINT dtype artifact, now CAST-fixed) — must
     # re-verify to turn green
     "pack_sequences",
+    # new in r3 (curation module) — verify on first appearance
+    "decontaminate",
+    "pii_redact",
+    "length_buckets",
+    "training_shuffle",
+    "corpus_curation",
 )
 
 
 def all_queries() -> dict[str, QueryDef]:
-    from . import datapipe, engine, ml, relational, simsearch, storage, streamq, timeseries
+    from . import (
+        curation,
+        datapipe,
+        engine,
+        ml,
+        relational,
+        simsearch,
+        storage,
+        streamq,
+        timeseries,
+    )
 
     by_name: dict[str, QueryDef] = {}
-    for mod in (relational, ml, datapipe, engine, simsearch, streamq, storage, timeseries):
+    for mod in (
+        relational, ml, datapipe, engine, simsearch, streamq, storage, timeseries, curation,
+    ):
         for q in mod.QUERIES:
             by_name[q.name] = q
     out: dict[str, QueryDef] = {}

@@ -1,0 +1,273 @@
+"""Corpus-curation operators — the end-to-end cleaning stages an LLM
+training-data pipeline runs between raw crawl and tokenizer:
+benchmark decontamination, PII detection/redaction, length bucketing,
+deterministic global shuffle, and the composed curation filter.
+
+Everything here is JVM-side Column expressions (no Python in the hot
+path); the cross-engine hashing discipline follows datapipe.py (md5 of
+strings — bit-identical in Spark and DuckDB, so oracles verify values,
+not just shapes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import QueryDef, load
+from .datapipe import _ORACLE_SHINGLES, _with_shingles
+
+# --------------------------------------------------------------------------
+# q_decontaminate — EXT-DECONTAM: n-gram benchmark decontamination.
+# A training corpus must not contain eval-benchmark text; membership is
+# tested at the word-shingle level (exact-match dedup misses partial
+# inclusions). Benchmark here = the deterministic doc_id % 37 == 0
+# slice of `documents` (a stand-in for MMLU/GSM8K/... sets).
+#
+# Scale shape: benchmark shingle sets are bounded (eval suites are
+# MBs, corpora are TBs) → the distinct benchmark-shingle table is
+# broadcast; the corpus streams once through the shingle projection
+# and a broadcast semi-ish join. No corpus shuffle at any scale.
+# --------------------------------------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bench_sh = (
+        _with_shingles(docs.filter(F.col("doc_id") % 37 == 0))
+        .select(F.explode("shingles").alias("sg"))
+        .distinct()
+    )
+    corp_sh = _with_shingles(docs.filter(F.col("doc_id") % 37 != 0)).select(
+        "doc_id", F.explode("shingles").alias("sg")
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "sg")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH shingled AS ({_ORACLE_SHINGLES}),
+bench AS (
+  SELECT DISTINCT sg FROM (
+    SELECT unnest(shingles) AS sg FROM shingled WHERE doc_id % 37 = 0
+  )
+),
+corp AS (
+  SELECT doc_id, unnest(shingles) AS sg FROM shingled WHERE doc_id % 37 <> 0
+)
+SELECT c.doc_id, count(*) AS n_shared_shingles
+FROM corp c JOIN bench b ON b.sg = c.sg
+GROUP BY c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q_pii_redact — EXT-PII-REDACT: PII detection + redaction counts.
+# Patterns are the RE2/Java-regex common subset (no lookaround, no
+# backrefs) so both engines compile them identically; Spark's
+# regexp_replace is global by default, DuckDB needs the 'g' flag.
+# Redaction order is pinned (URL, then EMAIL, then long digit runs) —
+# emails inside URLs must be swallowed by the URL placeholder first.
+# Pure projection: runs inside the scan stage at any scale.
+# --------------------------------------------------------------------------
+
+_PAT_URL = r"https?://\S+"
+_PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PAT_LONGNUM = r"\b\d{4,}\b"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _PAT_URL, "<URL>"), _PAT_EMAIL, "<EMAIL>"
+        ),
+        _PAT_LONGNUM,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(_PAT_URL)).alias("n_urls"),
+        F.regexp_count(text, F.lit(_PAT_EMAIL)).alias("n_emails"),
+        F.regexp_count(text, F.lit(_PAT_LONGNUM)).alias("n_long_numbers"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+ORACLE_PII_REDACT = rf"""
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(text, '{_PAT_URL}')) AS INTEGER) AS n_urls,
+  CAST(len(regexp_extract_all(text, '{_PAT_EMAIL}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_PAT_LONGNUM}')) AS INTEGER) AS n_long_numbers,
+  CAST(length(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{_PAT_URL}', '<URL>', 'g'),
+        '{_PAT_EMAIL}', '<EMAIL>', 'g'),
+      '{_PAT_LONGNUM}', '<NUM>', 'g')
+  ) AS INTEGER) AS redacted_len
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q_length_buckets — EXT-LEN-BUCKET: power-of-two token-length
+# bucketing, the batching/packing precursor (sequences are grouped into
+# similar-length buckets so padding waste is bounded). Bucket id =
+# bit-length of the token count — integer arithmetic via bin(), exact
+# in both engines (floor(log2(n)) through floats can cross a boundary).
+# One map-side-combinable groupBy on a small key space.
+# --------------------------------------------------------------------------
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    bucket = F.length(F.bin(n_tokens.cast("bigint")))
+    return (
+        docs.select(n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+ORACLE_LENGTH_BUCKETS = r"""
+WITH t AS (
+  SELECT CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+  FROM documents
+)
+SELECT
+  CAST(length(bin(CAST(n_tokens AS BIGINT))) AS INTEGER) AS bucket,
+  count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  min(n_tokens) AS min_tokens,
+  max(n_tokens) AS max_tokens
+FROM t
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q_training_shuffle — EXT-SHUFFLE-DET: deterministic global shuffle
+# into training shards. shard = md5(doc_id) bucket (content-independent,
+# reproducible across runs/engines — no RNG state, the same discipline
+# as q_hash_split); within-shard order = md5 hex order (unique — no
+# tie column needed). At 100 TB this is repartition(shard) +
+# sortWithinPartitions(order_key) writing one shard per file set; the
+# query emits the per-shard manifest with an order-sensitive checksum
+# (sum of rank*doc_id) that pins BOTH membership and sequence.
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _N_SHARDS).alias(
+        "shard"
+    )
+    w = Window.partitionBy("shard").orderBy("h")
+    ranked = docs.select("doc_id", h.alias("h"), shard).withColumn(
+        "rank", F.row_number().over(w)
+    )
+    return ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("rank") * F.col("doc_id")).alias("order_checksum"),
+    )
+
+
+ORACLE_TRAINING_SHUFFLE = f"""
+WITH ranked AS (
+  SELECT
+    doc_id,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % {_N_SHARDS} AS shard,
+    row_number() OVER (
+      PARTITION BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % {_N_SHARDS}
+      ORDER BY md5(CAST(doc_id AS VARCHAR))
+    ) AS rank
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(rank * doc_id) AS BIGINT) AS order_checksum
+FROM ranked
+GROUP BY shard
+"""
+
+
+# --------------------------------------------------------------------------
+# q_corpus_curation — EXT-CURATE-E2E: the composed curation funnel
+# (quality filter → exact dedup keep-first → per-language report), i.e.
+# the end-to-end shape of a pretraining data build. Canonical-row
+# selection is a window min over the content hash restricted to
+# quality-passing rows — one window + one groupBy, no self-join.
+# --------------------------------------------------------------------------
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    n_chars = F.length("text")
+    quality = (n_tokens >= 5) & (n_chars >= 20)
+    w = Window.partitionBy("content_hash")
+    flagged = docs.select(
+        "doc_id", "lang", quality.alias("q"), F.md5(F.col("text")).alias("content_hash"),
+    ).withColumn("canon_id", F.min(F.when(F.col("q"), F.col("doc_id"))).over(w))
+    final = F.col("q") & (F.col("canon_id") == F.col("doc_id"))
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(F.col("q"), 1)).alias("n_quality_pass"),
+        F.count(F.when(final, 1)).alias("n_kept_final"),
+    )
+
+
+ORACLE_CORPUS_CURATION = r"""
+WITH flagged AS (
+  SELECT
+    doc_id, lang,
+    (len(regexp_extract_all(text, '\S+')) >= 5 AND length(text) >= 20) AS q,
+    min(CASE WHEN (len(regexp_extract_all(text, '\S+')) >= 5 AND length(text) >= 20)
+             THEN doc_id END)
+      OVER (PARTITION BY md5(text)) AS canon_id
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_raw,
+       count(CASE WHEN q THEN 1 END) AS n_quality_pass,
+       count(CASE WHEN q AND canon_id = doc_id THEN 1 END) AS n_kept_final
+FROM flagged
+GROUP BY lang
+"""
+
+
+QUERIES = [
+    QueryDef("decontaminate", q_decontaminate, ORACLE_DECONTAMINATE, ("EXT-DECONTAM",)),
+    QueryDef("pii_redact", q_pii_redact, ORACLE_PII_REDACT, ("EXT-PII-REDACT",)),
+    QueryDef(
+        "length_buckets", q_length_buckets, ORACLE_LENGTH_BUCKETS, ("EXT-LEN-BUCKET",)
+    ),
+    QueryDef(
+        "training_shuffle",
+        q_training_shuffle,
+        ORACLE_TRAINING_SHUFFLE,
+        ("EXT-SHUFFLE-DET",),
+    ),
+    QueryDef(
+        "corpus_curation",
+        q_corpus_curation,
+        ORACLE_CORPUS_CURATION,
+        ("EXT-CURATE-E2E",),
+    ),
+]

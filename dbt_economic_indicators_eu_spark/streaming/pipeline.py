@@ -306,7 +306,10 @@ def stream_merge_incremental(
     from ..materialize.incremental import run_incremental
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        run_incremental(batch_df.sparkSession, target_path, batch_df, unique_key)
+        run_incremental(
+            batch_df.sparkSession, target_path, batch_df, unique_key,
+            broadcast_incoming_keys=True,
+        )
 
     with state_partitions(stream_df.sparkSession, DEFAULT_STATE_PARTITIONS):
         q = (

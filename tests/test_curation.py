@@ -1,0 +1,68 @@
+"""Semantics pins for the curation operators (queries/curation.py) on
+hand-built corpora where the expected answer is computable by eye —
+the cross-engine value check lives in the oracle gate; these tests pin
+the SEMANTICS (partial-overlap contamination, redaction order, window
+dedup keep-first) against adversarial inputs the synthetic corpus
+doesn't contain."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_economic_indicators_eu_spark.localdata import local_df
+from dbt_economic_indicators_eu_spark.queries import curation
+
+
+def _docs(spark, rows):
+    return local_df(
+        spark,
+        [(i, t, lang, "src0", len(t) if t else 0) for i, (t, lang) in enumerate(rows)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+
+
+def test_decontaminate_flags_partial_overlap(spark, monkeypatch, tmp_path):
+    # doc 0 (37|0 -> benchmark) shares a 3-shingle with doc 1 but not 2
+    rows = [
+        ("alpha beta gamma delta", "en"),      # doc 0: benchmark
+        ("x alpha beta gamma y", "en"),        # doc 1: contains 'alpha beta gamma'
+        ("unrelated words entirely here", "en"),  # doc 2: clean
+    ]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(curation, "load", lambda s, d, n: docs)
+    out = {r["doc_id"]: r["n_shared_shingles"] for r in
+           curation.q_decontaminate(spark, "ignored").collect()}
+    assert out == {1: 1}  # doc 1 contaminated via exactly one shared shingle
+
+
+def test_pii_redact_order_and_counts(spark, monkeypatch):
+    text = "mail a@b.com or https://x.test/a@b.com ref 123456"
+    docs = _docs(spark, [(text, "en")])
+    monkeypatch.setattr(curation, "load", lambda s, d, n: docs)
+    row = curation.q_pii_redact(spark, "ignored").collect()[0]
+    # the email inside the URL is swallowed by the URL placeholder first
+    assert row["n_urls"] == 1
+    assert row["n_emails"] == 2  # pattern counts run on the RAW text
+    assert row["n_long_numbers"] == 1
+    assert row["redacted_len"] == len("mail <EMAIL> or <URL> ref <NUM>")
+
+
+def test_corpus_curation_keep_first_among_quality(spark, monkeypatch):
+    good = "one two three four five six seven eight"  # passes quality
+    rows = [
+        (good, "en"),        # doc 0: canonical (min doc_id of dup group)
+        (good, "en"),        # doc 1: duplicate -> dropped
+        ("tiny", "en"),      # doc 2: fails quality
+    ]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(curation, "load", lambda s, d, n: docs)
+    row = curation.q_corpus_curation(spark, "ignored").collect()[0]
+    assert (row["n_raw"], row["n_quality_pass"], row["n_kept_final"]) == (3, 2, 1)
+
+
+def test_training_shuffle_covers_all_docs(spark, monkeypatch):
+    docs = _docs(spark, [(f"doc number {i}", "en") for i in range(40)])
+    monkeypatch.setattr(curation, "load", lambda s, d, n: docs)
+    out = curation.q_training_shuffle(spark, "ignored").collect()
+    assert sum(r["n_docs"] for r in out) == 40
+    assert all(0 <= r["shard"] < curation._N_SHARDS for r in out)
