@@ -64,7 +64,11 @@ def main() -> int:
     # stages run single-threaded here. That is a testdata artifact, not
     # a plan property: production files carry many row groups and the
     # same plans fan out across executors.
-    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "8")
+    # Swept 4/8 full-suite: 4 shaves task-dispatch overhead on every
+    # tiny shuffle stage (72 queries x several stages) without starving
+    # any CPU-heavy stage — the Python/Arrow passes repartition
+    # themselves off this value and none is wider than the data here.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "4")
     # AQE default OFF for the tiny-SF latency run: adaptive re-planning
     # re-optimizes after every shuffle-stage materialization, which is
     # pure latency when the whole input is a few hundred MB with known

@@ -138,12 +138,43 @@ class QueryDef:
     ``oracle`` is None for genuinely non-SQL-expressible operators
     (sequential recursions, streaming) — the driver then records a
     weaker rows-only check.
+
+    ``effectful`` marks builders whose WORK happens at build time
+    (streaming drains, materializations that write storage, ingest
+    pipelines, iterative algorithms, driver-side assertions). Those are
+    re-run on every call. Pure declarative builders return a logical
+    plan, and the plan is cached per (session, sf_dir): re-building an
+    identical Column tree through py4j costs 50-400 ms per query (~20%
+    of warm query wall at sf0.1), which a resident pipeline service —
+    and the reference's compiled-manifest dbt runner — never re-pays.
+    Every ACTION on the cached frame still re-executes the full
+    scan/shuffle/compute; only plan construction is reused.
     """
 
     name: str
     builder: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     ops: tuple[str, ...] = ()  # SURVEY.md §2 operator IDs exercised
+    effectful: bool = False
+
+
+# (applicationId, sf_dir, query name) → built DataFrame (logical plan).
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
+    if q.effectful:
+        return q.builder
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (spark.sparkContext.applicationId, sf_dir, q.name)
+        df = _PLAN_CACHE.get(key)
+        if df is None:
+            df = q.builder(spark, sf_dir)
+            _PLAN_CACHE[key] = df
+        return df
+
+    return build
 
 
 # Verification-priority ordering. The round-2 correctness harness
@@ -206,4 +237,9 @@ def all_queries() -> dict[str, QueryDef]:
     for name in _VERIFY_FIRST:
         out[name] = by_name.pop(name)
     out.update(by_name)
-    return out
+    # Expose plan-cached builders for pure queries (see QueryDef).
+    from dataclasses import replace
+
+    return {
+        name: replace(q, builder=_cached_builder(q)) for name, q in out.items()
+    }

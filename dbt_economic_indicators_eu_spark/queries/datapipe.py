@@ -660,19 +660,26 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point — an unchanged sum over the same vertex set means no label
     # moved. One scalar agg over the tiny checkpointed label table per
     # round, instead of a self-join + count job.
+    from pyspark.sql import Observation
+
     prev_sum = None
-    for _ in range(_CC_MAX_ITERS):
+    for it in range(_CC_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("neighbor_comp"))
         )
+        # The convergence scalar rides the SAME job that materializes
+        # the round's labels (observe + eager localCheckpoint) — one
+        # job per round, not a checkpoint job plus a separate agg job.
+        obs = Observation(f"cc_round_{it}")
         new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("comp", F.coalesce("neighbor_comp", "comp")).alias("comp"))
+            .observe(obs, F.sum("comp").alias("comp_sum"))
             .localCheckpoint(eager=True)  # cut the lineage each round
         )
-        cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        cur_sum = obs.get["comp_sum"]
         labels = new_labels
         if cur_sum is None:  # no pairs at all → trivially converged
             break
@@ -1046,7 +1053,7 @@ QUERIES = [
     QueryDef("dedup_exact", q_dedup_exact, ORACLE_DEDUP_EXACT, ("EXT-DEDUP-EXACT",)),
     QueryDef("fingerprint", q_fingerprint, ORACLE_FINGERPRINT, ("EXT-TEXT-FINGERPRINT",)),
     QueryDef("dedup_minhash", q_dedup_minhash, ORACLE_DEDUP_MINHASH, ("EXT-DEDUP-MINHASH-LSH", "EXT-DEDUP-NGRAM-JACCARD")),
-    QueryDef("dedup_cluster", q_dedup_cluster, ORACLE_DEDUP_CLUSTER, ("EXT-DEDUP-CLUSTER",)),
+    QueryDef("dedup_cluster", q_dedup_cluster, ORACLE_DEDUP_CLUSTER, ("EXT-DEDUP-CLUSTER",), effectful=True),
     QueryDef("hash_split", q_hash_split, ORACLE_HASH_SPLIT, ("EXT-SAMPLE-SPLIT",)),
     QueryDef("vocab_topk", q_vocab_topk, ORACLE_VOCAB_TOPK, ("EXT-TEXT-VOCAB",)),
     QueryDef("simhash", q_simhash, ORACLE_SIMHASH, ("EXT-DEDUP-SIMHASH",)),

@@ -585,15 +585,15 @@ SELECT * FROM (VALUES
 
 
 QUERIES = [
-    QueryDef("incremental_upsert", q_incremental_upsert, ORACLE_INCREMENTAL_UPSERT, ("OP-SINK-INCR",)),
-    QueryDef("scd2_snapshot", q_scd2_snapshot, ORACLE_SCD2_SNAPSHOT, ("OP-SINK-SCD2",)),
-    QueryDef("registry_pipeline", q_registry_pipeline, ORACLE_REGISTRY_PIPELINE, ("OP-SINK-VIEW", "OP-SINK-TABLE")),
+    QueryDef("incremental_upsert", q_incremental_upsert, ORACLE_INCREMENTAL_UPSERT, ("OP-SINK-INCR",), effectful=True),
+    QueryDef("scd2_snapshot", q_scd2_snapshot, ORACLE_SCD2_SNAPSHOT, ("OP-SINK-SCD2",), effectful=True),
+    QueryDef("registry_pipeline", q_registry_pipeline, ORACLE_REGISTRY_PIPELINE, ("OP-SINK-VIEW", "OP-SINK-TABLE"), effectful=True),
     QueryDef("seed_eu_status", q_seed_eu_status, ORACLE_SEED_EU_STATUS, ("OP-SRC-SEED",)),
     QueryDef("avail_agg", q_avail_agg, ORACLE_AVAIL_AGG, ("OP-AGG-AVAIL", "OP-AGG-ROWCOUNT")),
     QueryDef("freshness_check", q_freshness_check, ORACLE_FRESHNESS_CHECK, ("OP-TEST-FRESH",)),
     QueryDef("contract_check", q_contract_check, ORACLE_CONTRACT_CHECK, ("OP-TEST-CONTRACT",)),
     QueryDef("notnull_violations", q_notnull_violations, ORACLE_NOTNULL_VIOLATIONS, ("OP-TEST-NOTNULL",)),
     QueryDef("jsonstat_decode", q_jsonstat_decode, ORACLE_JSONSTAT_DECODE, ("OP-SRC-JSONSTAT",)),
-    QueryDef("rest_ingest", q_rest_ingest, ORACLE_REST_INGEST, ("OP-SRC-REST", "OP-SINK-RAWLOAD")),
-    QueryDef("unit_test_mock", q_unit_test_mock, ORACLE_UNIT_TEST_MOCK, ("OP-TEST-UNIT",)),
+    QueryDef("rest_ingest", q_rest_ingest, ORACLE_REST_INGEST, ("OP-SRC-REST", "OP-SINK-RAWLOAD"), effectful=True),
+    QueryDef("unit_test_mock", q_unit_test_mock, ORACLE_UNIT_TEST_MOCK, ("OP-TEST-UNIT",), effectful=True),
 ]

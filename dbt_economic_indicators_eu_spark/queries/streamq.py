@@ -22,8 +22,10 @@ from .common import EVENTS_NORM_SQL, QueryDef, load
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming.events_stream(spark, sf_dir)
+    # few (window, type) groups → state volume is tiny; 4 stores beat 8
+    # on fixed per-store cost (swept 2/4/8 at sf0.1: 0.62/0.62/0.74)
     return streaming.run_available_now(
-        streaming.windowed_counts(ev), "stream_window_counts"
+        streaming.windowed_counts(ev), "stream_window_counts", n_state_partitions=4
     )
 
 
@@ -115,7 +117,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would keep an arbitrary first-seen row per key)."""
     ev = streaming.events_stream(spark, sf_dir)
     deduped = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
-    return streaming.run_available_now(deduped, "stream_dedup", output_mode="append")
+    # key-set state is small; 4 stores minimize the drain (swept 2/4/8)
+    return streaming.run_available_now(
+        deduped, "stream_dedup", output_mode="append", n_state_partitions=4
+    )
 
 
 ORACLE_STREAM_DEDUP = """
@@ -159,24 +164,28 @@ QUERIES = [
         q_stream_incremental,
         ORACLE_STREAM_INCREMENTAL,
         ("EXT-STREAM-INCR", "OP-SINK-INCR"),
+        effectful=True,
     ),
     QueryDef(
         "stream_window_counts",
         q_stream_window_counts,
         ORACLE_STREAM_WINDOW_COUNTS,
         ("EXT-STREAM-WINDOW",),
+        effectful=True,
     ),
     QueryDef(
         "stream_stateful_totals",
         q_stream_stateful_totals,
         ORACLE_STREAM_STATEFUL_TOTALS,
         ("EXT-STREAM-STATEFUL",),
+        effectful=True,
     ),
     QueryDef(
         "stream_sessionize",
         q_stream_sessionize,
         ORACLE_STREAM_SESSIONIZE,
         ("EXT-STREAM-SESSION",),
+        effectful=True,
     ),
-    QueryDef("stream_dedup", q_stream_dedup, ORACLE_STREAM_DEDUP, ("EXT-STREAM-DEDUP",)),
+    QueryDef("stream_dedup", q_stream_dedup, ORACLE_STREAM_DEDUP, ("EXT-STREAM-DEDUP",), effectful=True),
 ]
