@@ -119,6 +119,24 @@ EVENTS_NORM_SQL = (
 )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def shuffle_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` around eagerly-executed
+    plans (iterative loops sizing their shuffle width to measured
+    state). Only affects plans BUILT and RUN inside the scope; lazy
+    frames returned to the caller plan at action time, after restore."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def r2(c: Column) -> Column:
     return F.round(c, 2)
 

@@ -647,6 +647,14 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _verified_pairs(spark, sf_dir)
+    # Size the loop's shuffle width to the MEASURED pair-set size (the
+    # count is a cheap job over checkpointed blocks): near-dup pair
+    # tables are orders of magnitude smaller than the corpus, and each
+    # CC round pays per-task fixed costs on every shuffle stage. ~1M
+    # pair rows per partition; widens automatically at 100 TB scale.
+    n_pairs = pairs.count()
+    loop_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                            n_pairs // 1_000_000 + 1))
     # undirected edges, both directions; vertices = docs in any pair.
     # Derived lazily from the checkpointed pair blocks — cheap to
     # recompute each round, no extra materialization to leak.
@@ -662,30 +670,33 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round, instead of a self-join + count job.
     from pyspark.sql import Observation
 
+    from .common import shuffle_partitions
+
     prev_sum = None
-    for it in range(_CC_MAX_ITERS):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("comp").alias("neighbor_comp"))
-        )
-        # The convergence scalar rides the SAME job that materializes
-        # the round's labels (observe + eager localCheckpoint) — one
-        # job per round, not a checkpoint job plus a separate agg job.
-        obs = Observation(f"cc_round_{it}")
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select("id", F.least("comp", F.coalesce("neighbor_comp", "comp")).alias("comp"))
-            .observe(obs, F.sum("comp").alias("comp_sum"))
-            .localCheckpoint(eager=True)  # cut the lineage each round
-        )
-        cur_sum = obs.get["comp_sum"]
-        labels = new_labels
-        if cur_sum is None:  # no pairs at all → trivially converged
-            break
-        if prev_sum is not None and cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    with shuffle_partitions(spark, loop_parts):
+        for it in range(_CC_MAX_ITERS):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("comp").alias("neighbor_comp"))
+            )
+            # The convergence scalar rides the SAME job that materializes
+            # the round's labels (observe + eager localCheckpoint) — one
+            # job per round, not a checkpoint job plus a separate agg job.
+            obs = Observation(f"cc_round_{it}")
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select("id", F.least("comp", F.coalesce("neighbor_comp", "comp")).alias("comp"))
+                .observe(obs, F.sum("comp").alias("comp_sum"))
+                .localCheckpoint(eager=True)  # cut the lineage each round
+            )
+            cur_sum = obs.get["comp_sum"]
+            labels = new_labels
+            if cur_sum is None:  # no pairs at all → trivially converged
+                break
+            if prev_sum is not None and cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
 
     from pyspark.sql import Window as _W
 

@@ -126,3 +126,34 @@ def test_range_join_binned_equi_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan
     assert "Generate explode" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set (bounded: eval suites are MBs) must
+    broadcast; the corpus shingle stream must never sort-merge."""
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_curation_single_window_no_self_join(spark):
+    """Canonical-row selection is a window min over the content hash —
+    the funnel must contain NO join (a groupBy+join-back would shuffle
+    the corpus twice)."""
+    plan = _plan(spark, "corpus_curation")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_pii_redact_is_pure_projection(spark):
+    """Detection + redaction is a scan-stage projection: no Exchange at
+    all before the final result."""
+    plan = _plan(spark, "pii_redact")
+    assert "Exchange" not in plan
+
+
+def test_training_shuffle_single_exchange(spark):
+    """Shard manifest = one hash Exchange on the shard key shared by
+    the row_number window and the final aggregate."""
+    plan = _plan(spark, "training_shuffle")
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg reuse

@@ -83,6 +83,19 @@ HEADLINERS = [
         "for a raw inequality join; the exact BETWEEN filter runs "
         "inside the joined stage.",
     ),
+    (
+        "decontaminate",
+        "Benchmark shingle set (bounded — eval suites are MBs) "
+        "broadcasts into the corpus shingle stream; the corpus is "
+        "never shuffled, never sort-merged.",
+    ),
+    (
+        "corpus_curation",
+        "Quality filter -> exact-dedup keep-first -> per-language "
+        "report with NO join anywhere: canonical selection is a window "
+        "min over the content hash, so the corpus shuffles once for "
+        "the window and once (tiny) for the final group.",
+    ),
 ]
 
 STORAGE = [
