@@ -68,6 +68,10 @@ def _events_ts_encoding(path: str) -> str:
     """
     import pyarrow.parquet as pq
 
+    cached = _TS_ENCODING_CACHE.get(path)
+    if cached is not None:
+        return cached
+    orig_path = path
     if os.path.isdir(path):
         parts = sorted(
             os.path.join(path, f)
@@ -79,13 +83,24 @@ def _events_ts_encoding(path: str) -> str:
         path = parts[0]
     pf = pq.ParquetFile(path)
     if pf.schema.column(pf.schema.names.index("ts")).physical_type == "INT96":
-        return "ltz"
-    arrow_type = str(pf.schema_arrow.field("ts").type)
-    if arrow_type == "timestamp[ns]":
-        return "nanos"
-    if "tz=" in arrow_type:
-        return "ltz"
-    return "ntz"
+        enc = "ltz"
+    else:
+        arrow_type = str(pf.schema_arrow.field("ts").type)
+        if arrow_type == "timestamp[ns]":
+            enc = "nanos"
+        elif "tz=" in arrow_type:
+            enc = "ltz"
+        else:
+            enc = "ntz"
+    _TS_ENCODING_CACHE[orig_path] = enc
+    return enc
+
+
+# path → sniffed encoding. A writer never changes a table's timestamp
+# encoding in place (appends share the footer type), so per-process
+# memoization is safe; it saves a driver-side footer read per stream
+# construction.
+_TS_ENCODING_CACHE: dict[str, str] = {}
 
 SESSION_GAP = "30 minutes"
 DEFAULT_WATERMARK = "1 hour"
@@ -262,6 +277,13 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     O(events)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # Project to the two columns the fold reads BEFORE the stateful
+    # exchange: every column selected here crosses the shuffle AND the
+    # Arrow boundary per micro-batch (the props JSON alone is ~10x the
+    # useful payload). Catalyst cannot prune through a Python stateful
+    # operator, so the projection must be explicit.
+    events = events.select("user_id", "value")
 
     out_schema = "user_id bigint, n_events bigint, n_values bigint, total_value double"
     state_schema = "n bigint, n_val bigint, total double"
