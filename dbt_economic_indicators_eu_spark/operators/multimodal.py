@@ -155,3 +155,47 @@ def sample_video_frames(
             yield pd.DataFrame(out)
 
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(batches, schema=schema)
+
+
+def decode_resize_features(
+    df: DataFrame,
+    factor: int = 2,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Operator fusion of decode_image -> resize_nearest -> byte-sum
+    features: ONE Arrow pass per batch instead of separate Python
+    stages per operator. The unfused operators remain the composition
+    surface (a real pipeline mixes and matches them); this fused body
+    is what a production media pipeline compiles the common
+    decode+thumbnail+stats chain into — the pixels never re-cross the
+    Arrow boundary between stages. Equality with the unfused chain is
+    pinned by tests/test_multimodal.py::test_fused_pipeline_matches_composed."""
+    import numpy as np
+
+    schema = (
+        "doc_id bigint, width int, height int, pixel_sum bigint, "
+        "r_width int, r_height int, resized_sum bigint"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "pixel_sum",
+                "r_width", "r_height", "resized_sum",
+            )}
+            for doc_id, media in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(media) if media is not None else b""
+                w, h = _fake_dims(len(b))
+                arr = np.frombuffer(b[: w * h], dtype=np.uint8).reshape(h, w)
+                small = arr[::factor, ::factor]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(int(arr.sum()))
+                out["r_width"].append(small.shape[1])
+                out["r_height"].append(small.shape[0])
+                out["resized_sum"].append(int(small.sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(batches, schema=schema)

@@ -836,16 +836,12 @@ QUALIFY rank <= {_VOCAB_K}
 # --------------------------------------------------------------------------
 
 
-def _byte_sum_udf():
+def byte_sum_udf():
     """Sum of raw byte values of a binary column as an Arrow-vectorized
-    UDF: the pixels leave the decode operator through Arrow into the
-    plan and re-enter this stage through Arrow, so byte round-trip
-    fidelity is still exercised end-to-end — but the sum itself is one
-    ``np.frombuffer(...).sum()`` per row instead of an interpreted
-    per-character ``aggregate(transform(sequence(...)))`` fold (HOFs
-    are not codegen'd; the fold measured ~1.1s of media_pipeline's
-    1.5s at sf0.1). Byte sums are integer arithmetic — no float-order
-    parity concern."""
+    UDF (one ``np.frombuffer(...).sum()`` per row; HOF character folds
+    are not codegen'd and measured ~10x slower). Used by the UNFUSED
+    media composition (tests pin it equal to the fused operator);
+    byte sums are integer arithmetic — no float-order parity concern."""
 
     @F.pandas_udf("long")
     def byte_sum(b: pd.Series) -> pd.Series:
@@ -857,21 +853,17 @@ def _byte_sum_udf():
 
 
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import decode_image, resize_nearest
+    """Runs the FUSED decode->resize->features operator: one Arrow pass,
+    no join, pixels cross the Python boundary once. The unfused
+    composition (decode_image -> resize_nearest -> byte-sum, which
+    evaluates the decode subtree once per join branch) is pinned equal
+    to this in tests/test_multimodal.py."""
+    from ..operators.multimodal import decode_resize_features
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("media")
     )
-    decoded = decode_image(docs)
-    resized = resize_nearest(decoded, factor=2)
-    byte_sum = _byte_sum_udf()
-    dec_sum = decoded.select(
-        "doc_id", "width", "height", byte_sum("pixels").alias("pixel_sum")
-    )
-    rs_sum = resized.select(
-        "doc_id", "r_width", "r_height", byte_sum("r_pixels").alias("resized_sum")
-    )
-    return dec_sum.join(rs_sum, "doc_id")
+    return decode_resize_features(docs, factor=2)
 
 
 # The fake codec is pure byte arithmetic over ASCII text, so every

@@ -83,3 +83,32 @@ def test_frame_sample_fanout_and_sums(spark):
 def test_frame_sample_short_media_emits_nothing(spark):
     df = spark.createDataFrame([(1, b"short")], "doc_id bigint, media binary")
     assert sample_video_frames(df, frame_size=16, every_n=2).count() == 0
+
+
+def test_fused_pipeline_matches_composed(spark):
+    """decode_resize_features (one Arrow pass) must equal the unfused
+    decode -> resize -> byte-sum composition row-for-row."""
+    from pyspark.sql import functions as F
+
+    from dbt_economic_indicators_eu_spark.operators.multimodal import (
+        decode_resize_features,
+    )
+    from dbt_economic_indicators_eu_spark.queries.datapipe import byte_sum_udf
+    from dbt_economic_indicators_eu_spark.queries.common import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    fused = decode_resize_features(docs, factor=2)
+    decoded = decode_image(docs)
+    resized = resize_nearest(decoded, factor=2)
+    bs = byte_sum_udf()
+    composed = decoded.select(
+        "doc_id", "width", "height", bs("pixels").alias("pixel_sum")
+    ).join(
+        resized.select("doc_id", "r_width", "r_height", bs("r_pixels").alias("resized_sum")),
+        "doc_id",
+    )
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, composed.select(*fused.columns).collect()))
+    assert a == b
