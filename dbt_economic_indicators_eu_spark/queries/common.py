@@ -229,6 +229,9 @@ _VERIFY_FIRST = (
     "length_buckets",
     "training_shuffle",
     "corpus_curation",
+    "repetition_stats",
+    "wordlist_ratio",
+    "source_mix_weights",
 )
 
 

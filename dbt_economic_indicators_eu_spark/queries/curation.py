@@ -252,6 +252,159 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# q_repetition_stats — EXT-TEXT-REPETITION: duplicate word-2-gram
+# fraction per document (the Gopher-style repetition quality filter —
+# boilerplate and degenerate generations have high duplicate-n-gram
+# mass). Pure JVM array expressions; the fraction is a ratio of exact
+# integers so both engines emit the identical double.
+# --------------------------------------------------------------------------
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
+        " ",
+    )
+    # The size >= 2 guard is load-bearing: Spark's sequence(1, 0) is a
+    # DESCENDING [1, 0], so an unguarded transform would index past a
+    # single-word array (ANSI OOB error).
+    grams = F.expr(
+        "CASE WHEN size(_words) >= 2 THEN"
+        " transform(sequence(1, size(_words) - 1),"
+        "           i -> concat_ws(' ', _words[i - 1], _words[i]))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    staged = docs.select("doc_id", words.alias("_words")).select(
+        "doc_id", grams.alias("_grams")
+    )
+    n = F.size("_grams")
+    n_distinct = F.size(F.array_distinct("_grams"))
+    return staged.select(
+        "doc_id",
+        n.alias("n_2grams"),
+        n_distinct.alias("n_distinct_2grams"),
+        F.when(n > 0, (n - n_distinct).cast("double") / n).otherwise(0.0).alias(
+            "dup_2gram_fraction"
+        ),
+    )
+
+
+ORACLE_REPETITION_STATS = r"""
+WITH g AS (
+  SELECT doc_id,
+         [words[i] || ' ' || words[i+1] for i in range(1, len(words))] AS grams
+  FROM (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ')
+             AS words
+    FROM documents
+  )
+)
+SELECT
+  doc_id,
+  CAST(len(grams) AS INTEGER) AS n_2grams,
+  CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct_2grams,
+  CASE WHEN len(grams) > 0
+       THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+       ELSE 0.0 END AS dup_2gram_fraction
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# q_wordlist_ratio — EXT-TEXT-WORDLIST: fraction of tokens hitting a
+# broadcast wordlist (the C4-style wordlist filter shape: stopword
+# floors for language quality, blocklist ceilings for unwanted
+# content). The list is a literal array riding the expression — at any
+# scale it is a per-executor constant, never a join.
+# --------------------------------------------------------------------------
+
+_WORDLIST = ("the", "a", "of", "key", "value", "table", "row")
+
+
+def q_wordlist_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
+        " ",
+    )
+    lst = ", ".join(f"'{w}'" for w in _WORDLIST)
+    staged = docs.select("doc_id", "lang", words.alias("_words"))
+    n = F.size("_words")
+    hits = F.size(F.expr(f"filter(_words, w -> array_contains(array({lst}), w))"))
+    return staged.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        hits.alias("n_wordlist_hits"),
+        F.when(n > 0, hits.cast("double") / n).otherwise(0.0).alias("wordlist_ratio"),
+    )
+
+
+ORACLE_WORDLIST_RATIO = rf"""
+WITH w AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ')
+           AS words
+  FROM documents
+)
+SELECT
+  doc_id,
+  lang,
+  CAST(len(words) AS INTEGER) AS n_tokens,
+  CAST(len(list_filter(words, w -> list_contains([{", ".join(f"'{w}'" for w in _WORDLIST)}], w)))
+       AS INTEGER) AS n_wordlist_hits,
+  CASE WHEN len(words) > 0
+       THEN CAST(len(list_filter(words, w -> list_contains([{", ".join(f"'{w}'" for w in _WORDLIST)}], w)))
+            AS DOUBLE) / len(words)
+       ELSE 0.0 END AS wordlist_ratio
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# q_source_mix_weights — EXT-MIX-WEIGHTS: static domain-mixing weights
+# (the data-mixture step of a pretraining build: given a target share
+# per source, emit the per-source sampling weight that achieves it).
+# One tiny groupBy; the weight table is the broadcast side of the
+# downstream weighted sampler at any scale.
+# --------------------------------------------------------------------------
+
+
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__t"))
+    n_sources = counts.agg(F.count(F.lit(1)).alias("__k"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("__t")).alias("actual_share"),
+            (
+                (F.lit(1.0) / F.col("__k"))
+                / (F.col("n_docs").cast("double") / F.col("__t"))
+            ).alias("sampling_weight"),
+        )
+    )
+
+
+ORACLE_SOURCE_MIX_WEIGHTS = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS k FROM c)
+SELECT
+  c.source,
+  c.n_docs,
+  CAST(c.n_docs AS DOUBLE) / t.total AS actual_share,
+  (1.0 / t.k) / (CAST(c.n_docs AS DOUBLE) / t.total) AS sampling_weight
+FROM c, t
+"""
+
+
 QUERIES = [
     QueryDef("decontaminate", q_decontaminate, ORACLE_DECONTAMINATE, ("EXT-DECONTAM",)),
     QueryDef("pii_redact", q_pii_redact, ORACLE_PII_REDACT, ("EXT-PII-REDACT",)),
@@ -269,5 +422,20 @@ QUERIES = [
         q_corpus_curation,
         ORACLE_CORPUS_CURATION,
         ("EXT-CURATE-E2E",),
+    ),
+    QueryDef(
+        "repetition_stats",
+        q_repetition_stats,
+        ORACLE_REPETITION_STATS,
+        ("EXT-TEXT-REPETITION",),
+    ),
+    QueryDef(
+        "wordlist_ratio", q_wordlist_ratio, ORACLE_WORDLIST_RATIO, ("EXT-TEXT-WORDLIST",)
+    ),
+    QueryDef(
+        "source_mix_weights",
+        q_source_mix_weights,
+        ORACLE_SOURCE_MIX_WEIGHTS,
+        ("EXT-MIX-WEIGHTS",),
     ),
 ]

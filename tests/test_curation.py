@@ -66,3 +66,41 @@ def test_training_shuffle_covers_all_docs(spark, monkeypatch):
     out = curation.q_training_shuffle(spark, "ignored").collect()
     assert sum(r["n_docs"] for r in out) == 40
     assert all(0 <= r["shard"] < curation._N_SHARDS for r in out)
+
+
+def test_repetition_stats_flags_degenerate_text(spark, monkeypatch):
+    rows = [
+        ("spam spam spam spam spam", "en"),           # 4 identical 2-grams
+        ("all words here are different tokens", "en"),  # no dups
+        ("", "en"),
+    ]
+    docs = _docs(spark, rows)
+    monkeypatch.setattr(curation, "load", lambda s, d, n: docs)
+    out = {r["doc_id"]: r for r in curation.q_repetition_stats(spark, "ignored").collect()}
+    assert out[0]["n_2grams"] == 4 and out[0]["n_distinct_2grams"] == 1
+    assert out[0]["dup_2gram_fraction"] == 0.75
+    assert out[1]["dup_2gram_fraction"] == 0.0
+    assert out[2]["n_2grams"] == 0 and out[2]["dup_2gram_fraction"] == 0.0
+
+
+def test_wordlist_ratio_counts_duplicates(spark, monkeypatch):
+    docs = _docs(spark, [("the key the KEY unknown", "en")])
+    monkeypatch.setattr(curation, "load", lambda s, d, n: docs)
+    r = curation.q_wordlist_ratio(spark, "ignored").collect()[0]
+    # lowercased first: the, key, the, key hit; 'unknown' does not
+    assert r["n_tokens"] == 5 and r["n_wordlist_hits"] == 4
+    assert r["wordlist_ratio"] == 0.8
+
+
+def test_source_mix_weights_inverse_property(spark, monkeypatch):
+    rows = [(f"text {i}", "en") for i in range(30)]
+    docs = local_df(
+        spark,
+        [(i, t, lang, f"src{i % 3}", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    monkeypatch.setattr(curation, "load", lambda s, d, n: docs)
+    out = curation.q_source_mix_weights(spark, "ignored").collect()
+    # uniform input -> every weight is exactly 1.0; shares sum to 1
+    assert all(abs(r["sampling_weight"] - 1.0) < 1e-12 for r in out)
+    assert abs(sum(r["actual_share"] for r in out) - 1.0) < 1e-12
