@@ -26,6 +26,16 @@ from ..operators.banding import candidate_pairs
 # --------------------------------------------------------------------------
 
 
+def _python_pass_width(spark) -> int:
+    """Partition width for CPU-bound Arrow passes (shingle/minhash/
+    simhash hashing): floor of 8 so the Python work spreads across
+    cores even when the session sizes shuffle.partitions to tiny-SF
+    shuffle volume — a shuffle width tracks DATA, a Python pass tracks
+    COMPUTE (swept 4/8/16 at sf0.1: 0.70/0.54/0.56s for the band
+    stage). On a cluster the conf dominates the floor."""
+    return max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tokens = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
@@ -214,7 +224,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         docs.select("doc_id", "text")
-        .repartition(max(2, int(spark.conf.get("spark.sql.shuffle.partitions"))))
+        .repartition(_python_pass_width(spark))
         .mapInPandas(gen, "doc_id bigint, fingerprint string, n_shingles int")
     )
 
@@ -327,7 +337,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exchange it buys costs only |docs| x (id + text) bytes.
     banded = (
         docs.select("doc_id", "text")
-        .repartition(max(2, int(spark.conf.get("spark.sql.shuffle.partitions"))))
+        .repartition(_python_pass_width(spark))
         .mapInPandas(
             _banded_minhash_gen(), "doc_id bigint, band_idx int, band_hash string"
         )
@@ -451,7 +461,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         docs.select("doc_id", "text")
-        .repartition(max(2, int(spark.conf.get("spark.sql.shuffle.partitions"))))
+        .repartition(_python_pass_width(spark))
         .mapInPandas(gen, "doc_id bigint, simhash16 int")
     )
 
