@@ -65,13 +65,13 @@ def test_dedup_bucket_udf_matches_jvm_fold(spark):
 
 
 def test_byte_sum_udf(spark):
-    from dbt_economic_indicators_eu_spark.queries.datapipe import _byte_sum_udf
+    from dbt_economic_indicators_eu_spark.queries.datapipe import byte_sum_udf
 
     df = spark.createDataFrame(
         [(1, bytearray(b"\x00\x01\xff")), (2, bytearray(b"")), (3, None)],
         "id int, b binary",
     )
-    rows = {r["id"]: r["s"] for r in df.select("id", _byte_sum_udf()("b").alias("s")).collect()}
+    rows = {r["id"]: r["s"] for r in df.select("id", byte_sum_udf()("b").alias("s")).collect()}
     assert rows[1] == 0 + 1 + 255
     assert rows[2] == 0
     assert rows[3] is None
