@@ -191,3 +191,65 @@ def test_stream_handles_directory_and_ltz_encodings(spark, tmp_path, out_type):
         (dt.datetime(2025, 1, 1), "a"): 1,
         (dt.datetime(2025, 1, 2), "b"): 1,
     }
+
+
+def test_incremental_resume_is_exactly_once(spark, tmp_path):
+    """The checkpointed foreachBatch merge must be resumable: a second
+    drain with the SAME checkpoint re-processes only files that arrived
+    after the first drain — no duplicates, upserts still win."""
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id bigint, user_id bigint, value double"
+
+    spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0)], schema
+    ).coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        streaming.stream_merge_incremental(stream, target, ckpt, unique_key="event_id")
+
+    drain()
+    first = {r.event_id: r.value for r in spark.read.parquet(target).collect()}
+    assert first == {1: 1.0, 2: 2.0}
+
+    # second batch: one new key, one collision (key 2 revised)
+    spark.createDataFrame(
+        [(2, 10, 20.0), (3, 11, 3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    final = {r.event_id: r.value for r in spark.read.parquet(target).collect()}
+    # exactly-once: key 1 appears once with its original value; the
+    # revised key 2 wins; key 3 appended
+    assert final == {1: 1.0, 2: 20.0, 3: 3.0}
+    assert spark.read.parquet(target).count() == 3
+
+    # a third drain with NO new files must be a no-op
+    drain()
+    assert spark.read.parquet(target).count() == 3
+
+
+def test_session_window_merges_across_batches(spark, tmp_path):
+    """Two micro-batches whose events fall inside one session gap must
+    merge into a SINGLE session row (state carries across batches)."""
+    d = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id bigint, ts timestamp_ntz, user_id bigint, value double"
+    spark.createDataFrame(
+        [(1, t0, 7, 1.0), (2, t0 + dt.timedelta(minutes=10), 7, 2.0)], schema
+    ).coalesce(1).write.parquet(d)
+    spark.createDataFrame(
+        # 20 min after event 2 -> still inside the 30-min gap
+        [(3, t0 + dt.timedelta(minutes=30), 7, 4.0)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    out = streaming.run_available_now(
+        streaming.sessionize(stream), "t_session_2batch"
+    ).collect()
+    assert len(out) == 1
+    s = out[0]
+    assert s.user_id == 7 and s.n_events == 3 and s.total_value == 7.0
+    assert s.session_start == t0
+    assert s.session_end == t0 + dt.timedelta(minutes=60)  # last event + gap
