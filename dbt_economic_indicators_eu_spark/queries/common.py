@@ -232,6 +232,7 @@ _VERIFY_FIRST = (
     "repetition_stats",
     "wordlist_ratio",
     "source_mix_weights",
+    "annual_summary",
 )
 
 

@@ -817,7 +817,111 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q_annual_summary — the FLAGSHIP report (rpt_annual_economic_summary.sql:
+# ranks :44-47, EU share :96-103, YoY :80-84) over the star schema: one
+# agg + three window families sharing two partitionings. This is also
+# what ``__spark_entry__.entry`` runs — giving the flagship a full
+# value-hash oracle instead of a smoke-only check.
+# Float discipline (queries/common.py): revenue is a rounded
+# terminating sum; avg_quantity is round(sum,2)/count (never a rounded
+# avg); share/yoy ratios are r4 of non-terminating ratios.
+# --------------------------------------------------------------------------
+
+
+def q_annual_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    annual = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == supp.s_suppkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            (r2(F.sum("l_quantity")) / F.count(F.lit(1))).alias("avg_quantity"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    w_year = Window.partitionBy("ship_year")
+    w_nation = Window.partitionBy("nation_name").orderBy("ship_year")
+    prev_rev = F.lag("revenue").over(w_nation)
+    return annual.select(
+        "region_name",
+        "nation_name",
+        "ship_year",
+        "revenue",
+        "avg_quantity",
+        "n_lineitems",
+        F.rank().over(w_year.orderBy(F.col("revenue").desc())).alias("revenue_rank_in_year"),
+        r4(F.col("revenue") / F.sum("revenue").over(w_year) * 100.0).alias(
+            "revenue_share_pct"
+        ),
+        r4(
+            F.when(
+                prev_rev.isNotNull() & (prev_rev != 0),
+                (F.col("revenue") - prev_rev) / prev_rev * 100.0,
+            )
+        ).alias("yoy_revenue_change_pct"),
+    )
+
+
+ORACLE_ANNUAL_SUMMARY = """
+WITH annual AS (
+  SELECT
+    r.r_name AS region_name,
+    n.n_name AS nation_name,
+    CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    round(sum(l.l_quantity), 2) / count(*) AS avg_quantity,
+    count(*) AS n_lineitems
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2, 3
+)
+SELECT
+  region_name,
+  nation_name,
+  ship_year,
+  revenue,
+  avg_quantity,
+  n_lineitems,
+  rank() OVER (PARTITION BY ship_year ORDER BY revenue DESC)
+    AS revenue_rank_in_year,
+  round(revenue / sum(revenue) OVER (PARTITION BY ship_year) * 100.0, 4)
+    AS revenue_share_pct,
+  round(CASE WHEN lag(revenue) OVER w IS NOT NULL AND lag(revenue) OVER w != 0
+        THEN (revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 100.0 END, 4)
+    AS yoy_revenue_change_pct
+FROM annual
+WINDOW w AS (PARTITION BY nation_name ORDER BY ship_year)
+"""
+
+
 QUERIES = [
+    QueryDef(
+        "annual_summary",
+        q_annual_summary,
+        ORACLE_ANNUAL_SUMMARY,
+        ("OP-JOIN-DIM", "OP-WIN-RANK", "OP-WIN-LAG1", "OP-WIN-YOY%", "OP-AGG-ANNUAL-U"),
+    ),
     QueryDef(
         "staging_projection",
         q_staging_projection,
