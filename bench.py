@@ -171,6 +171,21 @@ def main() -> int:
             except Exception as exc:
                 print(f"bench: warmup {name} failed: {exc}", file=sys.stderr)
 
+    # Prime the target-SF plan cache (build only, no action): pure
+    # queries then enter pass 1 with their plan already constructed,
+    # so both passes sample execution, not py4j plan-build latency.
+    # Effectful builders are skipped — calling one RUNS its pipeline.
+    from dbt_economic_indicators_eu_spark.queries import all_queries as _aq
+
+    defs = _aq()
+    for name, builder in qs.items():
+        if name in defs and defs[name].effectful:
+            continue
+        try:
+            builder(spark, sf_dir)
+        except Exception:
+            pass  # the timed pass will surface the failure
+
     # Two whole-suite passes, per-query min: a single sample is
     # polluted by cross-query interference (C2 compile backlog from
     # the warmup, driver full-GC after dozens of queries) — measured a
