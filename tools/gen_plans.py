@@ -19,6 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # (query, what to look for in the plan)
 HEADLINERS = [
     (
+        "annual_summary",
+        "The flagship report: three broadcast dim joins (fact side never "
+        "shuffles for the join), map-side partial aggregation into the "
+        "(nation, year) group, then rank/share/YoY windows sharing two "
+        "hash partitionings.",
+    ),
+    (
         "annual_agg",
         "Fact-side lineitem never shuffles for the join (both dims are "
         "BroadcastHashJoin builds); the groupBy keys are bounded "
