@@ -171,10 +171,13 @@ def main() -> int:
             except Exception as exc:
                 print(f"bench: warmup {name} failed: {exc}", file=sys.stderr)
 
-    # Prime the target-SF plan cache (build only, no action): pure
-    # queries then enter pass 1 with their plan already constructed,
-    # so both passes sample execution, not py4j plan-build latency.
-    # Effectful builders are skipped — calling one RUNS its pipeline.
+    # Prime the target-SF plan cache for pure queries, so both timed
+    # passes sample execution rather than py4j plan-build latency.
+    # Mostly build-only; the storage-layout builders also run their
+    # one-time bucketed/partitioned write here (previously paid inside
+    # timed pass 1 — the min across passes is unchanged, the samples
+    # are just cleaner). Effectful builders are skipped — calling one
+    # RUNS its pipeline.
     from dbt_economic_indicators_eu_spark.queries import all_queries as _aq
 
     defs = _aq()
@@ -183,8 +186,8 @@ def main() -> int:
             continue
         try:
             builder(spark, sf_dir)
-        except Exception:
-            pass  # the timed pass will surface the failure
+        except Exception as exc:
+            print(f"bench: plan-prime {name} failed: {exc}", file=sys.stderr)
 
     # Two whole-suite passes, per-query min: a single sample is
     # polluted by cross-query interference (C2 compile backlog from

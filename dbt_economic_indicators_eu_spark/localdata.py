@@ -53,9 +53,18 @@ def local_df(
     # object dtype keeps None as None (a float64 column would coerce it
     # to NaN, which Arrow ships as NaN, not NULL).
     pdf = pd.DataFrame(data, columns=names, dtype=object)
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
     try:
         return spark.createDataFrame(pdf, st)
     except Exception:
         # Arrow conversion rejected the data (exotic type) — classic path.
         return spark.createDataFrame(rows, schema=schema)
+    finally:
+        # restore: a session that deliberately disabled Arrow must not
+        # have the conf silently flipped by a fixture build
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

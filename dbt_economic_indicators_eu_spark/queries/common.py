@@ -176,8 +176,14 @@ class QueryDef:
     effectful: bool = False
 
 
-# (applicationId, sf_dir, query name) → built DataFrame (logical plan).
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (applicationId, session identity, sf_dir, query name) → built
+# DataFrame (logical plan). The session identity term matters because
+# SparkSession.newSession() shares the applicationId but has its own
+# temp-view/conf state; a cached frame must never cross sessions.
+# Caveat (inherent to plan caching): confs read at BUILD time (e.g. a
+# repartition width derived from shuffle.partitions) are frozen into
+# the cached plan — a conf sweep needs a fresh session.
+_PLAN_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
 def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
@@ -185,7 +191,7 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
         return q.builder
 
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (spark.sparkContext.applicationId, sf_dir, q.name)
+        key = (spark.sparkContext.applicationId, id(spark), sf_dir, q.name)
         df = _PLAN_CACHE.get(key)
         if df is None:
             df = q.builder(spark, sf_dir)

@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import QueryDef, load
-from .datapipe import _ORACLE_SHINGLES, _with_shingles
+from .datapipe import (
+    _ORACLE_SHINGLES,
+    ORACLE_WORDS_EXPR,
+    _with_shingles,
+    normalized_words,
+)
 
 # --------------------------------------------------------------------------
 # q_decontaminate — EXT-DECONTAM: n-gram benchmark decontamination.
@@ -33,9 +38,14 @@ from .datapipe import _ORACLE_SHINGLES, _with_shingles
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # Drop the '' shingle from the benchmark set: blank/null benchmark
+    # docs shingle to [''] (the _with_shingles null convention), and an
+    # empty-string "match" would flag every blank corpus doc as
+    # contaminated — content-free overlap is not contamination.
     bench_sh = (
         _with_shingles(docs.filter(F.col("doc_id") % 37 == 0))
         .select(F.explode("shingles").alias("sg"))
+        .filter(F.col("sg") != "")
         .distinct()
     )
     corp_sh = _with_shingles(docs.filter(F.col("doc_id") % 37 != 0)).select(
@@ -53,7 +63,7 @@ WITH shingled AS ({_ORACLE_SHINGLES}),
 bench AS (
   SELECT DISTINCT sg FROM (
     SELECT unnest(shingles) AS sg FROM shingled WHERE doc_id % 37 = 0
-  )
+  ) WHERE sg <> ''
 ),
 corp AS (
   SELECT doc_id, unnest(shingles) AS sg FROM shingled WHERE doc_id % 37 <> 0
@@ -263,10 +273,7 @@ GROUP BY lang
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
-        " ",
-    )
+    words = normalized_words()
     # The size >= 2 guard is load-bearing: Spark's sequence(1, 0) is a
     # DESCENDING [1, 0], so an unguarded transform would index past a
     # single-word array (ANSI OOB error).
@@ -291,14 +298,12 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_REPETITION_STATS = r"""
+ORACLE_REPETITION_STATS = rf"""
 WITH g AS (
   SELECT doc_id,
          [words[i] || ' ' || words[i+1] for i in range(1, len(words))] AS grams
   FROM (
-    SELECT doc_id,
-           string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ')
-             AS words
+    SELECT doc_id, {ORACLE_WORDS_EXPR} AS words
     FROM documents
   )
 )
@@ -326,10 +331,7 @@ _WORDLIST = ("the", "a", "of", "key", "value", "table", "row")
 
 def q_wordlist_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
-        " ",
-    )
+    words = normalized_words()
     lst = ", ".join(f"'{w}'" for w in _WORDLIST)
     staged = docs.select("doc_id", "lang", words.alias("_words"))
     n = F.size("_words")
@@ -345,9 +347,7 @@ def q_wordlist_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WORDLIST_RATIO = rf"""
 WITH w AS (
-  SELECT doc_id, lang,
-         string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ')
-           AS words
+  SELECT doc_id, lang, {ORACLE_WORDS_EXPR} AS words
   FROM documents
 )
 SELECT

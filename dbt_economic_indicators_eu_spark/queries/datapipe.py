@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .common import QueryDef, load, r4
-from ..operators.banding import candidate_pairs
+from ..operators.banding import HOT_BUCKET_CAP, candidate_pairs
 
 # --------------------------------------------------------------------------
 # q_text_stats — EXT-TEXT-QUALITY: token count, char-class ratios — the
@@ -118,6 +118,26 @@ HAVING count(*) > 1
 # --------------------------------------------------------------------------
 
 
+# THE corpus tokenization, shared by every shingle/word operator (and
+# re-used by queries/curation.py): lower → NULL→'' → collapse \s+ →
+# trim → split on single space. Null text tokenizes to [''] — the
+# convention the Arrow passes, the oracles, and
+# tests/test_null_text_parity.py all pin. Change it HERE (and in the
+# SQL twin below) or engines silently diverge.
+def normalized_words() -> F.Column:
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
+        " ",
+    )
+
+
+# DuckDB twin of ``normalized_words`` (single-backslash regex, ready to
+# interpolate into oracle SQL).
+ORACLE_WORDS_EXPR = (
+    r"string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ')"
+)
+
+
 _INFER_GEN_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
 
@@ -163,18 +183,12 @@ def _with_shingles(docs, out: str = "shingles", k: int = 3, extra: tuple = ()):
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", w)))
-    # coalesce: NULL text shingles as [''] — same as the Arrow passes'
-    # explicit None→'' guard and the oracle CTE's coalesce
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
-        " ",
-    )
-    return docs.select("doc_id", *extra, words.alias("_words")).select(
+    return docs.select("doc_id", *extra, normalized_words().alias("_words")).select(
         "doc_id", *extra, sh.alias(out)
     )
 
 
-_ORACLE_SHINGLES = """
+_ORACLE_SHINGLES = f"""
   SELECT
     doc_id,
     CASE WHEN len(words) >= 3 THEN
@@ -182,16 +196,14 @@ _ORACLE_SHINGLES = """
                      for i in range(1, len(words) - 1)])
     ELSE [array_to_string(words, ' ')] END AS shingles
   FROM (
-    SELECT doc_id,
-           string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')
-             AS words
+    SELECT doc_id, {ORACLE_WORDS_EXPR} AS words
     FROM documents
   )
 """
-# coalesce(text, ''): the Spark shingle passes map NULL text to '' (one
-# shingle ['']); without it DuckDB yields shingles=[NULL] → fingerprint
-# NULL and inverted simhash votes — a cross-engine divergence on any
-# corpus with null text (tests/test_null_text_parity.py pins this).
+# The shared tokenization's coalesce(text, '') is what maps NULL text
+# to the [''] shingle on BOTH engines — without it DuckDB yields
+# shingles=[NULL] → fingerprint NULL and inverted simhash votes
+# (tests/test_null_text_parity.py pins this).
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,10 +415,19 @@ banded AS (
   SELECT doc_id, i - 1 AS band_idx, bands[i] AS band_hash
   FROM banded_src, (SELECT unnest(range(1, {_NUM_BANDS} + 1)) AS i)
 ),
+-- mirror the Spark side's hot-bucket cap (operators/banding.py:
+-- HOT_BUCKET_CAP): buckets larger than the cap emit no pairs in
+-- EITHER engine, so the gate stays aligned when the cap fires
+capped AS (
+  SELECT doc_id, band_idx, band_hash,
+         count(*) OVER (PARTITION BY band_idx, band_hash) AS bucket_n
+  FROM banded
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  WHERE a.bucket_n <= {HOT_BUCKET_CAP}
 )
 SELECT
   c.doc_id_a, c.doc_id_b,

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import QueryDef, load, r6
-from ..operators.banding import candidate_pairs
+from ..operators.banding import HOT_BUCKET_CAP, candidate_pairs
 
 _DIM = 64
 _N_PLANES = 6
@@ -434,10 +434,17 @@ banded AS (
   SELECT vec_id, i - 1 AS table_idx, buckets[i] AS bucket
   FROM src, (SELECT unnest(range(1, {_DEDUP_TABLES} + 1)) AS i)
 ),
+-- mirror the Spark side's hot-bucket cap (operators/banding.py)
+capped AS (
+  SELECT vec_id, table_idx, bucket,
+         count(*) OVER (PARTITION BY table_idx, bucket) AS bucket_n
+  FROM banded
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE a.bucket_n <= {HOT_BUCKET_CAP}
 )
 SELECT c.id_a, c.id_b,
        round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine

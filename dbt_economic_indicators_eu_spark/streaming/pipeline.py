@@ -132,20 +132,21 @@ def state_partitions(spark: SparkSession, n: int | None):
     windows), so the empty batch is pure per-drain latency. Long-lived
     production streams keep the default: there the no-data batch is
     what finalizes and evicts watermark-expired state."""
-    key = "spark.sql.shuffle.partitions"
+    from contextlib import ExitStack
+
+    from ..queries.common import shuffle_partitions
+
     nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev_nd = spark.conf.get(nd_key, "true")
     spark.conf.set(nd_key, "false")
-    prev = None
-    if n is not None:
-        prev = spark.conf.get(key)
-        spark.conf.set(key, str(n))
     try:
-        yield
+        with ExitStack() as stack:
+            if n is not None:
+                # the generic conf-scoping lives in queries.common
+                stack.enter_context(shuffle_partitions(spark, n))
+            yield
     finally:
         spark.conf.set(nd_key, prev_nd)
-        if prev is not None:
-            spark.conf.set(key, prev)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,3 +82,34 @@ def test_all_identical_corpus_end_to_end(spark, tmp_path):
     rows = q_dedup_minhash(spark, sf_dir).collect()
     assert len(rows) == 66
     assert all(r["jaccard"] == 1.0 for r in rows)
+
+
+def test_cap_is_mirrored_in_oracle_sql(spark, tmp_path):
+    """When the cap fires, BOTH engines must drop the hot bucket: an
+    all-identical corpus of HOT_BUCKET_CAP+1 docs collapses every band
+    into one over-cap bucket, so q_dedup_minhash and its DuckDB oracle
+    must both emit zero pairs (before the oracle mirrored the cap it
+    would have emitted all ~500k of them)."""
+    import duckdb
+
+    from dbt_economic_indicators_eu_spark.queries.datapipe import (
+        ORACLE_DEDUP_MINHASH,
+        q_dedup_minhash,
+    )
+
+    n = HOT_BUCKET_CAP + 1
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(i, text, "en", "t", len(text)) for i in range(n)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    assert q_dedup_minhash(spark, sf_dir).count() == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    assert con.execute(f"SELECT count(*) FROM ({ORACLE_DEDUP_MINHASH})").fetchone()[0] == 0
