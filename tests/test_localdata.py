@@ -43,3 +43,35 @@ def test_empty_rows_keep_schema(spark):
     fast = local_df(spark, [], "a string, b int")
     assert fast.schema.simpleString() == "struct<a:string,b:int>"
     assert fast.count() == 0
+
+
+def test_property_fast_path_equals_classic(spark):
+    """Randomized equivalence: for strings/ints/doubles/bools with
+    arbitrary None placement, the Arrow fast path and the classic
+    pickled path must produce identical rows and schema. (Every
+    fixture/mock/seed in the engine funnels through local_df, so this
+    is the guard for the whole literal-relation surface.)"""
+    from hypothesis import given, settings, strategies as st
+
+    def key(row):  # None-safe sort key
+        return tuple((v is None, str(v)) for v in row)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        data=st.lists(
+            st.tuples(st.text(max_size=8), st.integers(-2**31, 2**31 - 1) | st.none(),
+                      st.floats(allow_nan=False, allow_infinity=False, width=32) | st.none(),
+                      st.booleans() | st.none()),
+            min_size=0, max_size=6,
+        )
+    )
+    def check(data):
+        schema = "a string, b int, c double, d boolean"
+        fast = local_df(spark, data, schema)
+        slow = spark.createDataFrame(data, schema)
+        assert fast.schema == slow.schema
+        assert sorted(map(tuple, fast.collect()), key=key) == sorted(
+            map(tuple, slow.collect()), key=key
+        )
+
+    check()
