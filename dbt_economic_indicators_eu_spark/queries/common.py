@@ -42,13 +42,16 @@ TABLES = (
 )
 
 
-# (applicationId, sf_dir, table) → analyzed scan DataFrame. A DataFrame
+# (applicationId, session identity, sf_dir, table) → analyzed scan
+# DataFrame. A DataFrame
 # is an immutable logical plan, so reusing it across queries is safe;
 # without the cache every query re-lists the path and re-reads parquet
 # footers during analysis (~20-50ms × 67 queries × 1-3 tables — the
 # single-node analogue of having no metastore). Keyed by applicationId
-# so a new session never sees another session's plans.
-_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# so a new session never sees another session's plans; the id(spark)
+# term keeps SparkSession.newSession() siblings apart too (same appId,
+# separate session-scoped confs like nanosAsLong).
+_SCAN_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
 # NTZ epoch anchor: timestamp_diff/add against it give tz-free epoch
@@ -77,7 +80,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     NTZ directly (current testdata), and legacy TIMESTAMP(NANOS) reads
     as a long (``nanosAsLong``) which we floor to µs.
     """
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached

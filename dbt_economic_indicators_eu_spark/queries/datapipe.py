@@ -659,12 +659,12 @@ _CC_MAX_ITERS = 20
 # shingle→minhash→band→verify pipeline runs once per dataset and its
 # few-row result feeds every consumer, instead of re-deriving ~2s of
 # upstream plan inside each downstream query. Keyed by applicationId
-# so a fresh session always recomputes.
+# + session identity so a fresh session always recomputes.
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
     pairs = _PAIRS_CACHE.get(key)
     if pairs is None:
         pairs = (
