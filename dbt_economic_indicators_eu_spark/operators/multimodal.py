@@ -67,10 +67,22 @@ DECODED_IMAGE_SCHEMA = "doc_id bigint, width int, height int, channels int, pixe
 
 def _fake_dims(n_bytes: int) -> tuple[int, int]:
     """FAKE codec geometry: w in 8..16 and h capped so w*h <= n_bytes.
-    A real decoder reads these from the image header."""
+    A real decoder reads these from the image header. Note h is floored
+    at 1, so media shorter than w bytes (including empty) yields
+    w*h > n_bytes — callers must zero-pad to w*h (``_fake_pixels``) so
+    the codec is total over arbitrary byte strings."""
     w = 8 + n_bytes % 9
     h = max(1, min(8 + (n_bytes // 7) % 9, n_bytes // w))
     return w, h
+
+
+def _fake_pixels(b: bytes, w: int, h: int) -> bytes:
+    """First w*h media bytes as the pixel buffer, zero-padded when the
+    media is shorter than one row (h=1 floor in ``_fake_dims``) — keeps
+    byte sums unchanged for all real-sized media while making the fake
+    decoder total (empty/short media decodes to a black row instead of
+    raising at reshape)."""
+    return b[: w * h].ljust(w * h, b"\x00")
 
 
 def decode_image(df: DataFrame, id_col: str = "doc_id", media_col: str = "media") -> DataFrame:
@@ -91,7 +103,7 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(1)
-                out["pixels"].append(b[: w * h])
+                out["pixels"].append(_fake_pixels(b, w, h))
             yield pd.DataFrame(out)
 
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
@@ -112,7 +124,12 @@ def resize_nearest(decoded: DataFrame, factor: int = 2) -> DataFrame:
         for pdf in it:
             out = {"doc_id": [], "r_width": [], "r_height": [], "r_pixels": []}
             for doc_id, w, h, px in zip(pdf["doc_id"], pdf["width"], pdf["height"], pdf["pixels"]):
-                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(int(h), int(w))
+                # tolerate under-filled buffers (a decoder that skipped
+                # the _fake_pixels padding) — zero-pad to the declared
+                # geometry rather than raise mid-batch
+                arr = np.frombuffer(
+                    _fake_pixels(bytes(px), int(w), int(h)), dtype=np.uint8
+                ).reshape(int(h), int(w))
                 small = arr[::factor, ::factor]
                 out["doc_id"].append(doc_id)
                 out["r_width"].append(small.shape[1])
@@ -187,7 +204,7 @@ def decode_resize_features(
             for doc_id, media in zip(pdf[id_col], pdf[media_col]):
                 b = bytes(media) if media is not None else b""
                 w, h = _fake_dims(len(b))
-                arr = np.frombuffer(b[: w * h], dtype=np.uint8).reshape(h, w)
+                arr = np.frombuffer(_fake_pixels(b, w, h), dtype=np.uint8).reshape(h, w)
                 small = arr[::factor, ::factor]
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)

@@ -361,18 +361,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded, ["band_idx", "band_hash"], "doc_id", "doc_id_a", "doc_id_b"
     )
     # Verify with ONE more scan of the corpus (not one per pair side):
-    # explode each candidate pair into its two members, broadcast-join
-    # the tiny exploded list against raw (doc_id, text) — the corpus
-    # streams, un-shuffled, the correct shape at 100 TB — and compute
-    # the shingle projection ONLY on the join survivors: the expensive
-    # per-row regex/transform runs on |candidate members| rows, not the
-    # whole corpus. Then regroup the pair to line up both shingle sets.
-    sides = F.broadcast(
-        cand.select(
-            "doc_id_a",
-            "doc_id_b",
-            F.explode(F.array("doc_id_a", "doc_id_b")).alias("doc_id"),
-        )
+    # explode each candidate pair into its two members, join the
+    # exploded list against raw (doc_id, text), and compute the shingle
+    # projection ONLY on the join survivors: the expensive per-row
+    # regex/transform runs on |candidate members| rows, not the whole
+    # corpus. Then regroup the pair to line up both shingle sets.
+    #
+    # NO explicit broadcast hint here, deliberately: candidate volume
+    # grows ~linearly with corpus size (a 100 TB web corpus at 30-50 %
+    # dup rates yields billions of pairs), and a hard-coded
+    # F.broadcast defeats AQE's size check — OOM, not slowdown. AQE's
+    # runtime conversion (adaptive.autoBroadcastJoinThreshold, checked
+    # against the EXACT materialized shuffle size) broadcasts when the
+    # candidates really are small — the corpus side then local-shuffle-
+    # reads, un-shuffled across the network — and degrades to a plain
+    # shuffle join on doc_id when they are not, where only the join
+    # keys + shingle projection of survivors move.
+    # Pinned by tests/test_plans.py::test_dedup_verify_join_adaptive.
+    sides = cand.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.explode(F.array("doc_id_a", "doc_id_b")).alias("doc_id"),
     )
     matched = docs.select("doc_id", "text").join(sides, "doc_id")
     sh = _with_shingles(matched, "sg", extra=("doc_id_a", "doc_id_b"))
@@ -653,14 +662,16 @@ FROM documents
 
 _CC_MAX_ITERS = 20
 
-# (applicationId, sf_dir) → eagerly-materialized verified near-dup
-# pair table. Clustering is a DOWNSTREAM model of pair verification
-# (exactly the registry's table-materialization semantics): the
-# shingle→minhash→band→verify pipeline runs once per dataset and its
-# few-row result feeds every consumer, instead of re-deriving ~2s of
-# upstream plan inside each downstream query. Keyed by applicationId
-# + session identity so a fresh session always recomputes.
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (applicationId, session identity, sf_dir) → eagerly-materialized
+# verified near-dup pair table. Clustering is a DOWNSTREAM model of
+# pair verification (exactly the registry's table-materialization
+# semantics): the shingle→minhash→band→verify pipeline runs once per
+# dataset and its few-row result feeds every consumer, instead of
+# re-deriving ~2s of upstream plan inside each downstream query. The
+# id(spark) term keeps SparkSession.newSession() siblings apart; the
+# cached frame pins its session, which is what keeps id reuse
+# impossible while an entry lives (see queries/common.py cache note).
+_PAIRS_CACHE: dict[tuple[str, int, str], DataFrame] = {}
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -394,9 +394,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # observed drop counts) — see operators/banding.py for the shape
     # and why it beats a banded self-join.
     cand = candidate_pairs(banded, ["table_idx", "bucket"], "vec_id", "id_a", "id_b")
-    # candidates are rare → broadcast into the verify joins (same shape
-    # as dedup_minhash: the vector table is never shuffled)
-    cand = F.broadcast(cand)
+    # NO explicit broadcast hint on the candidate list (same reasoning
+    # as q_dedup_minhash: candidate volume scales with the corpus, so a
+    # hard-coded F.broadcast is an OOM at 100 TB). AQE's runtime size
+    # check converts these verify joins to broadcast when the
+    # materialized candidate shuffle is genuinely small — keeping the
+    # vector table un-shuffled — and falls back to a shuffle join on
+    # vec_id otherwise. Pinned by tests/test_plans.py.
     pairs = cand.join(
         emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
         "id_a",

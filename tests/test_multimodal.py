@@ -85,6 +85,35 @@ def test_frame_sample_short_media_emits_nothing(spark):
     assert sample_video_frames(df, frame_size=16, every_n=2).count() == 0
 
 
+def test_codec_total_on_short_media(spark):
+    """Media shorter than one pixel row (including empty and None) must
+    decode to a zero-padded black row through decode→resize AND the
+    fused operator — not raise at np.reshape. Byte sums for such rows
+    count only the real bytes (padding is zeros)."""
+    from dbt_economic_indicators_eu_spark.operators.multimodal import (
+        decode_resize_features,
+    )
+
+    rows = [(1, b""), (2, None), (3, b"hi"), (4, b"hello!!"), (5, bytes(range(200)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+
+    fused = {r.doc_id: r for r in decode_resize_features(df, factor=2).collect()}
+    chained = {
+        r.doc_id: r for r in resize_nearest(decode_image(df), factor=2).collect()
+    }
+    for doc_id, media in rows:
+        b = media or b""
+        w, h = _fake_dims(len(b))
+        r = fused[doc_id]
+        assert (r.width, r.height) == (w, h)
+        assert r.pixel_sum == sum(b[: w * h])
+        assert (chained[doc_id].r_width, chained[doc_id].r_height) == (
+            r.r_width,
+            r.r_height,
+        )
+        assert chained[doc_id].r_pixels is not None
+
+
 def test_fused_pipeline_matches_composed(spark):
     """decode_resize_features (one Arrow pass) must equal the unfused
     decode -> resize -> byte-sum composition row-for-row."""

@@ -100,11 +100,41 @@ def test_partition_pruning_reaches_scan(spark):
 
 
 def test_minhash_no_shuffle_of_shingles(spark):
-    """Verify joins take broadcast candidates; the shingle table must
-    not sort-merge (which would shuffle the heavy arrays)."""
+    """Verify joins take broadcast candidates at this scale (planner
+    size estimate, no explicit hint); the shingle table must not
+    sort-merge (which would shuffle the heavy arrays)."""
     plan = _plan(spark, "dedup_minhash")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_verify_join_size_conditional(spark):
+    """The dedup verify joins carry NO hard-coded F.broadcast hint:
+    candidate volume grows with the corpus, so the plan must be
+    size-conditional. Small candidates → broadcast (planner estimate /
+    AQE runtime conversion); candidates over the broadcast threshold
+    (forced here via -1 thresholds) → the SAME query degrades to a
+    shuffle join with identical results, instead of an executor OOM."""
+    from dbt_economic_indicators_eu_spark.queries.datapipe import q_dedup_minhash
+    from dbt_economic_indicators_eu_spark.queries.simsearch import q_dedup_embedding
+
+    static_key = "spark.sql.autoBroadcastJoinThreshold"
+    adaptive_key = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(static_key)
+    for builder in (q_dedup_minhash, q_dedup_embedding):
+        base = sorted(map(tuple, builder(spark, SF_DIR).collect()))
+        try:
+            spark.conf.set(static_key, "-1")
+            spark.conf.set(adaptive_key, "-1")
+            df = builder(spark, SF_DIR)
+            rows = sorted(map(tuple, df.collect()))
+            final = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(static_key, prev)
+            spark.conf.unset(adaptive_key)
+        assert "BroadcastHashJoin" not in final, builder.__name__
+        assert "SortMergeJoin" in final or "ShuffledHashJoin" in final, builder.__name__
+        assert rows == base, builder.__name__
 
 
 def test_asof_join_is_window_not_range_join(spark):
