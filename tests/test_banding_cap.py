@@ -113,3 +113,86 @@ def test_cap_is_mirrored_in_oracle_sql(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
     )
     assert con.execute(f"SELECT count(*) FROM ({ORACLE_DEDUP_MINHASH})").fetchone()[0] == 0
+
+
+def test_cap_drops_same_pairs_in_both_engines(spark, tmp_path):
+    """Recall contract of the cap (VERDICT r3 #6): when the cap fires
+    on SOME buckets, the pairs that survive must be the SAME pairs in
+    Spark and in the oracle — not merely the same bucket-level count.
+    Corpus: a 1025-member identical group (every band over-cap in both
+    engines → zero pairs from it) interleaved with a 40-member
+    identical group of different text (under cap → all 780 pairs). Any
+    off-by-one between candidate_pairs' `size(ids) > cap` and the
+    oracle's `bucket_n <= cap` flips the hot group from 0 to ~524k
+    pairs on one side only; any id leakage between groups shows up as
+    pair-set inequality."""
+    import duckdb
+
+    from dbt_economic_indicators_eu_spark.queries.datapipe import (
+        ORACLE_DEDUP_MINHASH,
+        q_dedup_minhash,
+    )
+
+    hot_text = "alpha beta gamma delta epsilon zeta"
+    ok_text = "one two three four five six seven"
+    rows = [(i, hot_text, "en", "t") for i in range(HOT_BUCKET_CAP + 1)]
+    rows += [(10_000 + i, ok_text, "en", "t") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    sf_dir = str(tmp_path / "sf")
+    # interleave groups across files so bucket members span partitions
+    df.repartition(8).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    spark_pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in q_dedup_minhash(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    oracle_pairs = {
+        (a, b)
+        for a, b in con.execute(
+            f"SELECT doc_id_a, doc_id_b FROM ({ORACLE_DEDUP_MINHASH})"
+        ).fetchall()
+    }
+    expected = {
+        (10_000 + i, 10_000 + j) for i in range(40) for j in range(i + 1, 40)
+    }
+    assert spark_pairs == expected
+    assert oracle_pairs == expected
+
+
+def test_bucket_exactly_at_cap_survives_in_both_engines(spark, tmp_path):
+    """Other edge of the off-by-one: a bucket of EXACTLY cap members is
+    not hot — both engines must emit its full cap*(cap-1)/2 pair set.
+    (An engine dropping at `>= cap` instead of `> cap` zeroes one side;
+    counts are compared, not sets — 523,776 rows would be wasteful to
+    ship to Python and a 0-vs-full divergence is unmistakable.)"""
+    import duckdb
+
+    from dbt_economic_indicators_eu_spark.queries.datapipe import (
+        ORACLE_DEDUP_MINHASH,
+        q_dedup_minhash,
+    )
+
+    n = HOT_BUCKET_CAP
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(i, text, "en", "t") for i in range(n)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.repartition(4).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    expected = n * (n - 1) // 2
+
+    assert q_dedup_minhash(spark, sf_dir).count() == expected
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    assert (
+        con.execute(f"SELECT count(*) FROM ({ORACLE_DEDUP_MINHASH})").fetchone()[0]
+        == expected
+    )

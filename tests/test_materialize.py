@@ -188,3 +188,72 @@ def test_run_models_target_namespacing(spark, tmp_path):
 
     run_models(reg, spark, wh, target="prod", schema="marts")
     assert os.path.isdir(os.path.join(wh, "marts", "t_ns_table"))
+
+
+# ---------------- rerun idempotence (chaos) ------------------------------
+#
+# The reference's snapshot and incremental semantics are idempotent
+# across reruns (snapshots/snap_gdp_history.sql: a re-run with an
+# identical source changes nothing; fct_economic_indicators.sql:28-31:
+# the watermark predicate drops already-applied rows). The single-shot
+# oracle can't catch a double-apply bug, so these run each FULL
+# materialization (disk round-trip included) twice over the same input
+# and require identical table content and schema.
+
+
+def _table_state(spark, path):
+    df = spark.read.parquet(str(path))
+    return (
+        tuple((f.name, f.dataType.simpleString()) for f in sorted(df.schema, key=lambda f: f.name)),
+        sorted(map(tuple, df.select(*sorted(df.columns)).collect())),
+    )
+
+
+def test_run_incremental_rerun_is_idempotent(spark, tmp_path):
+    from dbt_economic_indicators_eu_spark.materialize.incremental import run_incremental
+
+    target = tmp_path / "fct"
+    base = spark.createDataFrame(
+        [("k1", 1, 10.0), ("k2", 1, 20.0)], "k string, d int, v double"
+    )
+    batch = spark.createDataFrame(
+        [("k2", 2, 99.0), ("k3", 2, 30.0)], "k string, d int, v double"
+    )
+    run_incremental(spark, str(target), base, "k", watermark_col="d")
+    run_incremental(spark, str(target), batch, "k", watermark_col="d")
+    once = _table_state(spark, target)
+    # chaos: apply the SAME batch again (simulates an orchestrator retry
+    # after a lost success signal) — watermark must drop every row
+    run_incremental(spark, str(target), batch, "k", watermark_col="d")
+    assert _table_state(spark, target) == once
+    # and a third no-op rerun on the keyed (no-watermark) path: incoming
+    # replaces rows with identical values, content must still converge
+    run_incremental(spark, str(target), batch, "k")
+    assert _table_state(spark, target)[1] == once[1]
+
+
+def test_run_snapshot_rerun_is_idempotent(spark, tmp_path):
+    import datetime as dt
+
+    from dbt_economic_indicators_eu_spark.materialize.snapshot import run_snapshot
+
+    snap = tmp_path / "snap"
+    src_v1 = spark.createDataFrame(
+        [("DE", 100.0), ("FR", 200.0)], "geo string, gdp double"
+    )
+    src_v2 = spark.createDataFrame(
+        [("DE", 111.0), ("IT", 300.0)], "geo string, gdp double"  # FR hard-deleted
+    )
+    run_snapshot(spark, str(snap), src_v1, "geo", ["gdp"], dt.datetime(2024, 1, 1))
+    run_snapshot(spark, str(snap), src_v2, "geo", ["gdp"], dt.datetime(2024, 2, 1))
+    once = _table_state(spark, snap)
+    # chaos: rerun the SAME source at a LATER now — unchanged rows carry
+    # through verbatim, nothing closes/opens, so `now` must not leak in
+    run_snapshot(spark, str(snap), src_v2, "geo", ["gdp"], dt.datetime(2024, 3, 1))
+    assert _table_state(spark, snap) == once
+    # row-level sanity: exactly one open row per live key, FR closed
+    df = spark.read.parquet(str(snap))
+    open_rows = {r.geo: r.gdp for r in df.filter("is_current").collect()}
+    assert open_rows == {"DE": 111.0, "IT": 300.0}
+    closed = df.filter("NOT is_current")
+    assert {r.geo for r in closed.collect()} == {"DE", "FR"}
