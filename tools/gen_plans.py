@@ -56,8 +56,10 @@ HEADLINERS = [
         "Band generation is one Arrow MapInPandas pass (shingle->md5->"
         "minhash->band, no HOF layers, no posexplode); banding stays "
         "group-then-pair — one Exchange on (band_idx, band_hash), no "
-        "self-join — and verify broadcasts the exploded candidate list "
-        "so the shingle table is never sort-merged.",
+        "self-join — and the verify join carries NO broadcast hint: the "
+        "planner/AQE size check broadcasts the exploded candidate list "
+        "only when it is actually small (as here), degrading to a "
+        "shuffle join at corpus-scale candidate volumes.",
     ),
     (
         "knn_lsh",
