@@ -133,9 +133,11 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-merge ALL events via foreachBatch upsert: the final table
     must hold every event with its true (stream-won) value — proving
     key-collision replacement through the streaming path."""
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="stream_incr_")
+    # Demo pipeline: target + checkpoint live exactly one call, so
+    # RAM-backed scratch applies (a PRODUCTION incremental merge keeps
+    # both on durable storage — resume/exactly-once depends on it; see
+    # streaming.ephemeral_scratch and tests/test_streaming.py resume).
+    base = streaming.ephemeral_scratch("stream_incr_")
     target, checkpoint = f"{base}/target", f"{base}/ckpt"
 
     cols = ["event_id", "user_id", "event_type", "ts", "value"]
