@@ -167,7 +167,7 @@ def q_registry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp = ctx.source("supplier").select("s_suppkey", "s_nationkey")
         nation = ctx.source("nation").select("n_nationkey", "n_name")
         return (
-            stg_li.join(F.broadcast(supp), stg_li.l_suppkey == supp.s_suppkey)
+            stg_li.join(supp, stg_li.l_suppkey == supp.s_suppkey)
             .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy(F.col("n_name").alias("nation_name"), "ship_year")
             .agg(r2(F.sum("revenue")).alias("revenue"))

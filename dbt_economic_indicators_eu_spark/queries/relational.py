@@ -87,8 +87,14 @@ def q_annual_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
+    # Broadcast-hint policy (applies package-wide): hints stay ONLY on
+    # tables bounded by nature (nation=25 rows, region=5, scalar aggs,
+    # benchmark sets). supplier/customer SCALE with the dataset, so
+    # their joins carry no hint — the planner broadcasts from the
+    # scan's real size stats while small and degrades to a shuffle
+    # join at scales where a forced broadcast would OOM the executors.
     return (
-        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == supp.s_suppkey)
+        li.join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation_name"), F.year("l_shipdate").alias("ship_year"))
         .agg(
@@ -130,7 +136,7 @@ def q_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     return (
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
             orders.o_custkey == cust.c_custkey,
             "left",
         )
@@ -178,7 +184,7 @@ def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
     per_nation = (
-        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == supp.s_suppkey)
+        li.join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == supp.s_suppkey)
         .join(
             F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -242,7 +248,7 @@ def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == supp.s_suppkey)
+        li.join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == supp.s_suppkey)
         .join(
             F.broadcast(nation.select("n_nationkey", "n_name")),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -352,7 +358,7 @@ def q_rank_in_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     annual = (
-        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == supp.s_suppkey)
+        li.join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == supp.s_suppkey)
         .join(
             F.broadcast(nation.select("n_nationkey", "n_name")),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -564,7 +570,7 @@ def q_test_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
     return orders.join(
-        F.broadcast(cust.select("c_custkey")), orders.o_custkey == cust.c_custkey, "left_anti"
+        cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_anti"
     ).select(F.col("o_orderkey").alias("order_key"), F.col("o_custkey").alias("cust_key"))
 
 
@@ -836,7 +842,7 @@ def q_annual_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     annual = (
         li.join(
-            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            supp.select("s_suppkey", "s_nationkey"),
             li.l_suppkey == supp.s_suppkey,
         )
         .join(
