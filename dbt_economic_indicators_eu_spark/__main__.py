@@ -1,0 +1,165 @@
+"""Command-line runner — the reference's dbt workflow mapped 1:1.
+
+The reference project is driven by ``dbt run / test / snapshot / seed /
+build`` (dbt_project.yml). This CLI exposes the same verbs over the
+registry DAG (models/econ.py), so a reference user's muscle memory
+carries over:
+
+    python -m dbt_economic_indicators_eu_spark ls
+    python -m dbt_economic_indicators_eu_spark seed     --warehouse WH
+    python -m dbt_economic_indicators_eu_spark run      --warehouse WH --raw-dir RAW
+    python -m dbt_economic_indicators_eu_spark test     --raw-dir RAW
+    python -m dbt_economic_indicators_eu_spark snapshot --warehouse WH --raw-dir RAW
+    python -m dbt_economic_indicators_eu_spark build    --warehouse WH --raw-dir RAW
+
+``--raw-dir`` holds the extracted source tables as parquet
+(``raw_gdp.parquet`` etc. — the output of the reference's
+``scripts/extract_eurostat.py``, schemas in FIXTURES.md §1).
+``--target``/``--schema`` apply the dev/prod namespace policy
+(materialize/run.py:schema_name); ``--select`` limits to named models.
+``test`` compiles every declared column test (ModelDef.tests — the
+reference's yml test declarations) into ONE unioned Spark plan and
+exits non-zero on any violation, exactly like ``dbt test``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import os
+import sys
+
+
+RAW_SOURCES = ("raw_gdp", "raw_unemployment", "raw_inflation", "raw_population")
+
+
+def _registry(raw_dir: str | None):
+    from .models.econ import build_registry
+
+    reg = build_registry()
+    if raw_dir is not None:
+        for name in RAW_SOURCES:
+            path = os.path.join(raw_dir, f"{name}.parquet")
+            reg.source(name, lambda s, p=path: s.read.parquet(p))
+    return reg
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(master=args.master)
+
+
+def _model_names(reg, args, *, materializations=None, exclude=("snapshot",)):
+    names = list(args.select) if args.select else list(reg.models)
+    out = []
+    for n in names:
+        m = reg.get(n)  # raises RegistryError on unknown names
+        if materializations is not None and m.materialization not in materializations:
+            continue
+        if args.select is None and m.materialization in exclude:
+            continue
+        out.append(n)
+    return out
+
+
+def cmd_ls(args) -> int:
+    reg = _registry(args.raw_dir)
+    for name, m in reg.models.items():
+        tags = f" tags={','.join(m.tags)}" if m.tags else ""
+        print(f"{name}  [{m.materialization}]  tests={len(m.tests)}{tags}")
+    return 0
+
+
+def cmd_seed(args) -> int:
+    from .models.econ import load_seed
+
+    spark = _spark(args)
+    out = os.path.join(args.warehouse, "country_metadata")
+    load_seed(spark).write.mode("overwrite").parquet(out)
+    print(f"seeded country_metadata -> {out}")
+    return 0
+
+
+def cmd_run(args, *, materializations=None, exclude=("snapshot",)) -> int:
+    from .materialize.run import run_models
+
+    reg = _registry(args.raw_dir)
+    spark = _spark(args)
+    names = _model_names(reg, args, materializations=materializations, exclude=exclude)
+    now = args.now
+    if now is None and any(reg.get(n).materialization == "snapshot" for n in names):
+        # snapshots need a concrete clock for valid_from/valid_to;
+        # --now pins it for reproducible runs
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    built = run_models(
+        reg,
+        spark,
+        args.warehouse,
+        select=names,
+        now=now,
+        target=args.target,
+        schema=args.schema,
+    )
+    for name in built:
+        print(f"ran {name}  [{reg.get(name).materialization}]")
+    return 0
+
+
+def cmd_snapshot(args) -> int:
+    return cmd_run(args, materializations=("snapshot",), exclude=())
+
+
+def cmd_test(args) -> int:
+    from .testing.schedule import run_schema_tests
+
+    reg = _registry(args.raw_dir)
+    spark = _spark(args)
+    select = list(args.select) if args.select else None
+    ok, rows = run_schema_tests(reg, reg.context(spark), select)
+    for r in rows:
+        status = "PASS" if r["violations"] == 0 else f"FAIL ({r['violations']} violations)"
+        print(f"{status}  {r['model']}.{r['column']} {r['test']}")
+    print(f"{sum(r['violations'] == 0 for r in rows)} of {len(rows)} tests passed")
+    return 0 if ok else 1
+
+
+def cmd_build(args) -> int:
+    # dbt build = seed + run + test + snapshot over the selected graph
+    rc = cmd_seed(args)
+    rc = rc or cmd_run(args)
+    rc_test = cmd_test(args)
+    rc_snap = cmd_snapshot(args)
+    return rc or rc_test or rc_snap
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dbt_economic_indicators_eu_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for cmd in ("ls", "seed", "run", "test", "snapshot", "build"):
+        sp = sub.add_parser(cmd)
+        sp.add_argument("--warehouse", default="warehouse")
+        sp.add_argument("--raw-dir", default=None)
+        sp.add_argument("--select", nargs="+", default=None)
+        sp.add_argument("--target", default="prod")
+        sp.add_argument("--schema", default=None)
+        sp.add_argument("--master", default=None)
+        sp.add_argument(
+            "--now",
+            type=dt.datetime.fromisoformat,
+            default=None,
+            help="injectable clock for snapshots (ISO timestamp)",
+        )
+    args = p.parse_args(argv)
+    return {
+        "ls": cmd_ls,
+        "seed": cmd_seed,
+        "run": cmd_run,
+        "test": cmd_test,
+        "snapshot": cmd_snapshot,
+        "build": cmd_build,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

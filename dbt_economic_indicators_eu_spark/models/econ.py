@@ -76,7 +76,17 @@ def build_registry() -> Registry:
     reg = Registry()
 
     # ---- staging views (1:1 with reference models/staging/*.sql) ----
-    @reg.model("stg_eurostat__gdp")
+    @reg.model(
+        "stg_eurostat__gdp",
+        # _staging__models.yml:9-29
+        tests=(
+            ("unique", "gdp_key"),
+            ("not_null", "gdp_key"),
+            ("not_null", "country_code"),
+            ("not_null", "reference_year"),
+            ("not_null", "gdp_million_eur"),
+        ),
+    )
     def stg_gdp(ctx: Context) -> DataFrame:
         """stg_eurostat__gdp.sql:19-50 — rename/cast/filter/key."""
         src = ctx.source("raw_gdp")
@@ -99,21 +109,50 @@ def build_registry() -> Registry:
             F.col("extracted_at").alias("_extracted_at"),
         )
 
-    @reg.model("stg_eurostat__unemployment")
+    @reg.model(
+        "stg_eurostat__unemployment",
+        # _staging__models.yml:31-52
+        tests=(
+            ("unique", "unemployment_key"),
+            ("not_null", "unemployment_key"),
+            ("not_null", "country_code"),
+            ("not_null", "reference_date"),
+            ("not_null", "unemployment_rate_pct"),
+        ),
+    )
     def stg_unemployment(ctx: Context) -> DataFrame:
         """stg_eurostat__unemployment.sql:22-61."""
         return _staging_monthly(
             ctx.source("raw_unemployment"), "unemployment_key", "unemployment_rate_pct", []
         )
 
-    @reg.model("stg_eurostat__inflation")
+    @reg.model(
+        "stg_eurostat__inflation",
+        # _staging__models.yml:54-73
+        tests=(
+            ("unique", "inflation_key"),
+            ("not_null", "inflation_key"),
+            ("not_null", "country_code"),
+            ("not_null", "reference_date"),
+        ),
+    )
     def stg_inflation(ctx: Context) -> DataFrame:
         """stg_eurostat__inflation.sql:22-54."""
         return _staging_monthly(
             ctx.source("raw_inflation"), "inflation_key", "inflation_rate_mom_pct", []
         )
 
-    @reg.model("stg_eurostat__population")
+    @reg.model(
+        "stg_eurostat__population",
+        # _staging__models.yml:75-97
+        tests=(
+            ("unique", "population_key"),
+            ("not_null", "population_key"),
+            ("not_null", "country_code"),
+            ("not_null", "reference_year"),
+            ("not_null", "population_count"),
+        ),
+    )
     def stg_population(ctx: Context) -> DataFrame:
         """stg_eurostat__population.sql:22-50 — annual grain."""
         src = ctx.source("raw_population")
@@ -138,7 +177,16 @@ def build_registry() -> Registry:
         return load_seed(ctx.spark)
 
     # ---- intermediate views ----------------------------------------
-    @reg.model("int_country_annual_metrics")
+    @reg.model(
+        "int_country_annual_metrics",
+        # _intermediate__models.yml:8-22
+        tests=(
+            ("unique", "annual_metrics_key"),
+            ("not_null", "annual_metrics_key"),
+            ("not_null", "country_code"),
+            ("not_null", "reference_year"),
+        ),
+    )
     def int_annual(ctx: Context) -> DataFrame:
         """int_country_annual_metrics.sql:20-108 — annual agg of monthly
         series + 3-way left join + gdp-per-capita with div-by-zero→null."""
@@ -200,7 +248,16 @@ def build_registry() -> Registry:
             "_extracted_at",
         )
 
-    @reg.model("int_country_monthly_indicators")
+    @reg.model(
+        "int_country_monthly_indicators",
+        # _intermediate__models.yml:38-56
+        tests=(
+            ("unique", "monthly_metrics_key"),
+            ("not_null", "monthly_metrics_key"),
+            ("not_null", "country_code"),
+            ("not_null", "reference_date"),
+        ),
+    )
     def int_monthly(ctx: Context) -> DataFrame:
         """int_country_monthly_indicators.sql:20-123 — monthly spine +
         joins + lag1/lag12/rolling-12 windows."""
@@ -255,7 +312,17 @@ def build_registry() -> Registry:
         )
 
     # ---- marts ------------------------------------------------------
-    @reg.model("dim_country", materialization="table")
+    @reg.model(
+        "dim_country",
+        materialization="table",
+        # _marts__models.yml:13-30
+        tests=(
+            ("unique", "country_key"),
+            ("not_null", "country_key"),
+            ("unique", "country_code"),
+            ("not_null", "country_code"),
+        ),
+    )
     def dim_country(ctx: Context) -> DataFrame:
         """dim_country.sql:17-77 — seed join + first_value-latest name +
         availability agg (OP-AGG-AVAIL: countDistinct)."""
@@ -300,7 +367,18 @@ def build_registry() -> Registry:
         )
 
     @reg.model(
-        "fct_economic_indicators", materialization="incremental", unique_key="indicator_key"
+        "fct_economic_indicators",
+        materialization="incremental",
+        unique_key="indicator_key",
+        # _marts__models.yml:74-113 (incl. the relationships test to
+        # dim_country on country_code)
+        tests=(
+            ("unique", "indicator_key"),
+            ("not_null", "indicator_key"),
+            ("not_null", "country_code"),
+            ("relationships", "country_code", "dim_country", "country_code"),
+            ("not_null", "reference_date"),
+        ),
     )
     def fct_indicators(ctx: Context) -> DataFrame:
         """fct_economic_indicators.sql:28-82 — monthly fact; incremental
@@ -332,7 +410,17 @@ def build_registry() -> Registry:
             F.current_timestamp().alias("_loaded_at"),
         )
 
-    @reg.model("rpt_annual_economic_summary", materialization="table")
+    @reg.model(
+        "rpt_annual_economic_summary",
+        materialization="table",
+        # _marts__models.yml:167-196
+        tests=(
+            ("unique", "summary_key"),
+            ("not_null", "summary_key"),
+            ("not_null", "country_code"),
+            ("not_null", "reference_year"),
+        ),
+    )
     def rpt_summary(ctx: Context) -> DataFrame:
         """rpt_annual_economic_summary.sql:18-137 — EU aggregates, 4 ranks,
         YoY changes, EU shares."""

@@ -37,6 +37,15 @@ class ModelDef:
     check_cols: tuple[str, ...] = ()  # snapshot check-strategy columns
     contract: StructType | None = None  # enforced schema (OP-TEST-CONTRACT)
     tags: tuple[str, ...] = ()
+    # Declarative schema tests — the dbt column-test surface (reference
+    # _staging__models.yml / _intermediate__models.yml /
+    # _marts__models.yml). Each entry:
+    #   ("unique", col) | ("not_null", col)
+    #   ("relationships", col, parent_model, parent_col)
+    #   ("accepted_values", col, (v1, v2, ...))
+    # Evaluated by testing.schedule.run_schema_tests as ONE unioned
+    # count plan (the dbt-test equivalent).
+    tests: tuple[tuple, ...] = ()
 
 
 class Registry:
@@ -56,6 +65,7 @@ class Registry:
         check_cols: Iterable[str] = (),
         contract: StructType | None = None,
         tags: Iterable[str] = (),
+        tests: Iterable[tuple] = (),
     ) -> Callable[[Callable[["Context"], DataFrame]], Callable[["Context"], DataFrame]]:
         """Decorator: ``@registry.model("stg_x")``."""
 
@@ -69,6 +79,7 @@ class Registry:
                     check_cols=tuple(check_cols),
                     contract=contract,
                     tags=tuple(tags),
+                    tests=tuple(tuple(t) for t in tests),
                 )
             )
             return fn

@@ -584,6 +584,69 @@ SELECT * FROM (VALUES
 """
 
 
+# --------------------------------------------------------------------------
+# q_schema_test_suite — the `dbt test` runner surface: declarative
+# per-model column tests (reference _staging__models.yml:11-17,
+# _marts__models.yml:80-93 shapes: unique / not_null / relationships /
+# accepted_values) compiled into ONE unioned count plan
+# (testing/schedule.py). The parent model filters its rows and the
+# accepted set omits one real status so two of the six tests return
+# non-zero violations — proving detection, not just green paths.
+# --------------------------------------------------------------------------
+
+
+def q_schema_test_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..testing.schedule import schema_test_report
+
+    reg = Registry()
+    reg.source("orders", lambda s: load(s, sf_dir, "orders"))
+    reg.source("customer", lambda s: load(s, sf_dir, "customer"))
+
+    @reg.model(
+        "stg_customer",
+        tests=(("unique", "c_custkey"), ("not_null", "c_name")),
+    )
+    def stg_customer(ctx):
+        return ctx.source("customer").filter(F.col("c_acctbal") > 0)
+
+    @reg.model(
+        "stg_orders",
+        tests=(
+            ("unique", "o_orderkey"),
+            ("not_null", "o_custkey"),
+            ("relationships", "o_custkey", "stg_customer", "c_custkey"),
+            ("accepted_values", "o_orderstatus", ("O", "F")),
+        ),
+    )
+    def stg_orders(ctx):
+        return ctx.source("orders")
+
+    return schema_test_report(reg, reg.context(spark))
+
+
+ORACLE_SCHEMA_TEST_SUITE = """
+SELECT 'stg_customer' AS model, 'unique' AS test, 'c_custkey' AS "column",
+  (SELECT count(*) FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 0
+   GROUP BY 1 HAVING count(*) > 1)) AS violations
+UNION ALL
+SELECT 'stg_customer', 'not_null', 'c_name',
+  (SELECT count(*) FROM customer WHERE c_acctbal > 0 AND c_name IS NULL)
+UNION ALL
+SELECT 'stg_orders', 'unique', 'o_orderkey',
+  (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+UNION ALL
+SELECT 'stg_orders', 'not_null', 'o_custkey',
+  (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+UNION ALL
+SELECT 'stg_orders', 'relationships', 'o_custkey',
+  (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+     SELECT 1 FROM customer c WHERE c.c_acctbal > 0 AND c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'stg_orders', 'accepted_values', 'o_orderstatus',
+  (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F'))
+"""
+
+
 QUERIES = [
     QueryDef("incremental_upsert", q_incremental_upsert, ORACLE_INCREMENTAL_UPSERT, ("OP-SINK-INCR",), effectful=True),
     QueryDef("scd2_snapshot", q_scd2_snapshot, ORACLE_SCD2_SNAPSHOT, ("OP-SINK-SCD2",), effectful=True),
@@ -596,4 +659,10 @@ QUERIES = [
     QueryDef("jsonstat_decode", q_jsonstat_decode, ORACLE_JSONSTAT_DECODE, ("OP-SRC-JSONSTAT",)),
     QueryDef("rest_ingest", q_rest_ingest, ORACLE_REST_INGEST, ("OP-SRC-REST", "OP-SINK-RAWLOAD"), effectful=True),
     QueryDef("unit_test_mock", q_unit_test_mock, ORACLE_UNIT_TEST_MOCK, ("OP-TEST-UNIT",), effectful=True),
+    QueryDef(
+        "schema_test_suite",
+        q_schema_test_suite,
+        ORACLE_SCHEMA_TEST_SUITE,
+        ("OP-TEST-UNIQUE", "OP-TEST-NOTNULL", "OP-TEST-REL"),
+    ),
 ]

@@ -1,0 +1,111 @@
+"""End-to-end CLI tests (__main__.py) — the dbt run/test/snapshot/seed/
+build workflow over synthetic raw extracts (FIXTURES.md §1 schemas)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dbt_economic_indicators_eu_spark.__main__ import main
+
+GDP_SCHEMA = (
+    "dataset_code string, value double, extracted_at timestamp, "
+    "unit_code string, unit_label string, na_item_code string, "
+    "na_item_label string, geo_code string, geo_label string, time_code string"
+)
+MONTHLY_SCHEMA = (
+    "dataset_code string, value double, extracted_at timestamp, "
+    "geo_code string, geo_label string, time_code string"
+)
+
+
+def _write_raw(spark, raw_dir, *, dup_gdp=False):
+    import datetime as dt
+
+    ts = dt.datetime(2024, 2, 1)
+    gdp = [
+        ("nama_10_gdp", 4000000.0, ts, "CP_MEUR", "m EUR", "B1GQ", "GDP", "DE", "Germany", "2023"),
+        ("nama_10_gdp", 3900000.0, ts, "CP_MEUR", "m EUR", "B1GQ", "GDP", "DE", "Germany", "2022"),
+        ("nama_10_gdp", 2800000.0, ts, "CP_MEUR", "m EUR", "B1GQ", "GDP", "FR", "France", "2023"),
+        ("nama_10_gdp", None, ts, "CP_MEUR", "m EUR", "B1GQ", "GDP", "FR", "France", "2022"),
+    ]
+    if dup_gdp:  # same (geo, time) twice -> duplicate surrogate key
+        gdp.append(gdp[0])
+    spark.createDataFrame(gdp, GDP_SCHEMA).write.mode("overwrite").parquet(
+        f"{raw_dir}/raw_gdp.parquet"
+    )
+    months = [f"2023-{m:02d}" for m in range(1, 13)]
+    unemp = [
+        ("une_rt_m", 3.0 + (i % 4) / 10, ts, geo, geo, m)
+        for geo in ("DE", "FR")
+        for i, m in enumerate(months)
+    ] + [("une_rt_m", 9.9, ts, "DE", "DE", "2023")]  # malformed time_code, dropped
+    spark.createDataFrame(unemp, MONTHLY_SCHEMA).write.mode("overwrite").parquet(
+        f"{raw_dir}/raw_unemployment.parquet"
+    )
+    infl = [
+        ("prc_hicp_manr", 0.2 + (i % 3) / 10, ts, geo, geo, m)
+        for geo in ("DE", "FR")
+        for i, m in enumerate(months)
+    ]
+    spark.createDataFrame(infl, MONTHLY_SCHEMA).write.mode("overwrite").parquet(
+        f"{raw_dir}/raw_inflation.parquet"
+    )
+    pop = [
+        ("demo_pjan", 84000000.0, ts, "DE", "Germany", "2023"),
+        ("demo_pjan", 68000000.0, ts, "FR", "France", "2023"),
+    ]
+    spark.createDataFrame(pop, MONTHLY_SCHEMA).write.mode("overwrite").parquet(
+        f"{raw_dir}/raw_population.parquet"
+    )
+
+
+def test_cli_ls(capsys):
+    assert main(["ls"]) == 0
+    out = capsys.readouterr().out
+    assert "fct_economic_indicators  [incremental]" in out
+    assert "snap_gdp_history  [snapshot]" in out
+    assert "tests=5" in out  # declared yml tests surfaced
+
+
+def test_cli_build_end_to_end(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    rc = main(
+        ["build", "--warehouse", wh, "--raw-dir", raw, "--now", "2024-03-01T00:00:00"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    # materialized artifacts on disk (views stay virtual)
+    for t in ("dim_country", "fct_economic_indicators", "rpt_annual_economic_summary", "snap_gdp_history"):
+        assert os.path.isdir(os.path.join(wh, t)), t
+    # all declared yml tests green over this corpus
+    assert "of 40 tests passed" in out and "FAIL" not in out
+    # spot-check the mart content
+    fct = spark.read.parquet(os.path.join(wh, "fct_economic_indicators"))
+    assert fct.count() == 24  # 2 countries x 12 months
+    snap = spark.read.parquet(os.path.join(wh, "snap_gdp_history"))
+    assert snap.filter("is_current").count() == 3  # DE 2022/2023 + FR 2023
+
+
+def test_cli_test_detects_duplicate_key(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    _write_raw(spark, raw, dup_gdp=True)
+    rc = main(["test", "--raw-dir", raw, "--select", "stg_eurostat__gdp"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL" in out and "stg_eurostat__gdp.gdp_key unique" in out
+
+
+def test_cli_snapshot_rerun_idempotent(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    for now in ("2024-03-01T00:00:00", "2024-04-01T00:00:00"):
+        assert main(["snapshot", "--warehouse", wh, "--raw-dir", raw, "--now", now]) == 0
+    snap = spark.read.parquet(os.path.join(wh, "snap_gdp_history"))
+    # same source at a later clock: nothing closes, nothing opens
+    assert snap.filter("NOT is_current").count() == 0
+    assert {r.valid_from.isoformat() for r in snap.collect()} == {"2024-03-01T00:00:00"}
