@@ -124,6 +124,23 @@ def cmd_test(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_source_freshness(args) -> int:
+    from .testing.schedule import source_freshness_report
+
+    reg = _registry(args.raw_dir)
+    spark = _spark(args)
+    now = args.now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    rows = source_freshness_report(reg, reg.context(spark), now).collect()
+    any_error = False
+    for r in rows:
+        print(
+            f"{r['freshness_status'].upper():5}  {r['source']}  "
+            f"max_loaded_at={r['max_loaded_at']}  days_stale={r['days_stale']}"
+        )
+        any_error |= r["freshness_status"] == "error"
+    return 1 if any_error else 0
+
+
 def cmd_build(args) -> int:
     # dbt build = seed + run + test + snapshot over the selected graph
     rc = cmd_seed(args)
@@ -136,7 +153,7 @@ def cmd_build(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbt_economic_indicators_eu_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for cmd in ("ls", "seed", "run", "test", "snapshot", "build"):
+    for cmd in ("ls", "seed", "run", "test", "snapshot", "build", "source-freshness"):
         sp = sub.add_parser(cmd)
         sp.add_argument("--warehouse", default="warehouse")
         sp.add_argument("--raw-dir", default=None)
@@ -158,6 +175,7 @@ def main(argv: list[str] | None = None) -> int:
         "test": cmd_test,
         "snapshot": cmd_snapshot,
         "build": cmd_build,
+        "source-freshness": cmd_source_freshness,
     }[args.cmd](args)
 
 

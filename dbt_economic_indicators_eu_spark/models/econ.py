@@ -75,6 +75,20 @@ def _staging_monthly(src: DataFrame, key_name: str, measure_name: str, extra: li
 def build_registry() -> Registry:
     reg = Registry()
 
+    # ---- source declarations (reference _sources.yml) ---------------
+    # column tests (geo_code/time_code not_null on every raw table,
+    # _sources.yml:17-24 per table) + freshness policy (warn 7d /
+    # error 30d on extracted_at, _sources.yml:27-30). Loaders are bound
+    # by the runner (CLI --raw-dir, tests, REST ingest).
+    for _src in ("raw_gdp", "raw_unemployment", "raw_inflation", "raw_population"):
+        reg.source(
+            _src,
+            loaded_at_field="extracted_at",
+            warn_after_days=7,
+            error_after_days=30,
+            tests=(("not_null", "geo_code"), ("not_null", "time_code")),
+        )
+
     # ---- staging views (1:1 with reference models/staging/*.sql) ----
     @reg.model(
         "stg_eurostat__gdp",

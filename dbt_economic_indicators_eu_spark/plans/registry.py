@@ -48,12 +48,26 @@ class ModelDef:
     tests: tuple[tuple, ...] = ()
 
 
+@dataclass(frozen=True)
+class SourceDef:
+    """A raw source declaration (reference ``_sources.yml``): column
+    tests + freshness policy (warn_after/error_after on
+    ``loaded_at_field``), optionally bound to a loader."""
+
+    name: str
+    loader: Callable[[SparkSession], DataFrame] | None = None
+    loaded_at_field: str | None = None
+    warn_after_days: int = 7
+    error_after_days: int = 30
+    tests: tuple[tuple, ...] = ()
+
+
 class Registry:
     """Name → ModelDef with topological resolution and cycle detection."""
 
     def __init__(self) -> None:
         self._models: dict[str, ModelDef] = {}
-        self._sources: dict[str, Callable[[SparkSession], DataFrame]] = {}
+        self._sources: dict[str, SourceDef] = {}
 
     # -- declaration -------------------------------------------------
     def model(
@@ -93,9 +107,34 @@ class Registry:
             raise RegistryError(f"unknown materialization {model.materialization!r}")
         self._models[model.name] = model
 
-    def source(self, name: str, loader: Callable[[SparkSession], DataFrame]) -> None:
-        """Declare a raw source (reference ``_sources.yml``)."""
-        self._sources[name] = loader
+    def source(
+        self,
+        name: str,
+        loader: Callable[[SparkSession], DataFrame] | None = None,
+        *,
+        loaded_at_field: str | None = None,
+        warn_after_days: int = 7,
+        error_after_days: int = 30,
+        tests: Iterable[tuple] = (),
+    ) -> None:
+        """Declare and/or bind a raw source (reference ``_sources.yml``).
+
+        Declaration (column tests + freshness policy) and loader binding
+        can happen separately: the model package declares metadata; the
+        runner binds the concrete loader for its environment. A second
+        call for the same name merges — metadata given earlier is kept
+        unless overridden."""
+        prev = self._sources.get(name)
+        self._sources[name] = SourceDef(
+            name=name,
+            loader=loader if loader is not None else (prev.loader if prev else None),
+            loaded_at_field=loaded_at_field
+            if loaded_at_field is not None
+            else (prev.loaded_at_field if prev else None),
+            warn_after_days=warn_after_days,
+            error_after_days=error_after_days,
+            tests=tuple(tuple(t) for t in tests) or (prev.tests if prev else ()),
+        )
 
     def get(self, name: str) -> ModelDef:
         try:
@@ -106,6 +145,10 @@ class Registry:
     @property
     def models(self) -> dict[str, ModelDef]:
         return dict(self._models)
+
+    @property
+    def sources(self) -> dict[str, "SourceDef"]:
+        return dict(self._sources)
 
     # -- resolution --------------------------------------------------
     def context(
@@ -158,9 +201,14 @@ class Context:
             return self.mocks[name]
         if name in self._cache:
             return self._cache[name]
-        loader = self.registry._sources.get(name)
-        if loader is None:
+        src = self.registry._sources.get(name)
+        if src is None:
             raise RegistryError(f"unknown source {name!r}")
-        df = loader(self.spark)
+        if src.loader is None:
+            raise RegistryError(
+                f"source {name!r} is declared but has no bound loader "
+                "(bind one with registry.source(name, loader))"
+            )
+        df = src.loader(self.spark)
         self._cache[name] = df
         return df

@@ -31,9 +31,12 @@ from . import generic
 REPORT_SCHEMA = "model string, test string, column string, violations bigint"
 
 
-def _violations_frame(ctx: Context, model: str, decl: tuple) -> tuple[str, str, DataFrame]:
+def _violations_frame(
+    ctx: Context, model: str, decl: tuple, df: DataFrame | None = None
+) -> tuple[str, str, DataFrame]:
     kind = decl[0]
-    df = ctx.ref(model)
+    if df is None:
+        df = ctx.ref(model)
     if kind == "unique":
         return kind, decl[1], generic.test_unique(df, decl[1])
     if kind == "not_null":
@@ -57,28 +60,75 @@ def schema_test_report(
     select: list[str] | None = None,
 ) -> DataFrame:
     """Lazy report over every declared test of ``select`` models
-    (default: all models that declare tests). One row per test; the
-    whole suite is one unioned plan — collect/write it once to run
-    every test in a single job."""
-    names = select if select is not None else list(registry.models)
+    (default: all models AND all bound sources that declare tests —
+    dbt test covers source tests too). One row per test; the whole
+    suite is one unioned plan — collect/write it once to run every
+    test in a single job."""
     counts: list[DataFrame] = []
-    for name in names:
-        for decl in registry.get(name).tests:
-            kind, col, viol = _violations_frame(ctx, name, decl)
-            counts.append(
-                viol.agg(
-                    F.lit(name).alias("model"),
-                    F.lit(kind).alias("test"),
-                    F.lit(col).alias("column"),
-                    F.count(F.lit(1)).alias("violations"),
-                )
+
+    def add(label: str, decl: tuple, df: DataFrame | None = None) -> None:
+        kind, col, viol = _violations_frame(ctx, label, decl, df)
+        counts.append(
+            viol.agg(
+                F.lit(label).alias("model"),
+                F.lit(kind).alias("test"),
+                F.lit(col).alias("column"),
+                F.count(F.lit(1)).alias("violations"),
             )
+        )
+
+    if select is not None:
+        for name in select:
+            if name in registry.sources:
+                for decl in registry.sources[name].tests:
+                    add(name, decl, ctx.source(name))
+            else:
+                for decl in registry.get(name).tests:
+                    add(name, decl)
+    else:
+        for name, model in registry.models.items():
+            for decl in model.tests:
+                add(name, decl)
+        for name, src in registry.sources.items():
+            if src.loader is None:
+                continue  # declared-only source: nothing to scan
+            for decl in src.tests:
+                add(name, decl, ctx.source(name))
     spark = ctx.spark
     if not counts:
         return spark.createDataFrame([], REPORT_SCHEMA)
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
+    return out
+
+
+def source_freshness_report(registry: Registry, ctx: Context, now) -> DataFrame:
+    """``dbt source freshness`` equivalent: one row per bound source
+    with max(loaded_at), staleness days, and pass/warn/error per its
+    declared policy (_sources.yml warn_after/error_after) — again one
+    unioned plan, one job."""
+    rows: list[DataFrame] = []
+    now_col = now if hasattr(now, "_jc") else F.lit(now).cast("timestamp")
+    for name, src in registry.sources.items():
+        if src.loader is None or src.loaded_at_field is None:
+            continue
+        rep = generic.check_freshness(
+            ctx.source(name),
+            src.loaded_at_field,
+            now_col,
+            warn_after_days=src.warn_after_days,
+            error_after_days=src.error_after_days,
+        )
+        rows.append(rep.select(F.lit(name).alias("source"), "*"))
+    spark = ctx.spark
+    if not rows:
+        return spark.createDataFrame(
+            [], "source string, max_loaded_at timestamp, days_stale int, freshness_status string"
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
     return out
 
 

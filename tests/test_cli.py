@@ -81,8 +81,9 @@ def test_cli_build_end_to_end(spark, tmp_path, capsys):
     # materialized artifacts on disk (views stay virtual)
     for t in ("dim_country", "fct_economic_indicators", "rpt_annual_economic_summary", "snap_gdp_history"):
         assert os.path.isdir(os.path.join(wh, t)), t
-    # all declared yml tests green over this corpus
-    assert "of 40 tests passed" in out and "FAIL" not in out
+    # all declared yml tests green over this corpus: 40 model tests +
+    # 8 source tests (_sources.yml geo_code/time_code not_null x4)
+    assert "of 48 tests passed" in out and "FAIL" not in out
     # spot-check the mart content
     fct = spark.read.parquet(os.path.join(wh, "fct_economic_indicators"))
     assert fct.count() == 24  # 2 countries x 12 months
@@ -97,6 +98,23 @@ def test_cli_test_detects_duplicate_key(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "FAIL" in out and "stg_eurostat__gdp.gdp_key unique" in out
+
+
+def test_cli_source_freshness_statuses(spark, tmp_path, capsys):
+    """_sources.yml:27-30 policy: extracted_at 2024-02-01 → pass at
+    +2d, warn past 7d, error past 30d; error exits 1."""
+    raw = str(tmp_path / "raw")
+    _write_raw(spark, raw)
+    cases = [
+        ("2024-02-03T00:00:00", "PASS", 0),
+        ("2024-02-15T00:00:00", "WARN", 0),
+        ("2024-04-01T00:00:00", "ERROR", 1),
+    ]
+    for now, status, rc in cases:
+        got = main(["source-freshness", "--raw-dir", raw, "--now", now])
+        out = capsys.readouterr().out
+        assert got == rc, (now, out)
+        assert out.count(status) == 4, (now, out)  # all four raw sources
 
 
 def test_cli_snapshot_rerun_idempotent(spark, tmp_path):
