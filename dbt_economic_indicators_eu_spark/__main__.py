@@ -50,11 +50,17 @@ def _spark(args):
     return get_spark(master=args.master)
 
 
-def _model_names(reg, args, *, materializations=None, exclude=("snapshot",)):
-    names = list(args.select) if args.select else list(reg.models)
+def _model_names(reg, args, spark, *, materializations=None, exclude=("snapshot",)):
+    if args.select:
+        # dbt graph selectors: name, +name (ancestors), name+ (descendants)
+        names = reg.expand_selection(spark, list(args.select))
+    else:
+        names = list(reg.models)
     out = []
     for n in names:
-        m = reg.get(n)  # raises RegistryError on unknown names
+        if n not in reg.models:  # sources can't be "run"
+            continue
+        m = reg.get(n)
         if materializations is not None and m.materialization not in materializations:
             continue
         if args.select is None and m.materialization in exclude:
@@ -86,7 +92,7 @@ def cmd_run(args, *, materializations=None, exclude=("snapshot",)) -> int:
 
     reg = _registry(args.raw_dir)
     spark = _spark(args)
-    names = _model_names(reg, args, materializations=materializations, exclude=exclude)
+    names = _model_names(reg, args, spark, materializations=materializations, exclude=exclude)
     now = args.now
     if now is None and any(reg.get(n).materialization == "snapshot" for n in names):
         # snapshots need a concrete clock for valid_from/valid_to;
@@ -115,7 +121,7 @@ def cmd_test(args) -> int:
 
     reg = _registry(args.raw_dir)
     spark = _spark(args)
-    select = list(args.select) if args.select else None
+    select = reg.expand_selection(spark, list(args.select)) if args.select else None
     ok, rows = run_schema_tests(reg, reg.context(spark), select)
     for r in rows:
         status = "PASS" if r["violations"] == 0 else f"FAIL ({r['violations']} violations)"

@@ -94,7 +94,12 @@ def run_models(
             out[name] = spark.read.parquet(path)
         elif model.materialization == "incremental":
             assert model.unique_key, f"incremental model {name} needs unique_key"
-            run_incremental(spark, path, df, model.unique_key, watermark_col)
+            # per-model watermark (the reference's is_incremental()
+            # predicate); the run-level param is a global override
+            run_incremental(
+                spark, path, df, model.unique_key,
+                watermark_col if watermark_col is not None else model.watermark_col,
+            )
             out[name] = spark.read.parquet(path)
         elif model.materialization == "snapshot":
             assert model.unique_key and model.check_cols

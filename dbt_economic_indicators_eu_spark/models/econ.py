@@ -384,6 +384,8 @@ def build_registry() -> Registry:
         "fct_economic_indicators",
         materialization="incremental",
         unique_key="indicator_key",
+        # is_incremental() watermark (fct_economic_indicators.sql:28-31)
+        watermark_col="reference_date",
         # _marts__models.yml:74-113 (incl. the relationships test to
         # dim_country on country_code)
         tests=(

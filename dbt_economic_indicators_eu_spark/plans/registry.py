@@ -34,6 +34,10 @@ class ModelDef:
     build: Callable[["Context"], DataFrame]
     materialization: str = "view"  # view | table | incremental | snapshot
     unique_key: str | None = None  # incremental merge key / snapshot key
+    # incremental watermark column — the reference's is_incremental()
+    # predicate `col > (select max(col) from this)`
+    # (fct_economic_indicators.sql:28-31); None = keyed upsert only
+    watermark_col: str | None = None
     check_cols: tuple[str, ...] = ()  # snapshot check-strategy columns
     contract: StructType | None = None  # enforced schema (OP-TEST-CONTRACT)
     tags: tuple[str, ...] = ()
@@ -76,6 +80,7 @@ class Registry:
         *,
         materialization: str = "view",
         unique_key: str | None = None,
+        watermark_col: str | None = None,
         check_cols: Iterable[str] = (),
         contract: StructType | None = None,
         tags: Iterable[str] = (),
@@ -90,6 +95,7 @@ class Registry:
                     build=fn,
                     materialization=materialization,
                     unique_key=unique_key,
+                    watermark_col=watermark_col,
                     check_cols=tuple(check_cols),
                     contract=contract,
                     tags=tuple(tags),
@@ -159,6 +165,52 @@ class Registry:
     ) -> "Context":
         return Context(self, spark, mocks=dict(mocks or {}))
 
+    def dependency_graph(self, spark: SparkSession) -> dict[str, set]:
+        """model → direct upstreams (models and sources), harvested by
+        building every model's LAZY plan in a scratch context — no
+        execution, just py4j plan construction. Needs bound sources."""
+        ctx = self.context(spark)
+        for name in self._models:
+            ctx.ref(name)
+        return {name: set(ctx.deps.get(name, set())) for name in self._models}
+
+    def expand_selection(self, spark: SparkSession, tokens: list[str]) -> list[str]:
+        """dbt graph selectors: ``name``, ``+name`` (with ancestors),
+        ``name+`` (with descendants), ``+name+``. Names may be models
+        or sources. Returns matching models in registry declaration
+        order (already topological), then matching sources."""
+        deps = self.dependency_graph(spark)
+        children: dict[str, set] = {}
+        for m, ups in deps.items():
+            for u in ups:
+                children.setdefault(u, set()).add(m)
+
+        def walk(start: str, edges: dict[str, set]) -> set:
+            out, stack = set(), [start]
+            while stack:
+                n = stack.pop()
+                for nxt in edges.get(n, ()):
+                    if nxt not in out:
+                        out.add(nxt)
+                        stack.append(nxt)
+            return out
+
+        chosen: set = set()
+        for tok in tokens:
+            up = tok.startswith("+")
+            down = tok.endswith("+")
+            name = tok.strip("+")
+            if name not in self._models and name not in self._sources:
+                raise RegistryError(f"unknown model or source {name!r}")
+            chosen.add(name)
+            if up:
+                chosen |= walk(name, deps)
+            if down:
+                chosen |= walk(name, children)
+        return [n for n in self._models if n in chosen] + [
+            s for s in self._sources if s in chosen
+        ]
+
 
 @dataclass
 class Context:
@@ -174,8 +226,17 @@ class Context:
     mocks: dict[str, DataFrame] = field(default_factory=dict)
     _cache: dict[str, DataFrame] = field(default_factory=dict)
     _building: list[str] = field(default_factory=list)
+    # model → direct upstream models/sources, harvested as plans build
+    # (plan construction is lazy and cheap, so walking every ref gives
+    # the dbt dep graph without executing anything)
+    deps: dict[str, set] = field(default_factory=dict)
+
+    def _record_edge(self, name: str) -> None:
+        if self._building:
+            self.deps.setdefault(self._building[-1], set()).add(name)
 
     def ref(self, name: str) -> DataFrame:
+        self._record_edge(name)
         if name in self.mocks:  # unit-test given-rows win (OP-TEST-UNIT)
             return self.mocks[name]
         if name in self._cache:
@@ -197,6 +258,7 @@ class Context:
         return df
 
     def source(self, name: str) -> DataFrame:
+        self._record_edge(name)
         if name in self.mocks:
             return self.mocks[name]
         if name in self._cache:

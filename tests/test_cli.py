@@ -127,3 +127,67 @@ def test_cli_snapshot_rerun_idempotent(spark, tmp_path):
     # same source at a later clock: nothing closes, nothing opens
     assert snap.filter("NOT is_current").count() == 0
     assert {r.valid_from.isoformat() for r in snap.collect()} == {"2024-03-01T00:00:00"}
+
+
+def test_cli_graph_selectors(spark, tmp_path, capsys):
+    """dbt selector parity: +name pulls ancestors, name+ descendants."""
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    rc = main(
+        ["run", "--warehouse", wh, "--raw-dir", raw,
+         "--select", "+fct_economic_indicators"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    for anc in (
+        "stg_eurostat__unemployment", "int_country_monthly_indicators",
+        "dim_country", "fct_economic_indicators",
+    ):
+        assert f"ran {anc}" in out, out
+    assert "rpt_annual_economic_summary" not in out  # not an ancestor
+
+    rc = main(
+        ["run", "--warehouse", wh, "--raw-dir", raw, "--now",
+         "2024-03-01T00:00:00", "--select", "stg_eurostat__gdp+"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    for desc in ("int_country_annual_metrics", "rpt_annual_economic_summary", "snap_gdp_history"):
+        assert f"ran {desc}" in out, out
+    assert "stg_eurostat__unemployment" not in out  # not a descendant
+
+
+def test_cli_incremental_watermark_merges_only_new_rows(spark, tmp_path):
+    """fct_economic_indicators declares the reference's is_incremental()
+    watermark on reference_date (fct_economic_indicators.sql:28-31): a
+    second run over raw data extended by one month merges exactly the
+    new month; a rerun over unchanged raw is a no-op."""
+    import datetime as dt
+
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    sel = ["--select", "fct_economic_indicators"]
+    assert main(["run", "--warehouse", wh, "--raw-dir", raw, *sel]) == 0
+    fct_path = f"{wh}/fct_economic_indicators"
+    assert spark.read.parquet(fct_path).count() == 24
+
+    # extend raw unemployment+inflation with 2024-01 for both countries
+    ts = dt.datetime(2024, 2, 1)
+    extra_u = [("une_rt_m", 4.5, ts, g, g, "2024-01") for g in ("DE", "FR")]
+    extra_i = [("prc_hicp_manr", 0.4, ts, g, g, "2024-01") for g in ("DE", "FR")]
+    spark.createDataFrame(extra_u, MONTHLY_SCHEMA).write.mode("append").parquet(
+        f"{raw}/raw_unemployment.parquet"
+    )
+    spark.createDataFrame(extra_i, MONTHLY_SCHEMA).write.mode("append").parquet(
+        f"{raw}/raw_inflation.parquet"
+    )
+    assert main(["run", "--warehouse", wh, "--raw-dir", raw, *sel]) == 0
+    fct = spark.read.parquet(fct_path)
+    assert fct.count() == 26
+    assert fct.filter("reference_date = '2024-01-01'").count() == 2
+
+    # unchanged raw -> watermark drops every incoming row
+    assert main(["run", "--warehouse", wh, "--raw-dir", raw, *sel]) == 0
+    assert spark.read.parquet(fct_path).count() == 26
