@@ -130,6 +130,67 @@ def cmd_test(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_docs(args) -> int:
+    """``dbt docs generate`` equivalent: manifest.json with every model
+    (materialization, keys, tags, declared tests, upstream deps) and
+    source (freshness policy, tests). Deps need bound sources
+    (--raw-dir); without them the manifest ships without edges."""
+    import dataclasses
+    import json
+
+    reg = _registry(args.raw_dir)
+    deps: dict[str, list[str]] = {}
+    if args.raw_dir is not None:
+        spark = _spark(args)
+        deps = {k: sorted(v) for k, v in reg.dependency_graph(spark).items()}
+    manifest = {
+        "models": {
+            name: {
+                "materialization": m.materialization,
+                "unique_key": m.unique_key,
+                "watermark_col": m.watermark_col,
+                "check_cols": list(m.check_cols),
+                "tags": list(m.tags),
+                "tests": [list(t) for t in m.tests],
+                "depends_on": deps.get(name, []),
+            }
+            for name, m in reg.models.items()
+        },
+        "sources": {
+            name: {
+                "loaded_at_field": s.loaded_at_field,
+                "warn_after_days": s.warn_after_days,
+                "error_after_days": s.error_after_days,
+                "tests": [list(t) for t in s.tests],
+                "bound": s.loader is not None,
+            }
+            for name, s in reg.sources.items()
+        },
+    }
+    os.makedirs(args.warehouse, exist_ok=True)
+    path = os.path.join(args.warehouse, "manifest.json")
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    print(f"wrote {path}")
+    return 0
+
+
+def cmd_compile(args) -> int:
+    """``dbt compile`` analogue for a Spark engine: print each selected
+    model's OPTIMIZED Catalyst plan (what the reference shows as
+    compiled SQL, this engine shows as the logical plan Catalyst will
+    execute)."""
+    reg = _registry(args.raw_dir)
+    spark = _spark(args)
+    ctx = reg.context(spark)
+    names = _model_names(reg, args, spark, exclude=())
+    for name in names:
+        df = ctx.ref(name)
+        print(f"-- model: {name}")
+        print(df._jdf.queryExecution().optimizedPlan().toString())
+    return 0
+
+
 def cmd_source_freshness(args) -> int:
     from .testing.schedule import source_freshness_report
 
@@ -159,7 +220,10 @@ def cmd_build(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbt_economic_indicators_eu_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for cmd in ("ls", "seed", "run", "test", "snapshot", "build", "source-freshness"):
+    for cmd in (
+        "ls", "seed", "run", "test", "snapshot", "build",
+        "source-freshness", "docs", "compile",
+    ):
         sp = sub.add_parser(cmd)
         sp.add_argument("--warehouse", default="warehouse")
         sp.add_argument("--raw-dir", default=None)
@@ -182,6 +246,8 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot": cmd_snapshot,
         "build": cmd_build,
         "source-freshness": cmd_source_freshness,
+        "docs": cmd_docs,
+        "compile": cmd_compile,
     }[args.cmd](args)
 
 

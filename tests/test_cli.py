@@ -191,3 +191,30 @@ def test_cli_incremental_watermark_merges_only_new_rows(spark, tmp_path):
     # unchanged raw -> watermark drops every incoming row
     assert main(["run", "--warehouse", wh, "--raw-dir", raw, *sel]) == 0
     assert spark.read.parquet(fct_path).count() == 26
+
+
+def test_cli_docs_manifest(spark, tmp_path):
+    import json
+
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    assert main(["docs", "--warehouse", wh, "--raw-dir", raw]) == 0
+    m = json.load(open(os.path.join(wh, "manifest.json")))
+    fct = m["models"]["fct_economic_indicators"]
+    assert fct["materialization"] == "incremental"
+    assert fct["watermark_col"] == "reference_date"
+    assert ["relationships", "country_code", "dim_country", "country_code"] in fct["tests"]
+    assert "int_country_monthly_indicators" in fct["depends_on"]
+    assert "dim_country" in fct["depends_on"]
+    src = m["sources"]["raw_gdp"]
+    assert src["loaded_at_field"] == "extracted_at" and src["bound"] is True
+
+
+def test_cli_compile_prints_plans(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    _write_raw(spark, raw)
+    assert main(["compile", "--raw-dir", raw, "--select", "stg_eurostat__gdp"]) == 0
+    out = capsys.readouterr().out
+    assert "-- model: stg_eurostat__gdp" in out
+    assert "Relation" in out  # a parquet scan reached the optimized plan
