@@ -99,6 +99,7 @@ def run_models(
             run_incremental(
                 spark, path, df, model.unique_key,
                 watermark_col if watermark_col is not None else model.watermark_col,
+                partition_by=model.partition_by,
             )
             out[name] = spark.read.parquet(path)
         elif model.materialization == "snapshot":

@@ -386,6 +386,10 @@ def build_registry() -> Registry:
         unique_key="indicator_key",
         # is_incremental() watermark (fct_economic_indicators.sql:28-31)
         watermark_col="reference_date",
+        # 100 TB layout: year-partitioned so a monthly merge rewrites
+        # one partition, not the table (the reference's DuckDB target
+        # has no layout concept; this is the Spark-native posture)
+        partition_by="reference_year",
         # _marts__models.yml:74-113 (incl. the relationships test to
         # dim_country on country_code)
         tests=(

@@ -38,6 +38,10 @@ class ModelDef:
     # predicate `col > (select max(col) from this)`
     # (fct_economic_indicators.sql:28-31); None = keyed upsert only
     watermark_col: str | None = None
+    # incremental partition layout: merges rewrite only the partitions
+    # the batch touches (materialize/incremental.py partition-scoped
+    # path) — the 100 TB posture for time-partitioned facts
+    partition_by: str | None = None
     check_cols: tuple[str, ...] = ()  # snapshot check-strategy columns
     contract: StructType | None = None  # enforced schema (OP-TEST-CONTRACT)
     tags: tuple[str, ...] = ()
@@ -81,6 +85,7 @@ class Registry:
         materialization: str = "view",
         unique_key: str | None = None,
         watermark_col: str | None = None,
+        partition_by: str | None = None,
         check_cols: Iterable[str] = (),
         contract: StructType | None = None,
         tags: Iterable[str] = (),
@@ -96,6 +101,7 @@ class Registry:
                     materialization=materialization,
                     unique_key=unique_key,
                     watermark_col=watermark_col,
+                    partition_by=partition_by,
                     check_cols=tuple(check_cols),
                     contract=contract,
                     tags=tuple(tags),

@@ -257,3 +257,49 @@ def test_run_snapshot_rerun_is_idempotent(spark, tmp_path):
     assert open_rows == {"DE": 111.0, "IT": 300.0}
     closed = df.filter("NOT is_current")
     assert {r.geo for r in closed.collect()} == {"DE", "FR"}
+
+
+def test_run_incremental_partition_scoped_merge(spark, tmp_path):
+    """partition_by merges rewrite ONLY the touched partitions: after a
+    batch landing entirely in d=2, the d=1 partition's parquet files
+    are bit-identical on disk (same paths, same bytes) — the
+    O(batch partitions) property the 100 TB posture claims."""
+    import glob
+    import hashlib
+    import os
+
+    from dbt_economic_indicators_eu_spark.materialize.incremental import run_incremental
+
+    target = str(tmp_path / "fct_p")
+    base = spark.createDataFrame(
+        [("k1", 1, 10.0), ("k2", 1, 20.0), ("k3", 2, 30.0)],
+        "k string, d int, v double",
+    )
+    run_incremental(spark, target, base, "k", partition_by="d")
+    assert os.path.isdir(os.path.join(target, "d=1"))
+
+    def files(part):
+        out = {}
+        for p in glob.glob(os.path.join(target, f"d={part}", "*.parquet")):
+            out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    d1_before = files(1)
+    assert d1_before
+
+    batch = spark.createDataFrame(
+        [("k3", 2, 99.0), ("k4", 2, 40.0)], "k string, d int, v double"
+    )
+    run_incremental(spark, target, batch, "k", partition_by="d")
+    assert files(1) == d1_before  # untouched partition: same files, same bytes
+    got = {
+        (r.k): (r.d, r.v)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {"k1": (1, 10.0), "k2": (1, 20.0), "k3": (2, 99.0), "k4": (2, 40.0)}
+
+    # watermark + partition scope: stale batch (d column is also the
+    # watermark here) drops everything -> zero partition changes
+    d2_before = files(2)
+    run_incremental(spark, target, batch, "k", watermark_col="v", partition_by="d")
+    assert files(1) == d1_before and files(2) == d2_before
