@@ -336,6 +336,7 @@ def stream_merge_incremental(
     target_path: str,
     checkpoint_dir: str,
     unique_key: str = "event_id",
+    partition_by: str | None = None,
 ) -> None:
     """Streaming twin of the incremental materialization: every
     micro-batch is key-upserted into the target via ``foreachBatch`` +
@@ -343,13 +344,18 @@ def stream_merge_incremental(
     logic, driven by the streaming engine. The checkpoint gives
     exactly-once batch replay (a re-run resumes after the last committed
     batch id); with Delta/Iceberg the inner merge would be MERGE INTO
-    and the swap-write disappears."""
+    and the swap-write disappears.
+
+    ``partition_by`` enables the partition-scoped merge — at scale this
+    is THE sink shape for continuous ingestion: a trigger's batch lands
+    in one or two time partitions, so each commit rewrites O(batch)
+    files instead of the whole target."""
     from ..materialize.incremental import run_incremental
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         run_incremental(
             batch_df.sparkSession, target_path, batch_df, unique_key,
-            broadcast_incoming_keys=True,
+            broadcast_incoming_keys=True, partition_by=partition_by,
         )
 
     with state_partitions(stream_df.sparkSession, DEFAULT_STATE_PARTITIONS):

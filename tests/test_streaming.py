@@ -253,3 +253,46 @@ def test_session_window_merges_across_batches(spark, tmp_path):
     assert s.user_id == 7 and s.n_events == 3 and s.total_value == 7.0
     assert s.session_start == t0
     assert s.session_end == t0 + dt.timedelta(minutes=60)  # last event + gap
+
+
+def test_stream_merge_partition_scoped(spark, tmp_path):
+    """foreachBatch merge with partition_by: the second micro-batch
+    lands only in day=2, so day=1's parquet files must be bit-identical
+    after the second drain (the O(batch partitions) sink shape for
+    continuous ingestion)."""
+    import glob
+    import hashlib
+    import os
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id bigint, day int, value double"
+
+    spark.createDataFrame(
+        [(1, 1, 1.0), (2, 1, 2.0), (3, 2, 3.0)], schema
+    ).coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        streaming.stream_merge_incremental(
+            stream, target, ckpt, unique_key="event_id", partition_by="day"
+        )
+
+    def files(part):
+        return {
+            p: hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(os.path.join(target, f"day={part}", "*.parquet"))
+        }
+
+    drain()
+    day1 = files(1)
+    assert day1 and files(2)
+
+    spark.createDataFrame(
+        [(3, 2, 30.0), (4, 2, 4.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert files(1) == day1  # untouched partition, same bytes
+    got = {r.event_id: (r.day, r.value) for r in spark.read.parquet(target).collect()}
+    assert got == {1: (1, 1.0), 2: (1, 2.0), 3: (2, 30.0), 4: (2, 4.0)}
