@@ -252,8 +252,9 @@ _VERIFY_FIRST = (
     "seed_eu_status",
     "unit_test_mock",
     "vocab_topk",
-    # new in r4 (declarative dbt-test runner) — verify on first appearance
+    # new in r4 — verify on first appearance
     "schema_test_suite",
+    "unigram_logprob",
     # r4-touched paths from the r3-verified set (broadcast-hint fix
     # lands on dedup_embedding this round; flagship stays exercised)
     "dedup_embedding",

@@ -405,8 +405,88 @@ FROM c, t
 """
 
 
+# --------------------------------------------------------------------------
+# q_unigram_logprob — EXT-QUALITY-LM: language-model quality scoring
+# (the CCNet-style perplexity filter, with the corpus itself as the
+# LM): train a unigram model on the corpus (token → count, one
+# shuffle), score each document by its total/average negative log
+# likelihood. Gibberish and boilerplate score far from the corpus
+# median; the score feeds the curation funnel as a quality signal.
+#
+# Scale shape: token stream ⨝ vocabulary is a plain shuffle join on
+# the token key (the vocabulary of a TB corpus is GBs — NEVER
+# broadcast); per-doc reduction is one more key shuffle. No collect,
+# no Python, three total exchanges.
+#
+# Float discipline (cross-engine): ln() differs between the JVM and
+# libm in the last ulp (measured ~4% of inputs), so summing raw
+# doubles can never hash-match. Each term is therefore quantized to
+# integer MICRO-NATS (round(ln p * 1e6) as BIGINT) — agreement is then
+# exact unless a true log sits within ~1e-10 of a rounding boundary —
+# and the per-document sum is INTEGER arithmetic: exact, associative,
+# order-independent, shuffle-friendly. The final unit conversions are
+# IEEE ops on identical values, emitted raw.
+# --------------------------------------------------------------------------
+
+_MICRO = 1_000_000
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(normalized_words()).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("n_total"))
+    term_micro = F.round(
+        F.log(F.col("tf").cast("double") / F.col("n_total").cast("double")) * _MICRO
+    ).cast("long")
+    scored = (
+        toks.join(tf, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", term_micro.alias("ti"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("ti").alias("s"))
+    )
+    nll = -F.col("s").cast("double") / _MICRO
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        nll.alias("nll"),
+        (nll / F.col("n_tokens")).alias("avg_nll"),
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({ORACLE_WORDS_EXPR}) AS tok FROM documents
+),
+t2 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+tf AS (SELECT tok, count(*) AS tf FROM t2 GROUP BY tok),
+tot AS (SELECT sum(tf) AS n_total FROM tf),
+terms AS (
+  SELECT doc_id,
+         CAST(round(ln(CAST(tf.tf AS DOUBLE) / CAST(tot.n_total AS DOUBLE)) * {_MICRO})
+              AS BIGINT) AS ti
+  FROM t2 JOIN tf USING (tok), tot
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       -CAST(sum(ti) AS DOUBLE) / {_MICRO} AS nll,
+       (-CAST(sum(ti) AS DOUBLE) / {_MICRO}) / count(*) AS avg_nll
+FROM terms
+GROUP BY doc_id
+"""
+
+
 QUERIES = [
     QueryDef("decontaminate", q_decontaminate, ORACLE_DECONTAMINATE, ("EXT-DECONTAM",)),
+    QueryDef(
+        "unigram_logprob",
+        q_unigram_logprob,
+        ORACLE_UNIGRAM_LOGPROB,
+        ("EXT-QUALITY-LM",),
+    ),
     QueryDef("pii_redact", q_pii_redact, ORACLE_PII_REDACT, ("EXT-PII-REDACT",)),
     QueryDef(
         "length_buckets", q_length_buckets, ORACLE_LENGTH_BUCKETS, ("EXT-LEN-BUCKET",)

@@ -104,3 +104,30 @@ def test_source_mix_weights_inverse_property(spark, monkeypatch):
     # uniform input -> every weight is exactly 1.0; shares sum to 1
     assert all(abs(r["sampling_weight"] - 1.0) < 1e-12 for r in out)
     assert abs(sum(r["actual_share"] for r in out) - 1.0) < 1e-12
+
+
+def test_unigram_logprob_matches_hand_computation(spark, tmp_path):
+    """3-doc corpus with a hand-checkable unigram model: counts a=3,
+    b=2, c=1 (total 6). Each doc's nll must equal the sum of its
+    tokens' -ln(tf/6) quantized to micro-nats; null text contributes no
+    rows (tokenizes to [''], filtered)."""
+    import math
+
+    from dbt_economic_indicators_eu_spark.queries.curation import q_unigram_logprob
+
+    rows = [(1, "a a b"), (2, "b c A"), (3, None)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/sf/documents.parquet")
+
+    got = {r.doc_id: r for r in q_unigram_logprob(spark, str(tmp_path / "sf")).collect()}
+
+    def micro(tf):
+        return round(math.log(tf / 6) * 1_000_000)
+
+    exp1 = -(2 * micro(3) + micro(2)) / 1e6   # "a a b" (a x2, b)
+    exp2 = -(micro(2) + micro(1) + micro(3)) / 1e6  # "b c A" (lowercased a)
+    assert set(got) == {1, 2}
+    assert got[1].n_tokens == 3 and abs(got[1].nll - exp1) < 1e-12
+    assert got[2].n_tokens == 3 and abs(got[2].nll - exp2) < 1e-12
+    assert abs(got[1].avg_nll - exp1 / 3) < 1e-12
