@@ -255,6 +255,7 @@ _VERIFY_FIRST = (
     # new in r4 — verify on first appearance
     "schema_test_suite",
     "unigram_logprob",
+    "chunk_documents",
     # r4-touched paths from the r3-verified set (broadcast-hint fix
     # lands on dedup_embedding this round; flagship stays exercised)
     "dedup_embedding",

@@ -1050,6 +1050,61 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# q_chunk_documents — EXT-CHUNK-OVERLAP: overlapping context-window
+# chunking — the split step that precedes tokenize+pack when documents
+# exceed the model context: fixed-size windows at a stride smaller
+# than the window, so consecutive chunks overlap (boundary sentences
+# appear in both neighbors). One generate (explode) per doc, pure
+# projection math, no shuffle anywhere — at 100 TB chunking rides the
+# scan. The chunk md5 pins that the exact SUBSTRING bytes (not just
+# offsets) agree cross-engine.
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / _CHUNK_STRIDE).cast("int")
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    chunk = F.expr(f"substr(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})")
+    return (
+        docs.select("doc_id", "text", F.explode(idxs).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            start.cast("bigint").alias("chunk_start"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH n AS (
+  SELECT doc_id, text,
+         CAST(ceil(length(text) / {_CHUNK_STRIDE}.0) AS INT) AS n_chunks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, unnest(range(0, n_chunks)) AS chunk_idx FROM n
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE}))
+            AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_SIZE}))
+         AS chunk_md5
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # q_sample_stratified — EXT-SAMPLE-STRAT: deterministic per-language
 # sampling rates (downsample the dominant language, keep the rest) via
 # the same content-independent md5 bucket as hash_split — a pure
@@ -1110,6 +1165,12 @@ QUERIES = [
     ),
     QueryDef("frame_sample", q_frame_sample, ORACLE_FRAME_SAMPLE, ("EXT-MULTIMODAL-FRAMES",)),
     QueryDef("pack_sequences", q_pack_sequences, ORACLE_PACK_SEQUENCES, ("EXT-PACK-SEQ",)),
+    QueryDef(
+        "chunk_documents",
+        q_chunk_documents,
+        ORACLE_CHUNK_DOCUMENTS,
+        ("EXT-CHUNK-OVERLAP",),
+    ),
     QueryDef(
         "sample_stratified",
         q_sample_stratified,

@@ -131,3 +131,39 @@ def test_unigram_logprob_matches_hand_computation(spark, tmp_path):
     assert got[1].n_tokens == 3 and abs(got[1].nll - exp1) < 1e-12
     assert got[2].n_tokens == 3 and abs(got[2].nll - exp2) < 1e-12
     assert abs(got[1].avg_nll - exp1 / 3) < 1e-12
+
+
+def test_chunk_documents_overlap_and_edges(spark, tmp_path):
+    """Chunk geometry edge cases: shorter-than-window doc (1 chunk),
+    exact stride multiple, overlap really contains the boundary bytes,
+    null/empty text emits no chunks."""
+    from dbt_economic_indicators_eu_spark.queries.datapipe import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        q_chunk_documents,
+    )
+
+    long_text = "".join(chr(97 + (i % 26)) for i in range(380))  # 380 chars
+    rows = [(1, "short doc"), (2, long_text), (3, "x" * 300), (4, None), (5, "")]
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/sf/documents.parquet")
+
+    out = {}
+    for r in q_chunk_documents(spark, str(tmp_path / "sf")).collect():
+        out.setdefault(r.doc_id, []).append(r)
+
+    assert len(out[1]) == 1 and out[1][0].chunk_len == 9
+    # 380 chars, stride 150 -> chunks at 0/150/300
+    c2 = sorted(out[2], key=lambda r: r.chunk_idx)
+    assert [r.chunk_start for r in c2] == [0, 150, 300]
+    assert [r.chunk_len for r in c2] == [_CHUNK_SIZE, _CHUNK_SIZE, 80]
+    # overlap: chunk 1 starts inside chunk 0's span
+    assert c2[1].chunk_start < c2[0].chunk_start + _CHUNK_SIZE
+    import hashlib
+
+    assert c2[1].chunk_md5 == hashlib.md5(long_text[150:350].encode()).hexdigest()
+    # 300 = exact multiple of stride -> 2 chunks (300/150); the second
+    # starts at 150 with 150 chars remaining
+    assert [r.chunk_len for r in sorted(out[3], key=lambda r: r.chunk_idx)] == [200, 150]
+    assert 4 not in out and 5 not in out
