@@ -256,6 +256,7 @@ _VERIFY_FIRST = (
     "schema_test_suite",
     "unigram_logprob",
     "chunk_documents",
+    "knn_quantized",
     # r4-touched paths from the r3-verified set (broadcast-hint fix
     # lands on dedup_embedding this round; flagship stays exercised)
     "dedup_embedding",

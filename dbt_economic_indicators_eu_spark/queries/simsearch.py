@@ -205,6 +205,107 @@ WHERE rnk <= {_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# q_knn_quantized — EXT-EMB-QUANT: int8-quantized ANN — the memory/
+# bandwidth scale path for the brute-force scan. Per-vector symmetric
+# quantization (scale = max|v_i|, q_i = trunc(v_i/scale*127) ∈
+# [-127,127]) shrinks the corpus 8x (float64→int8) and the GEMM runs
+# on small integers; at 100 TB that is the difference between an
+# in-memory scan and a disk-bound one. Same distributed-TopK shape as
+# q_knn_brute: corpus streams once, only local winners shuffle.
+#
+# Float parity is EXACT here (unlike knn_brute's measured-margin
+# argument): integer dot products are order-independent and exact in
+# doubles (max |dot| = 64*127² ≈ 1.0e6 « 2^53); sqrt is correctly
+# rounded IEEE; trunc avoids the engines' round-half disagreement. So
+# the quantized cosine is bit-identical to DuckDB with no rounding in
+# the output at all.
+# --------------------------------------------------------------------------
+
+
+def _quantize_i8(v):
+    """Symmetric per-vector int8 quantization (values as float64 —
+    exact for the integer range). Zero vectors quantize to zeros."""
+    sc = np.abs(v).max(axis=1)
+    safe = np.where(sc > 0, sc, 1.0)
+    q = np.trunc(v / safe[:, None] * 127.0)
+    q[sc == 0] = 0.0
+    return q
+
+
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
+    q_rows.sort(key=lambda r: r.vec_id)
+    q_mat = _quantize_i8(np.array([r.embedding for r in q_rows], dtype=np.float64))
+    q_nrm_all = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    keep_q = q_nrm_all > 0
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)[keep_q]
+    q_mat, q_nrm = q_mat[keep_q], q_nrm_all[keep_q]
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            qv = _quantize_i8(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+            nrm = np.sqrt(np.einsum("ij,ij->i", qv, qv))
+            live = nrm > 0
+            ids, qv, nrm = ids[live], qv[live], nrm[live]
+            if not len(ids):
+                continue
+            cos = (qv @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])
+            cos[ids[:, None] == q_ids[None, :]] = -np.inf
+            k = min(_TOP_K, len(ids))
+            order = np.lexsort((ids[:, None] * np.ones_like(cos), -cos), axis=0)[:k]
+            out = pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, k),
+                    "neighbor_id": ids[order].T.ravel(),
+                    "qcos": np.take_along_axis(cos, order, axis=0).T.ravel(),
+                }
+            )
+            yield out[out["qcos"] > -np.inf]
+
+    cand = emb.mapInPandas(score, "q_id bigint, neighbor_id bigint, qcos double")
+    w = Window.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "neighbor_id", "qcos", "rnk")
+    )
+
+
+ORACLE_KNN_QUANTIZED = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN sc > 0 THEN list_transform(v, x -> trunc(x / sc * 127))
+              ELSE list_transform(v, x -> 0.0) END AS qv
+  FROM s
+),
+n AS (
+  SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM qz
+),
+q AS (SELECT vec_id AS q_id, qv AS qqv, nrm AS qnrm FROM n
+      WHERE vec_id % {_QUERY_MOD} = 0 AND nrm > 0),
+scored AS (
+  SELECT q.q_id, n.vec_id AS neighbor_id,
+         list_dot_product(q.qqv, n.qv) / (q.qnrm * n.nrm) AS qcos
+  FROM q, n WHERE n.vec_id != q.q_id AND n.nrm > 0
+)
+SELECT q_id, neighbor_id, qcos, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # q_lsh_buckets — EXT-ANN-LSH (bucketing stage): sign of dot with each
 # hyperplane → bit; 6 planes → 64 buckets. Output = bucket histogram
 # (verifies every vector's bucket assignment through the counts).
@@ -681,6 +782,7 @@ GROUP BY label
 
 QUERIES = [
     QueryDef("knn_brute", q_knn_brute, ORACLE_KNN_BRUTE, ("EXT-ANN-BRUTE",)),
+    QueryDef("knn_quantized", q_knn_quantized, ORACLE_KNN_QUANTIZED, ("EXT-EMB-QUANT",)),
     QueryDef("label_centroids", q_label_centroids, ORACLE_LABEL_CENTROIDS, ("EXT-EMB-CENTROID",)),
     QueryDef("knn_ivf", q_knn_ivf, ORACLE_KNN_IVF, ("EXT-ANN-IVF",)),
     QueryDef("lsh_buckets", q_lsh_buckets, ORACLE_LSH_BUCKETS, ("EXT-ANN-LSH",)),

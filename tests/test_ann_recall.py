@@ -58,3 +58,12 @@ def test_brute_is_self_consistent(spark, exact_top5):
     for q, ns in exact_top5.items():
         assert len(ns) == 5
         assert q not in ns
+
+
+def test_quantized_recall_high(spark, exact_top5):
+    """int8 quantization perturbs cosines by ~1e-2 on random 64-dim
+    vectors, so the quantized top-5 should recover most of the exact
+    top-5 — far above any bucketed method on this corpus. A collapse
+    means the quantizer (not the search) broke."""
+    rows = S.q_knn_quantized(spark, SF_DIR).filter("rnk <= 5").collect()
+    assert _recall(exact_top5, rows) >= 0.7
