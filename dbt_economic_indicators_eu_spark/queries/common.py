@@ -257,6 +257,7 @@ _VERIFY_FIRST = (
     "unigram_logprob",
     "chunk_documents",
     "knn_quantized",
+    "stream_join",
     # r4-touched paths from the r3-verified set (broadcast-hint fix
     # lands on dedup_embedding this round; flagship stays exercised)
     "dedup_embedding",

@@ -128,6 +128,34 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-STREAM-JOIN: watermarked stream-stream inner join — the
+    click→purchase attribution pattern (every purchase within 1h of a
+    same-user click). Watermarks + the time-range predicate bound the
+    join state on both sides (streaming/pipeline.py:stream_stream_join);
+    inner time-interval joins are append-mode by construction, so the
+    drained result equals the batch time-range join the oracle runs."""
+    ev = streaming.events_stream(spark, sf_dir)
+    joined = streaming.stream_stream_join(ev, "click", "purchase", within="1 hour")
+    return streaming.run_available_now(
+        joined, "stream_join", output_mode="append", n_state_partitions=4
+    )
+
+
+ORACLE_STREAM_JOIN = f"""
+SELECT a.event_id AS left_id,
+       b.event_id AS right_id,
+       a.user_id,
+       date_diff('microsecond', CAST(a.ts AS TIMESTAMP), CAST(b.ts AS TIMESTAMP)) AS delay_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+ AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+"""
+
+
 def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed the target with stale values for 1/3 of the keys, then
     stream-merge ALL events via foreachBatch upsert: the final table
@@ -190,4 +218,5 @@ QUERIES = [
         effectful=True,
     ),
     QueryDef("stream_dedup", q_stream_dedup, ORACLE_STREAM_DEDUP, ("EXT-STREAM-DEDUP",), effectful=True),
+    QueryDef("stream_join", q_stream_join, ORACLE_STREAM_JOIN, ("EXT-STREAM-JOIN",), effectful=True),
 ]

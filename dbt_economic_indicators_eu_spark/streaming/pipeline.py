@@ -331,6 +331,51 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_join(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    within: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Watermarked stream-stream INNER join — event attribution: each
+    ``left_type`` event joined to every ``right_type`` event of the
+    same user within ``within`` afterwards (click→purchase within 1h).
+
+    The time-range predicate + watermarks on BOTH sides are what make
+    this bounded: Spark derives each side's state-retention horizon
+    from them, so join state is evicted as the watermark advances —
+    the only shape a stream-stream join survives at 100 TB/day.
+    Output is append-mode by construction (inner join emits exactly
+    when both sides have arrived). Works identically on a batch frame
+    (no watermark attached) — the oracle comparison path."""
+    src = _with_event_time(events, watermark)
+    left = src.filter(F.col("event_type") == left_type).select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    right = src.filter(F.col("event_type") == right_type).select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"l_user_id = r_user_id AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+    )
+    return joined.select(
+        F.col("l_event_id").alias("left_id"),
+        F.col("r_event_id").alias("right_id"),
+        F.col("l_user_id").alias("user_id"),
+        # microsecond diff: exact integers in both engines (second-level
+        # diffs diverge: DuckDB counts boundary crossings, Spark floors)
+        F.timestamp_diff("MICROSECOND", F.col("l_ts"), F.col("r_ts")).alias("delay_us"),
+    )
+
+
 def stream_merge_incremental(
     stream_df: DataFrame,
     target_path: str,

@@ -296,3 +296,36 @@ def test_stream_merge_partition_scoped(spark, tmp_path):
     assert files(1) == day1  # untouched partition, same bytes
     got = {r.event_id: (r.day, r.value) for r in spark.read.parquet(target).collect()}
     assert got == {1: (1, 1.0), 2: (1, 2.0), 3: (2, 30.0), 4: (2, 4.0)}
+
+
+def test_stream_join_state_across_batches(spark, tmp_path):
+    """Stream-stream join state must carry across micro-batches: the
+    click arrives in batch 1, its purchase in batch 2 (maxFilesPerTrigger
+    forces the split) — the pair must still emit."""
+    import datetime as dt
+
+    d = str(tmp_path / "ev")
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(1, t0, 7, "click", 1.0, None)], schema
+    ).coalesce(1).write.parquet(d)
+    spark.createDataFrame(
+        [(2, t0 + dt.timedelta(minutes=10), 7, "purchase", 5.0, None),
+         (3, t0 + dt.timedelta(hours=3), 7, "purchase", 9.0, None)],  # outside window
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    joined = streaming.stream_stream_join(stream, "click", "purchase", within="1 hour")
+    rows = streaming.run_available_now(
+        joined, "ssj_cross_batch", output_mode="append", n_state_partitions=2
+    ).collect()
+    assert [(r.left_id, r.right_id, r.user_id, r.delay_us) for r in rows] == [
+        (1, 2, 7, 600_000_000)
+    ]
