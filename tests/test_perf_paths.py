@@ -87,3 +87,46 @@ def test_storage_layout_cache_reuses_write(spark):
     base1 = storage._LAYOUT_CACHE[key]
     storage.q_partition_pruned(spark, SF_A).count()
     assert storage._LAYOUT_CACHE[key] is base1
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The 100 TB posture claims AQE skew-join handles hot keys
+    (README, session.py). Pin it: a join where one key holds ~100x the
+    median rows must show skew-split markers in the FINAL adaptive
+    plan once the skew thresholds are scaled down to test size."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # keep AQE from pre-coalescing the skewed partition away
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        skewed = spark.range(0, 60_000).selectExpr(
+            "CASE WHEN id % 3 = 0 THEN 0 ELSE id END AS k",
+            # incompressible pad: skew detection reads COMPRESSED map
+            # sizes, so a repeated literal would deflate below threshold
+            "md5(concat(cast(id AS string), 'salt')) AS pad",
+        )
+        dim = spark.range(0, 2_000).selectExpr("id AS k", "id * 2 AS v")
+        df = skewed.join(dim, "k")
+        # collect (not a v2 write): the final adaptive plan must be
+        # inspected on the SAME QueryExecution that ran.
+        # expected rows: hot key 0 = 20k matches; plus the non-multiples
+        # of 3 below the dim bound 2000 (2000/3*2 = 1333)
+        assert len(df.collect()) == 21_333
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+        assert "AQEShuffleRead skewed" in final
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
