@@ -12,12 +12,16 @@ the rows union into a report DataFrame
 
     (model string, test string, column string, violations bigint)
 
-so the entire test run is one action. dbt runs one query per test; a
-unioned plan lets Catalyst share scans between tests on the same model
-(ReusedExchange / same FileScan) and schedules everything in one job —
-the shape that matters when the suite runs against 100 TB marts.
-Per-test violation ROWS (for triage) remain available through
-``testing.generic`` directly.
+so the entire test run is one action. dbt runs one query per test,
+paying a scheduler round-trip each; the unioned plan runs the whole
+suite as ONE job whose branches execute concurrently, and each branch
+scans only ITS test's column (per-branch column pruning — a
+uniqueness check on a key never reads the table's wide columns).
+Branches do NOT share scan output (Catalyst has no common-scan reuse
+across union branches — verified in the executed plan), which is the
+right trade at 100 TB: pruned single-column scans beat materializing
+one shared wide scan. Per-test violation ROWS (for triage) remain
+available through ``testing.generic`` directly.
 """
 
 from __future__ import annotations

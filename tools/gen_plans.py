@@ -105,6 +105,22 @@ HEADLINERS = [
         "min over the content hash, so the corpus shuffles once for "
         "the window and once (tiny) for the final group.",
     ),
+    (
+        "unigram_logprob",
+        "Unigram LM quality scoring: token stream -> vocabulary "
+        "(partial_count before the exchange) -> token x vocab join -> "
+        "per-doc integer micro-nat sums. No hint on the vocab side: "
+        "the planner broadcasts it while its size estimate is small "
+        "and degrades to a shuffle join when the vocabulary outgrows "
+        "the threshold (a TB-corpus vocabulary is GBs).",
+    ),
+    (
+        "schema_test_suite",
+        "The whole declared test suite is ONE union of single-row "
+        "count aggregates — one job, branches concurrent, and every "
+        "FileScan is pruned to its own test's column (a uniqueness "
+        "check never reads the wide columns).",
+    ),
 ]
 
 STORAGE = [
