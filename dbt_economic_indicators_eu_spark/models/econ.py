@@ -92,6 +92,7 @@ def build_registry() -> Registry:
     # ---- staging views (1:1 with reference models/staging/*.sql) ----
     @reg.model(
         "stg_eurostat__gdp",
+        tags=("staging", "eurostat"),  # dbt_project.yml:36-37
         # _staging__models.yml:9-29
         tests=(
             ("unique", "gdp_key"),
@@ -125,6 +126,7 @@ def build_registry() -> Registry:
 
     @reg.model(
         "stg_eurostat__unemployment",
+        tags=("staging", "eurostat"),
         # _staging__models.yml:31-52
         tests=(
             ("unique", "unemployment_key"),
@@ -142,6 +144,7 @@ def build_registry() -> Registry:
 
     @reg.model(
         "stg_eurostat__inflation",
+        tags=("staging", "eurostat"),
         # _staging__models.yml:54-73
         tests=(
             ("unique", "inflation_key"),
@@ -158,6 +161,7 @@ def build_registry() -> Registry:
 
     @reg.model(
         "stg_eurostat__population",
+        tags=("staging", "eurostat"),
         # _staging__models.yml:75-97
         tests=(
             ("unique", "population_key"),
@@ -193,6 +197,7 @@ def build_registry() -> Registry:
     # ---- intermediate views ----------------------------------------
     @reg.model(
         "int_country_annual_metrics",
+        tags=("intermediate",),  # dbt_project.yml:40-42
         # _intermediate__models.yml:8-22
         tests=(
             ("unique", "annual_metrics_key"),
@@ -264,6 +269,7 @@ def build_registry() -> Registry:
 
     @reg.model(
         "int_country_monthly_indicators",
+        tags=("intermediate",),
         # _intermediate__models.yml:38-56
         tests=(
             ("unique", "monthly_metrics_key"),
@@ -329,6 +335,7 @@ def build_registry() -> Registry:
     @reg.model(
         "dim_country",
         materialization="table",
+        tags=("marts", "reporting"),  # dbt_project.yml:44-46
         # _marts__models.yml:13-30
         tests=(
             ("unique", "country_key"),
@@ -384,6 +391,7 @@ def build_registry() -> Registry:
         "fct_economic_indicators",
         materialization="incremental",
         unique_key="indicator_key",
+        tags=("marts", "facts", "incremental"),  # fct sql config :6
         # is_incremental() watermark (fct_economic_indicators.sql:28-31)
         watermark_col="reference_date",
         # 100 TB layout: year-partitioned so a monthly merge rewrites
@@ -433,6 +441,7 @@ def build_registry() -> Registry:
     @reg.model(
         "rpt_annual_economic_summary",
         materialization="table",
+        tags=("marts", "reporting"),
         # _marts__models.yml:167-196
         tests=(
             ("unique", "summary_key"),

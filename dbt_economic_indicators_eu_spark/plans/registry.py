@@ -182,9 +182,11 @@ class Registry:
 
     def expand_selection(self, spark: SparkSession, tokens: list[str]) -> list[str]:
         """dbt graph selectors: ``name``, ``+name`` (with ancestors),
-        ``name+`` (with descendants), ``+name+``. Names may be models
-        or sources. Returns matching models in registry declaration
-        order (already topological), then matching sources."""
+        ``name+`` (with descendants), ``+name+``, and ``tag:<tag>``
+        (every model carrying the tag — dbt_project.yml layer tags).
+        Names may be models or sources. Returns matching models in
+        registry declaration order (already topological), then matching
+        sources."""
         deps = self.dependency_graph(spark)
         children: dict[str, set] = {}
         for m, ups in deps.items():
@@ -203,6 +205,13 @@ class Registry:
 
         chosen: set = set()
         for tok in tokens:
+            if tok.startswith("tag:"):
+                tag = tok[4:]
+                hits = [n for n, m in self._models.items() if tag in m.tags]
+                if not hits:
+                    raise RegistryError(f"no model carries tag {tag!r}")
+                chosen.update(hits)
+                continue
             up = tok.startswith("+")
             down = tok.endswith("+")
             name = tok.strip("+")

@@ -218,3 +218,20 @@ def test_cli_compile_prints_plans(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "-- model: stg_eurostat__gdp" in out
     assert "Relation" in out  # a parquet scan reached the optimized plan
+
+
+def test_cli_tag_selector(spark, tmp_path, capsys):
+    """dbt tag: selector — run only the marts layer (plus explicit
+    upstream resolution happens lazily inside the plans)."""
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    rc = main(
+        ["run", "--warehouse", wh, "--raw-dir", raw, "--select", "tag:staging"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    for m in ("stg_eurostat__gdp", "stg_eurostat__unemployment",
+              "stg_eurostat__inflation", "stg_eurostat__population"):
+        assert f"ran {m}" in out
+    assert "dim_country" not in out and "fct_economic" not in out
