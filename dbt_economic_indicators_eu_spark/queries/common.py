@@ -258,6 +258,13 @@ _VERIFY_FIRST = (
     "chunk_documents",
     "knn_quantized",
     "stream_join",
+    "tfidf_topk",
+    "paragraph_dedup",
+    "bloom_decontaminate",
+    "temperature_resample",
+    "kmeans_refine",
+    "funnel_steps",
+    "event_transitions",
     # r4-touched paths from the r3-verified set (broadcast-hint fix
     # lands on dedup_embedding this round; flagship stays exercised)
     "dedup_embedding",
@@ -267,6 +274,7 @@ _VERIFY_FIRST = (
 
 def all_queries() -> dict[str, QueryDef]:
     from . import (
+        corpus,
         curation,
         datapipe,
         engine,
@@ -280,7 +288,7 @@ def all_queries() -> dict[str, QueryDef]:
 
     by_name: dict[str, QueryDef] = {}
     for mod in (
-        relational, ml, datapipe, engine, simsearch, streamq, storage, timeseries, curation,
+        relational, ml, datapipe, engine, simsearch, streamq, storage, timeseries, curation, corpus,
     ):
         for q in mod.QUERIES:
             by_name[q.name] = q

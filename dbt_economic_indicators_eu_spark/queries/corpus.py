@@ -1,0 +1,410 @@
+"""Corpus-statistics operators, round 4 batch: TF-IDF keyword
+extraction, paragraph-level dedup (CCNet-style line dedup), a
+bloom-prefiltered decontamination variant, and temperature-based
+language rebalancing.
+
+Design notes shared by the module:
+
+- All hot paths are JVM Column expressions (no Python). Tokenization
+  reuses the pinned ``normalized_words`` twin from datapipe so every
+  text operator in the repo agrees on what a "word" is.
+- Float discipline (queries/common.py docstring): log-derived scores
+  are snapped to integer micro-units (``round(ln(..)*1e6)``) before
+  any arithmetic that must compare across engines — after the snap,
+  everything is integer-exact. sqrt/division chains are emitted raw:
+  IEEE-correctly-rounded ops on identical doubles are bit-identical
+  in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import QueryDef, load
+from .datapipe import (
+    ORACLE_WORDS_EXPR,
+    _ORACLE_SHINGLES,
+    _exclude_infer_filters_from_generate,
+    _with_shingles,
+    normalized_words,
+)
+
+_MICRO = 1_000_000
+
+# --------------------------------------------------------------------------
+# q_tfidf_topk — EXT-TEXT-TFIDF: top-3 TF-IDF terms per document, the
+# classic keyword-extraction / topic-tagging primitive for corpus
+# exploration.
+#
+# Cross-engine parity: idf = ln(N/df) is snapped to integer micros
+# (ln of a rational is irrational, so the round is boundary-safe) and
+# the score is tf * idf_micro — a pure BIGINT product, so ranking and
+# values are integer-exact in both engines. Ties break on the term.
+#
+# Scale shape: tokenize → one shuffle for per-doc term counts
+# (map-side combinable), one for document frequency (vocab-sized
+# output), a shuffle join tf⋈df on the term (both sides already
+# term-partitioned; df is vocab-bounded), and a per-doc window for the
+# top-k. No driver artifacts, no Python.
+# --------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(normalized_words()).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # document frequency as a window count over the per-doc term table
+    # (tf has one row per (doc, term), so rows-per-term IS df). A
+    # groupBy+self-join computes the same thing but duplicates the
+    # tokenize/explode subtree — Spark plans are trees, so a frame used
+    # on both sides of a join is computed twice.
+    df = F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_micro = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")) * _MICRO
+    ).cast("long")
+    scored = (
+        tf.withColumn("df", df)
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", (F.col("tf") * idf_micro).alias("score_micro"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select(
+            "doc_id",
+            "rk",
+            "tok",
+            (F.col("score_micro").cast("double") / _MICRO).alias("tfidf"),
+        )
+    )
+
+
+ORACLE_TFIDF_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({ORACLE_WORDS_EXPR}) AS tok FROM documents
+),
+t2 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t2 GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                            * {_MICRO}) AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (tok), n
+),
+ranked AS (
+  SELECT doc_id, tok, score_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, tok) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, tok,
+       CAST(score_micro AS DOUBLE) / {_MICRO} AS tfidf
+FROM ranked WHERE rk <= {_TFIDF_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q_paragraph_dedup — EXT-DEDUP-PARA: paragraph-level exact dedup, the
+# CCNet/RefinedWeb line-dedup stage that strips boilerplate repeated
+# across pages (headers, nav text, disclaimers) without dropping whole
+# documents. The synthetic corpus has no newlines, so a "paragraph" is
+# a fixed 10-word window of the pinned tokenization — the same
+# machinery works on '\n\n'-split text verbatim.
+#
+# Scale shape: paragraphs are built inside one projection (the words
+# array is staged once — see _with_shingles for why inlining the
+# tokenizer into the lambda is O(words²)), then md5(paragraph) is the
+# only thing that shuffles: a map-side-combinable groupBy(h, doc),
+# a window count over h for the cross-doc multiplicity, and the
+# per-doc rollup. The paragraph TEXT never shuffles, only 16-byte
+# hashes do, and the corpus is tokenized exactly once (tree-shaped
+# plan — no self-join that would duplicate the explode subtree).
+# Skew note: a boilerplate paragraph shared by 10^8 docs makes one
+# hot h-partition in the window; Spark's window frame spills, but at
+# that multiplicity pre-cap the pair list like operators/banding.py
+# does for LSH buckets.
+# --------------------------------------------------------------------------
+
+_PARA_W = 10
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    _exclude_infer_filters_from_generate(spark)
+    w = F.col("_words")
+    n_paras = F.ceil(F.size(w) / F.lit(_PARA_W)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * _PARA_W + 1, _PARA_W)),
+    )
+    p = (
+        docs.select("doc_id", normalized_words().alias("_words"))
+        .select("doc_id", F.explode(paras).alias("para"))
+        .filter(F.col("para") != "")
+        .select("doc_id", F.md5("para").alias("h"))
+    )
+    # Pre-group to (h, doc) pairs (map-side combinable), then the
+    # distinct-doc count per paragraph is a window row count — one
+    # tokenize pass, no self-join (which would recompute the explode
+    # subtree on both sides). cnt keeps intra-doc repeats so n_paras
+    # still counts para INSTANCES.
+    pairs = p.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    per_doc = (
+        pairs.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_paras"),
+            F.sum(F.when(F.col("nd") > 1, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_paras"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        (F.col("n_dup_paras") / F.col("n_paras")).alias("dup_ratio"),
+    )
+
+
+ORACLE_PARAGRAPH_DEDUP = f"""
+WITH w AS (SELECT doc_id, {ORACLE_WORDS_EXPR} AS words FROM documents),
+p0 AS (
+  SELECT doc_id,
+         unnest([array_to_string(words[(i-1)*{_PARA_W}+1 : i*{_PARA_W}], ' ')
+                 for i in range(1, CAST(ceil(len(words) / {_PARA_W}.0) AS INT) + 1)])
+           AS para
+  FROM w
+),
+p AS (SELECT doc_id, md5(para) AS h FROM p0 WHERE para <> ''),
+nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM p GROUP BY h),
+per_doc AS (
+  SELECT p.doc_id,
+         count(*) AS n_paras,
+         CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras
+  FROM p JOIN nd USING (h)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_paras, n_dup_paras,
+       CAST(n_dup_paras AS DOUBLE) / n_paras AS dup_ratio
+FROM per_doc
+"""
+
+
+# --------------------------------------------------------------------------
+# q_bloom_decontaminate — EXT-DECONTAM-BLOOM: benchmark
+# decontamination with a bloom-filter prefilter ahead of the exact
+# join. Spark 4's BloomFilterAggregate is not in the public function
+# registry, so the filter is built from first principles as Column
+# algebra — which also makes the plan fully inspectable:
+#
+#   build:  two probe positions per benchmark shingle (xxhash64 and
+#           murmur3, independent hash families) → groupBy(word index)
+#           with bit_or of the probe masks → a <=1024-row bitmask
+#           table (2^16 bits as 64-bit words).
+#   query:  the corpus side broadcast-joins the bitmask table on the
+#           word index (map-side, no corpus shuffle) and keeps a
+#           shingle only when BOTH probe bits are set.
+#   exact:  survivors — a small fraction of the corpus — are confirmed
+#           against the true benchmark shingle set, so the bloom's
+#           false positives are removed and the RESULT IS EXACT (the
+#           oracle is the plain exact join; the bloom is invisible in
+#           the output, it only sheds work).
+#
+# Scale shape: the benchmark set is bounded (eval suites are MBs), so
+# the bitmask (16 KB!) and the exact-confirm set broadcast at any
+# corpus size; the corpus streams once through two map-side broadcast
+# joins and only confirmed contamination rows reach the final rollup.
+# Versus q_decontaminate, the broadcast string set is replaced by a
+# 16 KB bitmask for the first pass — at 100 TB the prefilter drops
+# ~all clean shingles before the string-compare join.
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16  # 65536 bits = 1024 longs; benchmark sets are small
+_BLOOM_WORDS = _BLOOM_BITS // 64
+
+
+def _bloom_probes(sg: F.Column) -> tuple[F.Column, F.Column]:
+    """Two independent probe positions in [0, _BLOOM_BITS)."""
+    return (
+        F.pmod(F.xxhash64(sg), F.lit(_BLOOM_BITS)),
+        F.pmod(F.hash(sg).cast("bigint"), F.lit(_BLOOM_BITS)),
+    )
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bench_sh = (
+        _with_shingles(docs.filter(F.col("doc_id") % 37 == 0))
+        .select(F.explode("shingles").alias("sg"))
+        .filter(F.col("sg") != "")
+        .distinct()
+    )
+    p1, p2 = _bloom_probes(F.col("sg"))
+    bits = (
+        bench_sh.select(F.explode(F.array(p1, p2)).alias("p"))
+        .groupBy((F.col("p") / 64).cast("int").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+            ).alias("mask")
+        )
+    )
+    corp = _with_shingles(
+        docs.filter(F.col("doc_id") % 37 != 0), extra=("source",)
+    ).select("doc_id", "source", F.explode("shingles").alias("sg"))
+    c1, c2 = _bloom_probes(F.col("sg"))
+    corp = corp.select("doc_id", "source", "sg", c1.alias("p1"), c2.alias("p2"))
+    # bit-test with `& 1` (not `% 2`): bit 63's mask is a negative
+    # long, where arithmetic shiftright % 2 yields -1
+    hit = lambda probe: (  # noqa: E731 — bit-test against the joined mask
+        F.expr(f"shiftright(mask, CAST({probe} % 64 AS INT)) & 1") == 1
+    )
+    cand = (
+        corp.join(
+            F.broadcast(bits.withColumnRenamed("word", "w1")),
+            (F.col("p1") / 64).cast("int") == F.col("w1"),
+        )
+        .filter(hit("p1"))
+        .drop("w1", "mask")
+        .join(
+            F.broadcast(bits.withColumnRenamed("word", "w2")),
+            (F.col("p2") / 64).cast("int") == F.col("w2"),
+        )
+        .filter(hit("p2"))
+        .drop("w2", "mask", "p1", "p2")
+    )
+    confirmed = cand.join(F.broadcast(bench_sh), "sg")
+    return confirmed.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs_contaminated"),
+        F.count(F.lit(1)).alias("n_shared_shingles"),
+    )
+
+
+ORACLE_BLOOM_DECONTAMINATE = f"""
+WITH shingled AS ({_ORACLE_SHINGLES}),
+bench AS (
+  SELECT DISTINCT sg FROM (
+    SELECT unnest(shingles) AS sg FROM shingled WHERE doc_id % 37 = 0
+  ) WHERE sg <> ''
+),
+corp AS (
+  SELECT s.doc_id, d.source, unnest(s.shingles) AS sg
+  FROM shingled s JOIN documents d USING (doc_id)
+  WHERE s.doc_id % 37 <> 0
+)
+SELECT c.source,
+       count(DISTINCT c.doc_id) AS n_docs_contaminated,
+       count(*) AS n_shared_shingles
+FROM corp c JOIN bench b ON b.sg = c.sg
+GROUP BY c.source
+"""
+
+
+# --------------------------------------------------------------------------
+# q_temperature_resample — EXT-SAMPLE-TEMP: temperature-based language
+# rebalancing (alpha = 0.5), the multilingual-pretraining mix step
+# that upweights low-resource languages: per-language keep rate
+# r_l = sqrt(n_min / n_l), so the smallest language keeps everything
+# and a language 4x its size keeps half. Membership is the same
+# content-independent md5 bucket as hash_split — deterministic under
+# re-runs and repartitioning, no RNG state.
+#
+# Cross-engine parity: sqrt and integer division are IEEE
+# correctly-rounded, so both engines compute the identical double and
+# the identical floor(1e6 * r) integer threshold.
+#
+# Scale shape: language counts are a tiny agg (broadcast back); the
+# corpus streams once through a projection + broadcast join + filter.
+# --------------------------------------------------------------------------
+
+
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    thresh = F.floor(
+        F.lit(float(_MICRO))
+        * F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double"))
+    ).alias("thresh")
+    rates = counts.crossJoin(F.broadcast(n_min)).select("lang", "n_docs", thresh)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _MICRO
+    )
+    kept = (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("thresh").alias("thresh"),
+            F.sum((F.col("bucket") < F.col("thresh")).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+    return kept.select(
+        "lang",
+        "n_docs",
+        "thresh",
+        "n_kept",
+        (F.col("thresh").cast("double") / _MICRO).alias("keep_rate"),
+    )
+
+
+ORACLE_TEMPERATURE_RESAMPLE = f"""
+WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+m AS (SELECT min(n_docs) AS n_min FROM counts),
+rates AS (
+  SELECT lang, n_docs,
+         CAST(floor({_MICRO}.0 * sqrt(CAST(m.n_min AS DOUBLE)
+                                      / CAST(n_docs AS DOUBLE))) AS BIGINT) AS thresh
+  FROM counts, m
+),
+b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_MICRO} AS bucket
+  FROM documents
+)
+SELECT b.lang,
+       max(r.n_docs) AS n_docs,
+       max(r.thresh) AS thresh,
+       CAST(sum(CASE WHEN b.bucket < r.thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(max(r.thresh) AS DOUBLE) / {_MICRO} AS keep_rate
+FROM b JOIN rates r USING (lang)
+GROUP BY b.lang
+"""
+
+
+QUERIES = [
+    QueryDef("tfidf_topk", q_tfidf_topk, ORACLE_TFIDF_TOPK, ("EXT-TEXT-TFIDF",)),
+    QueryDef(
+        "paragraph_dedup", q_paragraph_dedup, ORACLE_PARAGRAPH_DEDUP, ("EXT-DEDUP-PARA",)
+    ),
+    QueryDef(
+        "bloom_decontaminate",
+        q_bloom_decontaminate,
+        ORACLE_BLOOM_DECONTAMINATE,
+        ("EXT-DECONTAM-BLOOM",),
+    ),
+    QueryDef(
+        "temperature_resample",
+        q_temperature_resample,
+        ORACLE_TEMPERATURE_RESAMPLE,
+        ("EXT-SAMPLE-TEMP",),
+    ),
+]

@@ -921,6 +921,131 @@ WINDOW w AS (PARTITION BY nation_name ORDER BY ship_year)
 """
 
 
+# --------------------------------------------------------------------------
+# q_funnel_steps — EXT-EVENT-FUNNEL: strictly-ordered conversion funnel
+# (view → click → purchase) cohorted by first-view date. Each step's
+# timestamp must be strictly AFTER the previous step's — the classic
+# product-analytics funnel, and the batch twin of the stream-stream
+# attribution join (streamq.q_stream_join).
+#
+# Scale shape: three groupBys and two joins, all keyed on user_id —
+# Spark co-partitions the chain on the same key, so after the first
+# shuffle the join exchanges are reused (no re-shuffle of the big
+# side). Counts are integers → exact cross-engine parity.
+# --------------------------------------------------------------------------
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    cohort = views.select("user_id", F.to_date("t1").alias("cohort_date"))
+    return (
+        cohort.join(clicks.select("user_id", "t2"), "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .groupBy("cohort_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_viewers"),
+            F.count("t2").alias("n_clickers"),
+            F.count("t3").alias("n_purchasers"),
+        )
+    )
+
+
+ORACLE_FUNNEL_STEPS = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+views AS (
+  SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+  FROM e JOIN views v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+purchases AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM e JOIN clicks c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT CAST(v.t1 AS DATE) AS cohort_date,
+       count(*) AS n_viewers,
+       count(c.t2) AS n_clickers,
+       count(p.t3) AS n_purchasers
+FROM views v
+LEFT JOIN clicks c USING (user_id)
+LEFT JOIN purchases p USING (user_id)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q_event_transitions — EXT-EVENT-MARKOV: first-order Markov transition
+# counts between consecutive event types per user (the empirical
+# behavior model behind next-action prediction and anomaly detection on
+# event streams). One window pass keyed by user (ties broken on
+# event_id — pinned total order), one small groupBy on the 5x5 type
+# matrix; the per-row share is an integer/integer division → exact.
+# --------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w_user).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (F.col("n_transitions") / F.sum("n_transitions").over(w_prev)).alias("p_next"),
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events) e
+),
+counts AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / sum(n_transitions) OVER (PARTITION BY prev_type) AS p_next
+FROM counts
+"""
+
+
 QUERIES = [
     QueryDef(
         "annual_summary",
@@ -952,4 +1077,6 @@ QUERIES = [
     QueryDef("watermark_filter", q_watermark_filter, ORACLE_WATERMARK_FILTER, ("OP-FIL-WATERMARK",)),
     QueryDef("sessionize", q_sessionize, ORACLE_SESSIONIZE, ("EXT-SESSIONIZE",)),
     QueryDef("salted_agg", q_salted_agg, ORACLE_SALTED_AGG, ("EXT-SKEW-SALT", "OP-AGG-SUMGROUP")),
+    QueryDef("funnel_steps", q_funnel_steps, ORACLE_FUNNEL_STEPS, ("EXT-EVENT-FUNNEL",)),
+    QueryDef("event_transitions", q_event_transitions, ORACLE_EVENT_TRANSITIONS, ("EXT-EVENT-MARKOV",)),
 ]

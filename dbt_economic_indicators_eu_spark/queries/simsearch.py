@@ -780,6 +780,151 @@ GROUP BY label
 """
 
 
+# --------------------------------------------------------------------------
+# q_kmeans_refine — EXT-EMB-KMEANS: one Lloyd iteration of k-means over
+# the embedding corpus (assign to nearest seed centroid, recompute
+# centroids, report per-cluster movement). This is the building block
+# of semantic clustering / topic bucketing over a corpus; a full
+# clustering loops this operator to convergence with the SAME plan
+# shape per iteration.
+#
+# Scale shape: the K seed centroids are a bounded driver artifact
+# (K x dim doubles — they ride the plan as literals, the k-means
+# equivalent of a broadcast dim table), so ASSIGNMENT is a pure
+# projection: the corpus streams once, computing K fold-distances and
+# an argmin per row with zero joins and zero shuffle — the map-side
+# step of every distributed k-means. Only the UPDATE shuffles, keyed
+# by (cluster, dim): K*dim cells, invariant in corpus size after
+# per-partition combining.
+#
+# Cross-engine parity: distances fold dims left-to-right on identical
+# doubles (bit-identical across engines); argmin tie-breaks on the
+# lowest centroid id (array_position takes the FIRST minimum — the
+# oracle mirrors with ORDER BY d2, k). Centroid coordinates use the
+# pinned-order sum from q_label_centroids (values sorted before
+# folding) — at production scale drop the pinning for plain sum() and
+# verify with a tolerance instead.
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < _KM_K).collect(), key=lambda r: r.vec_id
+    )
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r.v]) for r in seed_rows]
+    )
+    d2s = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    assigned = emb.select(
+        "vec_id",
+        "v",
+        (F.array_position(d2s, F.array_min(d2s)) - 1).alias("k"),
+    )
+    cells = assigned.select("k", F.posexplode("v").alias("dim", "val"))
+    per_dim = cells.groupBy("k", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(
+            F.sort_array(F.collect_list("val")), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("s"),
+    )
+    old = F.element_at(
+        F.element_at(cents, (F.col("k") + 1).cast("int")), (F.col("dim") + 1).cast("int")
+    )
+    co = per_dim.select(
+        "k",
+        "dim",
+        "n",
+        (F.col("s") / F.col("n")).alias("c"),
+        old.alias("o"),
+    )
+
+    def _pinned_fold(val: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", val.alias("x")))),
+                lambda p: p["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return (
+        co.groupBy("k")
+        .agg(
+            F.max("n").alias("n_members"),
+            _pinned_fold((F.col("c") - F.col("o")) * (F.col("c") - F.col("o"))).alias(
+                "sh2"
+            ),
+            _pinned_fold(F.col("c") * F.col("c")).alias("nm2"),
+        )
+        .select(
+            "k",
+            "n_members",
+            r6(F.sqrt("sh2")).alias("shift"),
+            r6(F.sqrt("nm2")).alias("new_norm"),
+        )
+    )
+
+
+ORACLE_KMEANS_REFINE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS k, v AS cv FROM e WHERE vec_id < {_KM_K}),
+d AS (
+  SELECT e.vec_id, e.v, c.k,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             [(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) for i in range(1, {_DIM} + 1)]),
+           (acc, x) -> acc + x) AS d2
+  FROM e, c
+),
+a AS (
+  SELECT vec_id, v, k,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rk
+  FROM d
+),
+m AS (SELECT vec_id, v, k FROM a WHERE rk = 1),
+cells AS (
+  SELECT k, i - 1 AS dim, v[i] AS val
+  FROM m, (SELECT unnest(range(1, {_DIM} + 1)) AS i)
+),
+per_dim AS (
+  SELECT k, dim, count(*) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(val ORDER BY val)),
+                     (acc, x) -> acc + x) AS s
+  FROM cells
+  GROUP BY k, dim
+),
+co AS (
+  SELECT per_dim.k, dim, n, s / n AS c, cc.cv[dim + 1] AS o
+  FROM per_dim JOIN c cc ON cc.k = per_dim.k
+)
+SELECT
+  k,
+  max(n) AS n_members,
+  round(sqrt(list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE), list((c - o) * (c - o) ORDER BY dim)),
+    (acc, x) -> acc + x)), 6) AS shift,
+  round(sqrt(list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE), list(c * c ORDER BY dim)),
+    (acc, x) -> acc + x)), 6) AS new_norm
+FROM co
+GROUP BY k
+"""
+
+
 QUERIES = [
     QueryDef("knn_brute", q_knn_brute, ORACLE_KNN_BRUTE, ("EXT-ANN-BRUTE",)),
     QueryDef("knn_quantized", q_knn_quantized, ORACLE_KNN_QUANTIZED, ("EXT-EMB-QUANT",)),
@@ -788,4 +933,5 @@ QUERIES = [
     QueryDef("lsh_buckets", q_lsh_buckets, ORACLE_LSH_BUCKETS, ("EXT-ANN-LSH",)),
     QueryDef("knn_lsh", q_knn_lsh, ORACLE_KNN_LSH, ("EXT-ANN-LSH",)),
     QueryDef("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING, ("EXT-DEDUP-EMBEDDING",)),
+    QueryDef("kmeans_refine", q_kmeans_refine, ORACLE_KMEANS_REFINE, ("EXT-EMB-KMEANS",)),
 ]
