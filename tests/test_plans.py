@@ -187,3 +187,57 @@ def test_training_shuffle_single_exchange(spark):
     the row_number window and the final aggregate."""
     plan = _plan(spark, "training_shuffle")
     assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg reuse
+
+
+def test_tfidf_no_self_join_three_exchanges(spark):
+    """df is a window count over the per-doc term table — the plan must
+    contain no term self-join (which would tokenize the corpus twice)
+    and at most three hash partitionings: (doc,term) agg, term window,
+    doc window. The scalar N crossJoin broadcasts (1 row)."""
+    plan = _plan(spark, "tfidf_topk")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_paragraph_dedup_hash_only_shuffles_no_join(spark):
+    """Cross-doc multiplicity is a window over the paragraph hash —
+    no join anywhere (a join-back would re-run the explode subtree),
+    and only (h, doc) pre-grouped pairs shuffle."""
+    plan = _plan(spark, "paragraph_dedup")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_bloom_decontaminate_broadcast_only_on_corpus_path(spark):
+    """The corpus side must meet only broadcast joins (16KB bitmask
+    twice, then the bounded exact-confirm set) — a sort-merge join
+    would shuffle the whole corpus shingle stream."""
+    plan = _plan(spark, "bloom_decontaminate")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_kmeans_assignment_is_pure_projection(spark):
+    """Seed centroids ride the plan as literals, so assignment adds no
+    join and no shuffle; the only exchanges are the (cluster, dim)
+    update agg and the per-cluster rollup."""
+    plan = _plan(spark, "kmeans_refine")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_event_transitions_single_user_partitioning(spark):
+    """lag runs in one user_id window partitioning; the transition
+    matrix agg and per-prev share window add at most two more small
+    exchanges (5x5 matrix)."""
+    plan = _plan(spark, "event_transitions")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_temperature_resample_broadcast_rates(spark):
+    """Per-language thresholds (5 rows) must broadcast back onto the
+    corpus — never a sort-merge join on lang."""
+    plan = _plan(spark, "temperature_resample")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -121,6 +121,36 @@ HEADLINERS = [
         "FileScan is pruned to its own test's column (a uniqueness "
         "check never reads the wide columns).",
     ),
+    (
+        "tfidf_topk",
+        "Document frequency is a window count over the per-doc term "
+        "table — the corpus tokenizes ONCE (no term self-join, which "
+        "would duplicate the explode subtree in a tree-shaped plan); "
+        "three hash partitionings total: (doc,term) agg with "
+        "partial_count, term window, per-doc top-k window.",
+    ),
+    (
+        "paragraph_dedup",
+        "Only 16-byte md5 hashes shuffle — the paragraph text stays in "
+        "the scan stage. Pre-grouped (h, doc) pairs get cross-doc "
+        "multiplicity from a window over h; no join anywhere.",
+    ),
+    (
+        "bloom_decontaminate",
+        "The 2^16-bit bloom bitmask is built with a bit_or aggregate "
+        "(1024-row table) and met by the corpus only through "
+        "BroadcastHashJoins — prefilter survivors then exact-confirm "
+        "against the bounded benchmark set. The corpus never "
+        "sort-merges; the result is exact (oracle = plain join).",
+    ),
+    (
+        "kmeans_refine",
+        "Seed centroids are plan literals, so assignment (K fold "
+        "distances + argmin per row) is a pure projection with zero "
+        "joins/exchanges; only the (cluster, dim) update agg and the "
+        "per-cluster rollup shuffle — both invariant in corpus size "
+        "after partial aggregation.",
+    ),
 ]
 
 STORAGE = [
