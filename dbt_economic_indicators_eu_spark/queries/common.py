@@ -265,6 +265,9 @@ _VERIFY_FIRST = (
     "kmeans_refine",
     "funnel_steps",
     "event_transitions",
+    "zorder_layout",
+    "embedding_normalize",
+    "text_clean",
     # r4-touched paths from the r3-verified set (broadcast-hint fix
     # lands on dedup_embedding this round; flagship stays exercised)
     "dedup_embedding",

@@ -390,6 +390,60 @@ GROUP BY b.lang
 """
 
 
+# --------------------------------------------------------------------------
+# q_text_clean — EXT-TEXT-CLEAN: C4-style markup/control cleanup — strip
+# HTML-ish tags, remove non-whitespace control characters, collapse
+# whitespace — reported as counts plus an md5 of the cleaned text so
+# the oracle verifies the VALUE of the cleaning, not just its shape.
+# Patterns stay in the Java-regex/RE2 common subset (no lookaround);
+# \\t \\n \\r are deliberately NOT in the control class — the
+# whitespace collapse owns them. Pure projection: runs in the scan
+# stage at any scale (same posture as pii_redact).
+# --------------------------------------------------------------------------
+
+_PAT_TAG = r"<[^>]+>"
+_PAT_CTRL = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(text, _PAT_TAG, " "), _PAT_CTRL, ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(_PAT_TAG)).alias("n_tags"),
+        F.regexp_count(text, F.lit(_PAT_CTRL)).alias("n_ctrl"),
+        F.length(cleaned).alias("clean_len"),
+        F.md5(cleaned).alias("clean_md5"),
+    )
+
+
+ORACLE_TEXT_CLEAN = rf"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_PAT_TAG}', ' ', 'g'),
+             '{_PAT_CTRL}', '', 'g'),
+           '\s+', ' ', 'g')) AS cleaned
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PAT_TAG}')) AS INTEGER) AS n_tags,
+       CAST(len(regexp_extract_all(text, '{_PAT_CTRL}')) AS INTEGER) AS n_ctrl,
+       CAST(length(cleaned) AS INTEGER) AS clean_len,
+       md5(cleaned) AS clean_md5
+FROM c
+"""
+
+
 QUERIES = [
     QueryDef("tfidf_topk", q_tfidf_topk, ORACLE_TFIDF_TOPK, ("EXT-TEXT-TFIDF",)),
     QueryDef(
@@ -407,4 +461,5 @@ QUERIES = [
         ORACLE_TEMPERATURE_RESAMPLE,
         ("EXT-SAMPLE-TEMP",),
     ),
+    QueryDef("text_clean", q_text_clean, ORACLE_TEXT_CLEAN, ("EXT-TEXT-CLEAN",)),
 ]

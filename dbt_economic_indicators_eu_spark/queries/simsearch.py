@@ -925,6 +925,102 @@ GROUP BY k
 """
 
 
+# --------------------------------------------------------------------------
+# q_embedding_normalize — EXT-EMB-NORM: embedding preprocessing stats —
+# per-vector L2 norm and cosine against the corpus mean vector (the
+# centering diagnostic run before whitening / ANN indexing; a corpus
+# whose vectors all lean toward the mean has poor cosine contrast).
+#
+# Scale shape: the per-dim mean is a (dim)-keyed aggregate (64 cells,
+# invariant in corpus size after partial aggregation) collapsed to a
+# single 1-row array that broadcasts back over the corpus; the corpus
+# itself streams once through a projection of three JVM folds. The
+# pinned-order sum (sort values before folding) buys cross-engine
+# bit parity — at production scale use plain sum() and a tolerance.
+# --------------------------------------------------------------------------
+
+
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    cells = emb.select(F.posexplode("v").alias("dim", "val"))
+    per_dim = cells.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(
+            F.sort_array(F.collect_list("val")), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("s"),
+    )
+    sq_fold = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    mv = per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", (F.col("s") / F.col("n")).alias("m")))),
+            lambda p: p["m"],
+        ).alias("m")
+    ).select("m", F.sqrt(sq_fold(F.col("m"))).alias("mnorm"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("m"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(sq_fold(F.col("v")))
+    return (
+        emb.crossJoin(F.broadcast(mv))
+        .select("vec_id", norm.alias("norm"), dot.alias("dot"), F.col("mnorm"))
+        .select(
+            "vec_id",
+            r6(F.col("norm")).alias("norm"),
+            r6(
+                F.when(
+                    (F.col("norm") > 0) & (F.col("mnorm") > 0),
+                    F.col("dot") / (F.col("norm") * F.col("mnorm")),
+                )
+            ).alias("cos_to_mean"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_NORMALIZE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cells AS (
+  SELECT i - 1 AS dim, v[i] AS val
+  FROM e, (SELECT unnest(range(1, {_DIM} + 1)) AS i)
+),
+per_dim AS (
+  SELECT dim, count(*) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(val ORDER BY val)),
+                     (acc, x) -> acc + x) AS s
+  FROM cells GROUP BY dim
+),
+mv AS (SELECT list(s / n ORDER BY dim) AS m FROM per_dim),
+mn AS (
+  SELECT m,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list_transform(m, x -> x * x)),
+                          (acc, x) -> acc + x)) AS mnorm
+  FROM mv
+),
+scored AS (
+  SELECT e.vec_id,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list_transform(e.v, x -> x * x)),
+                          (acc, x) -> acc + x)) AS norm,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  [e.v[i] * mn.m[i] for i in range(1, {_DIM} + 1)]),
+                     (acc, x) -> acc + x) AS dot,
+         mn.mnorm AS mnorm
+  FROM e, mn
+)
+SELECT vec_id, round(norm, 6) AS norm,
+       round(CASE WHEN norm > 0 AND mnorm > 0
+                  THEN dot / (norm * mnorm) END, 6) AS cos_to_mean
+FROM scored
+"""
+
+
 QUERIES = [
     QueryDef("knn_brute", q_knn_brute, ORACLE_KNN_BRUTE, ("EXT-ANN-BRUTE",)),
     QueryDef("knn_quantized", q_knn_quantized, ORACLE_KNN_QUANTIZED, ("EXT-EMB-QUANT",)),
@@ -934,4 +1030,10 @@ QUERIES = [
     QueryDef("knn_lsh", q_knn_lsh, ORACLE_KNN_LSH, ("EXT-ANN-LSH",)),
     QueryDef("dedup_embedding", q_dedup_embedding, ORACLE_DEDUP_EMBEDDING, ("EXT-DEDUP-EMBEDDING",)),
     QueryDef("kmeans_refine", q_kmeans_refine, ORACLE_KMEANS_REFINE, ("EXT-EMB-KMEANS",)),
+    QueryDef(
+        "embedding_normalize",
+        q_embedding_normalize,
+        ORACLE_EMBEDDING_NORMALIZE,
+        ("EXT-EMB-NORM",),
+    ),
 ]

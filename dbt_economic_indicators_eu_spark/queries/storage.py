@@ -126,9 +126,81 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q_zorder_layout — EXT-LAYOUT-ZORDER: Z-order (Morton) interleaving of
+# two scan dimensions, the data-clustering layout that makes parquet
+# min/max skipping effective on BOTH columns at once (a 1-D sort gives
+# perfect skipping on its key and none on anything else). The z-value
+# here interleaves 8 bits of customer key with 8 bits of order date;
+# at write time it becomes the repartitionByRange/sortWithinPartitions
+# key, so every file covers a small tile in (custkey, date) space.
+#
+# The query reports per-256-z-value block (one "file" worth) the row
+# count and BOTH dimension spans — the clustering evidence: a block is
+# a 16x16 tile, so each span is <= 15, vs 255 for the non-sorted
+# dimension of a 1-D layout (pinned by test).
+#
+# Cross-engine parity: the interleave is unrolled integer bit
+# arithmetic (shift/and/or have identical semantics on BIGINT in both
+# engines) — everything is integer-exact.
+#
+# Scale shape: pure projection + one map-side-combinable groupBy on
+# the bounded block key. The write-side analogue adds one range
+# exchange on z — the same single shuffle any sorted layout pays.
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _interleave_sql(x: str, y: str) -> str:
+    """Unrolled Morton interleave: x bits land at even positions, y at
+    odd. Same text is valid Spark SQL and DuckDB SQL."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) % 256)
+        .cast("bigint")
+        .alias("y"),
+    )
+    z = F.expr(_interleave_sql("x", "y"))
+    return (
+        orders.select("x", "y", z.alias("z"))
+        .groupBy((F.col("z") / 256).cast("int").alias("z_block"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+    )
+
+
+ORACLE_ZORDER_LAYOUT = f"""
+WITH d AS (
+  SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) % 256 AS BIGINT) AS y
+  FROM orders
+),
+zv AS (SELECT x, y, {_interleave_sql("x", "y")} AS z FROM d)
+SELECT CAST(z // 256 AS INT) AS z_block,
+       count(*) AS n_rows,
+       max(x) - min(x) AS x_span,
+       max(y) - min(y) AS y_span
+FROM zv
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QueryDef("bucketed_join", q_bucketed_join, ORACLE_BUCKETED_JOIN, ("EXT-LAYOUT-BUCKET",)),
     QueryDef(
         "partition_pruned", q_partition_pruned, ORACLE_PARTITION_PRUNED, ("EXT-LAYOUT-PARTITION",)
     ),
+    QueryDef("zorder_layout", q_zorder_layout, ORACLE_ZORDER_LAYOUT, ("EXT-LAYOUT-ZORDER",)),
 ]

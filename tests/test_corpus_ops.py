@@ -256,3 +256,103 @@ def test_event_transitions_tie_on_ts_breaks_by_event_id(spark, monkeypatch):
     }
     # order is view(id1) -> click(id2) -> purchase(id3)
     assert out == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+# ----------------------------------------------------------- z-order
+
+
+def test_zorder_blocks_are_tiles_in_both_dims(spark):
+    from dbt_economic_indicators_eu_spark.queries import storage
+
+    out = storage.q_zorder_layout(spark, "/root/testdata/sf0.001").collect()
+    assert out  # non-empty
+    # a 256-z-value block is a 16x16 tile: BOTH spans bounded — the
+    # whole point of z-order vs a 1-D sort (where the second dimension
+    # would span up to 255)
+    assert max(r.x_span for r in out) <= 15
+    assert max(r.y_span for r in out) <= 15
+
+
+def test_zorder_interleave_roundtrip():
+    from dbt_economic_indicators_eu_spark.queries.storage import _interleave_sql
+
+    # pure-python evaluation of the unrolled SQL on sample points
+    def z(x, y):
+        return eval(_interleave_sql(str(x), str(y)))
+
+    assert z(0, 0) == 0
+    assert z(255, 255) == 65535
+    assert z(1, 0) == 1 and z(0, 1) == 2  # x even bits, y odd bits
+    # Morton property: block index = interleave of (x//16, y//16)
+    for x, y in [(3, 200), (130, 7), (99, 99)]:
+        assert z(x, y) // 256 == z(x // 16, y // 16)
+
+
+# ------------------------------------------------------ text_clean parity
+
+
+def test_text_clean_adversarial_cross_engine(spark, tmp_path):
+    import duckdb
+
+    from dbt_economic_indicators_eu_spark.queries.corpus import (
+        ORACLE_TEXT_CLEAN,
+        q_text_clean,
+    )
+
+    rows = [
+        "<p>hello <b>world</b></p>",
+        "a\x00b\x01c\x1fd\x7fe",            # control chars
+        "tabs\tand\nnewlines\r\nstay-as-whitespace",
+        "unclosed <tag still here",          # no '>' -> not a tag
+        "a  <br/>  b",
+        "",
+        "   ",
+        None,
+        "<<double>> <angle <nested> brackets>",
+    ]
+    data = [
+        (i, t, "en", "s0", len(t) if t else 0) for i, t in enumerate(rows)
+    ]
+    df = local_df(
+        spark, data, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sf_dir = str(tmp_path / "sf")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    import dbt_economic_indicators_eu_spark.queries.corpus as corpus_mod
+
+    got = (
+        q_text_clean(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(ORACLE_TEXT_CLEAN).df().sort_values("doc_id").reset_index(drop=True)
+    for c in ("n_tags", "n_ctrl", "clean_len", "clean_md5"):
+        assert list(got[c]) == list(want[c]), c
+    # sanity on the semantics themselves
+    assert got.loc[0, "n_tags"] == 4 and got.loc[3, "n_tags"] == 0
+    assert got.loc[1, "n_ctrl"] == 4 and got.loc[1, "clean_len"] == len("abcde")
+
+
+# ------------------------------------------------- embedding normalize
+
+
+def test_embedding_normalize_units_and_zero_guard(spark, monkeypatch):
+    rows = [
+        (0, [3.0, 4.0], 0),     # norm 5
+        (1, [0.0, 2.0], 0),     # norm 2
+        (2, [0.0, 0.0], 0),     # zero vector -> cos is NULL
+    ]
+    emb = local_df(spark, rows, "vec_id bigint, embedding array<float>, label int")
+    monkeypatch.setattr(simsearch, "load", lambda s, d, n: emb)
+    out = {r.vec_id: r for r in simsearch.q_embedding_normalize(spark, "i").collect()}
+    assert out[0].norm == 5.0 and out[1].norm == 2.0 and out[2].norm == 0.0
+    assert out[2].cos_to_mean is None
+    # mean vector is (1, 2); cos for vec_id 1 = 2*2 / (2 * sqrt(5))
+    import math
+
+    assert out[1].cos_to_mean == pytest.approx(4 / (2 * math.sqrt(5)), abs=1e-6)
