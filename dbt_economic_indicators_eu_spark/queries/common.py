@@ -268,6 +268,9 @@ _VERIFY_FIRST = (
     "zorder_layout",
     "embedding_normalize",
     "text_clean",
+    "targeted_delete",
+    "compact_files",
+    "schema_evolve_read",
     # r4-touched paths from the r3-verified set (broadcast-hint fix
     # lands on dedup_embedding this round; flagship stays exercised)
     "dedup_embedding",

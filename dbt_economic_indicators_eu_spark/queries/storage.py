@@ -127,6 +127,175 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# q_targeted_delete — EXT-DELETE-TARGETED: partition-scoped targeted
+# deletion — the right-to-be-forgotten / retention-enforcement
+# operation ("purge these users' rows from this date range"). The
+# delete window appears in the partition column, so the rewrite reads
+# ONLY the affected date partitions (PartitionFilters pruning) and
+# dynamic partition overwrite replaces ONLY those directories —
+# untouched partitions' files stay bit-identical (pinned by test).
+# At 100 TB a GDPR purge over a 30-day window costs O(window), not
+# O(table) — same posture as the partition-scoped incremental merge
+# (materialize/incremental.py).
+# --------------------------------------------------------------------------
+
+_DEL_START, _DEL_END = "2024-01-10", "2024-01-14"
+_DEL_USER_MOD = 53
+
+
+def delete_where_partition_scoped(
+    spark: SparkSession, path: str, window, row_pred
+) -> None:
+    """Rewrite only the partitions selected by ``window`` (a predicate
+    on the partition column), dropping rows matching ``row_pred``.
+    ``window`` must reference ONLY partition columns — that is what
+    makes the read prune and the overwrite partition-scoped."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        tgt = spark.read.parquet(path)
+        keep = tgt.filter(window).filter(~row_pred)
+        keep.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _layout_key(spark, "delete_target", sf_dir)
+    if key not in _LAYOUT_CACHE:
+        base = tempfile.mkdtemp(prefix="del_target_")
+        ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(f"{base}/events_d")
+        delete_where_partition_scoped(
+            spark,
+            f"{base}/events_d",
+            F.col("event_date").between(_DEL_START, _DEL_END),
+            F.col("user_id") % _DEL_USER_MOD == 0,
+        )
+        _LAYOUT_CACHE[key] = base
+    back = spark.read.parquet(f"{_LAYOUT_CACHE[key]}/events_d")
+    return back.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r2(F.sum("value")).alias("total_value"),
+    )
+
+
+ORACLE_TARGETED_DELETE = f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM {EVENTS_NORM_SQL} e
+WHERE NOT (user_id % {_DEL_USER_MOD} = 0
+           AND CAST(ts AS DATE) BETWEEN DATE '{_DEL_START}' AND DATE '{_DEL_END}')
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q_compact_files — EXT-COMPACT: small-file compaction (the OPTIMIZE /
+# bin-packing maintenance job). Streaming ingest and over-parallel
+# writers leave thousands of KB-scale files; every later scan pays a
+# footer read + task per file. Compaction sizes the output from the
+# actual input bytes (ceil(bytes / target)) and rewrites via
+# ``coalesce`` — NO shuffle: partitions merge in place, the cheapest
+# possible rewrite. Content is provably unchanged (oracle verifies the
+# aggregate over the compacted copy; the file-count drop is pinned by
+# test).
+# --------------------------------------------------------------------------
+
+_SMALL_FILES = 64
+_COMPACT_TARGET_BYTES = 4 << 20  # demo target; 128 MiB-1 GiB in production
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str, target_bytes: int) -> int:
+    """Coalesce ``src``'s parquet files into ceil(bytes/target) files
+    at ``dst``; returns the output file count. Driver-side listing is
+    metadata-only — the same planning step a production OPTIMIZE does."""
+    import glob as _glob
+    import math as _math
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(p) for p in _glob.glob(f"{src}/*.parquet")
+    )
+    n = max(1, _math.ceil(total / target_bytes))
+    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
+    return n
+
+
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _layout_key(spark, "compacted", sf_dir)
+    if key not in _LAYOUT_CACHE:
+        base = tempfile.mkdtemp(prefix="compact_")
+        ev = load(spark, sf_dir, "events")
+        # simulate ingest debris: one file per writer task
+        ev.repartition(_SMALL_FILES).write.mode("overwrite").parquet(f"{base}/small")
+        compact_parquet(spark, f"{base}/small", f"{base}/compacted", _COMPACT_TARGET_BYTES)
+        _LAYOUT_CACHE[key] = base
+    back = spark.read.parquet(f"{_LAYOUT_CACHE[key]}/compacted")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        r2(F.sum("value")).alias("total_value"),
+    )
+
+
+ORACLE_COMPACT_FILES = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS total_value
+FROM {EVENTS_NORM_SQL} e
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q_schema_evolve_read — EXT-SCHEMA-EVOLVE: schema-evolution reads —
+# an old batch written before two columns existed and a new batch with
+# them, scanned as ONE table (``mergeSchema``): the unified schema is
+# the union, old rows surface NULLs for the new columns. This is the
+# read-side half of ``on_schema_change='append_new_columns'`` (the
+# write-side half lives in merge_upsert's unionByName). Footer
+# reconciliation is a one-time planning cost; the scan itself stays a
+# plain columnar read at any scale.
+# --------------------------------------------------------------------------
+
+
+def q_schema_evolve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _layout_key(spark, "evolved", sf_dir)
+    if key not in _LAYOUT_CACHE:
+        base = tempfile.mkdtemp(prefix="evolve_")
+        ev = load(spark, sf_dir, "events")
+        old = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "ts", "user_id", "value"
+        )
+        new = ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "ts", "user_id", "value", "event_type", "props"
+        )
+        old.write.mode("overwrite").parquet(f"{base}/t/batch=1")
+        new.write.mode("overwrite").parquet(f"{base}/t/batch=2")
+        _LAYOUT_CACHE[key] = base
+    back = spark.read.option("mergeSchema", "true").parquet(f"{_LAYOUT_CACHE[key]}/t")
+    return back.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("__legacy__")).alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r2(F.sum("value")).alias("total_value"),
+    )
+
+
+ORACLE_SCHEMA_EVOLVE_READ = f"""
+SELECT CASE WHEN event_id % 2 = 1 THEN event_type ELSE '__legacy__' END
+         AS event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM {EVENTS_NORM_SQL} e
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # q_zorder_layout — EXT-LAYOUT-ZORDER: Z-order (Morton) interleaving of
 # two scan dimensions, the data-clustering layout that makes parquet
 # min/max skipping effective on BOTH columns at once (a 1-D sort gives
@@ -203,4 +372,12 @@ QUERIES = [
         "partition_pruned", q_partition_pruned, ORACLE_PARTITION_PRUNED, ("EXT-LAYOUT-PARTITION",)
     ),
     QueryDef("zorder_layout", q_zorder_layout, ORACLE_ZORDER_LAYOUT, ("EXT-LAYOUT-ZORDER",)),
+    QueryDef("targeted_delete", q_targeted_delete, ORACLE_TARGETED_DELETE, ("EXT-DELETE-TARGETED",)),
+    QueryDef("compact_files", q_compact_files, ORACLE_COMPACT_FILES, ("EXT-COMPACT",)),
+    QueryDef(
+        "schema_evolve_read",
+        q_schema_evolve_read,
+        ORACLE_SCHEMA_EVOLVE_READ,
+        ("EXT-SCHEMA-EVOLVE",),
+    ),
 ]

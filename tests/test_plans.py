@@ -23,6 +23,9 @@ _PLAN_EXEMPT = {
     "rest_ingest",
     "bucketed_join",
     "partition_pruned",
+    "targeted_delete",
+    "compact_files",
+    "schema_evolve_read",
     "dedup_cluster",  # Pregel-style: executes iterations at build time
 }
 

@@ -1,0 +1,100 @@
+"""Physical-property pins for the storage-maintenance operators
+(queries/storage.py round-4 batch): targeted deletion must leave
+untouched partitions bit-identical; compaction must actually reduce
+file counts without changing content; schema-evolution reads must
+surface NULLs for pre-evolution rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_economic_indicators_eu_spark.queries.common import load
+from dbt_economic_indicators_eu_spark.queries.storage import (
+    _COMPACT_TARGET_BYTES,
+    compact_parquet,
+    delete_where_partition_scoped,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _partition_digests(path: str) -> dict[str, str]:
+    out = {}
+    for d in sorted(glob.glob(f"{path}/event_date=*")):
+        h = hashlib.md5()
+        for f in sorted(glob.glob(f"{d}/*.parquet")):
+            h.update(open(f, "rb").read())
+        out[os.path.basename(d)] = h.hexdigest()
+    return out
+
+
+def test_targeted_delete_touches_only_window_partitions(spark, tmp_path):
+    path = str(tmp_path / "events_d")
+    ev = load(spark, SF_DIR, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.partitionBy("event_date").parquet(path)
+    before = _partition_digests(path)
+
+    window = F.col("event_date").between("2024-01-10", "2024-01-14")
+    delete_where_partition_scoped(
+        spark, path, window, F.col("user_id") % 53 == 0
+    )
+    after = _partition_digests(path)
+
+    changed = {p for p in before if before[p] != after.get(p)}
+    in_window = {p for p in before if "2024-01-10" <= p.split("=")[1] <= "2024-01-14"}
+    # every untouched partition is BIT-identical; only window partitions changed
+    assert changed <= in_window
+    assert set(before) == set(after)  # no partition disappeared entirely
+
+    back = spark.read.parquet(path)
+    assert (
+        back.filter(window & (F.col("user_id") % 53 == 0)).count() == 0
+    )  # purged inside the window
+    assert (
+        back.filter(~window & (F.col("user_id") % 53 == 0)).count() > 0
+    )  # retained outside it
+
+
+def test_compact_reduces_files_preserves_content(spark, tmp_path):
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    ev = load(spark, SF_DIR, "events")
+    ev.repartition(64).write.parquet(src)
+    n_small = len(glob.glob(f"{src}/*.parquet"))
+    assert n_small == 64
+
+    n_out = compact_parquet(spark, src, dst, _COMPACT_TARGET_BYTES)
+    n_files = len(glob.glob(f"{dst}/*.parquet"))
+    assert n_files == n_out < n_small
+
+    a = spark.read.parquet(src).agg(
+        F.count(F.lit(1)), F.sum("event_id"), F.sum("user_id")
+    ).collect()[0]
+    b = spark.read.parquet(dst).agg(
+        F.count(F.lit(1)), F.sum("event_id"), F.sum("user_id")
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_schema_evolve_read_nulls_for_legacy_rows(spark, tmp_path):
+    base = str(tmp_path / "t")
+    ev = load(spark, SF_DIR, "events")
+    ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value").write.parquet(
+        f"{base}/batch=1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "value", "event_type"
+    ).write.parquet(f"{base}/batch=2")
+
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    assert "event_type" in back.columns
+    legacy = back.filter(F.col("batch") == 1)
+    assert legacy.filter(F.col("event_type").isNotNull()).count() == 0
+    evolved = back.filter(F.col("batch") == 2)
+    assert evolved.filter(F.col("event_type").isNull()).count() == 0
+    assert back.count() == ev.count()
