@@ -165,6 +165,35 @@ STORAGE = [
         "one day's directory; PushedFilters/ReadSchema show column "
         "pruning too.",
     ),
+    (
+        "zorder_layout",
+        "The Morton interleave is a pure integer projection (no "
+        "Exchange before the bounded block groupBy with partial_ "
+        "markers); the write-side use puts the same z expression into "
+        "repartitionByRange so each file covers one (custkey, date) "
+        "tile — min/max skipping then works on BOTH columns.",
+    ),
+    (
+        "targeted_delete",
+        "Read-back of the purged table: the rewrite itself read only "
+        "the delete window (PartitionFilters on event_date) and "
+        "dynamic partition overwrite replaced only those directories — "
+        "untouched partitions bit-identical (pinned by "
+        "test_storage_maintenance).",
+    ),
+    (
+        "compact_files",
+        "Read-back of the compacted copy: compaction used coalesce "
+        "(partition merge, NO shuffle) with the output file count "
+        "derived from actual input bytes — the cheapest possible "
+        "rewrite of ingest debris.",
+    ),
+    (
+        "schema_evolve_read",
+        "mergeSchema scan over pre/post-evolution batches: one unified "
+        "FileScan whose ReadSchema is the union; legacy rows surface "
+        "NULLs for the appended columns JVM-side.",
+    ),
 ]
 
 
