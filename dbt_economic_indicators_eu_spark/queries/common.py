@@ -271,6 +271,8 @@ _VERIFY_FIRST = (
     "targeted_delete",
     "compact_files",
     "schema_evolve_read",
+    "salted_join",
+    "table_profile",
     # r4-touched paths from the r3-verified set (broadcast-hint fix
     # lands on dedup_embedding this round; flagship stays exercised)
     "dedup_embedding",

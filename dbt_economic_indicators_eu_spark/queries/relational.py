@@ -922,6 +922,160 @@ WINDOW w AS (PARTITION BY nation_name ORDER BY ship_year)
 
 
 # --------------------------------------------------------------------------
+# q_salted_join — EXT-SKEW-JOIN-SALT: manually salted shuffle join, the
+# escape hatch for hot JOIN keys when AQE's skew splitting can't help
+# (stream-static joins, non-AQE engines, or a dim too large to
+# broadcast). The big side gets a deterministic salt; the dim side is
+# replicated once per salt value, so each hot key fans out over
+# _JOIN_SALT reducers instead of funneling into one. The demo dim here
+# is derived and tiny (it would broadcast in practice — hence the
+# explicit shuffle_hash hint to force the salted path the operator
+# exists to demonstrate); the pattern targets a 10^8-row dim with hot
+# keys. Result is exactly the unsalted join (oracle = plain join).
+# --------------------------------------------------------------------------
+
+_JOIN_SALT = 8
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_code", F.upper(F.substring("event_type", 1, 2)))
+    )
+    dim_rep = dim.select(
+        "event_type",
+        "type_code",
+        F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1))).alias("salt"),
+    )
+    big = ev.withColumn("salt", (F.col("event_id") % _JOIN_SALT).cast("int"))
+    joined = big.join(dim_rep.hint("shuffle_hash"), ["event_type", "salt"])
+    return joined.groupBy("type_code").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r2(F.sum("value")).alias("total_value"),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+WITH dim AS (
+  SELECT DISTINCT event_type, upper(substr(event_type, 1, 2)) AS type_code
+  FROM events
+)
+SELECT d.type_code,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q_table_profile — EXT-PROFILE: one-pass column profiler (the
+# dbt-profiler / data-discovery primitive): per column null count,
+# exact distinct count, numeric min/max, string length range — ALL
+# metrics in a SINGLE aggregate over one scan, unpivoted to long form
+# JVM-side. Raw parquet min/max values carry no arithmetic, so floats
+# compare bit-exactly across engines.
+#
+# Scale shape: one scan, one partial-aggregated reduce to a single
+# row (count_distinct rewrites to expand+two-phase agg — the only
+# shuffled stream, and it carries distinct values only). At 100 TB
+# swap exact distinct for approx_count_distinct per profiling policy.
+# --------------------------------------------------------------------------
+
+_PROFILE_NUM = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR = ("o_orderstatus", "o_orderpriority")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+        ]
+    for c in _PROFILE_NUM:
+        aggs += [
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    for c in _PROFILE_STR:
+        aggs += [
+            F.min(F.length(c)).cast("bigint").alias(f"ln_{c}"),
+            F.max(F.length(c)).cast("bigint").alias(f"lx_{c}"),
+        ]
+    a = orders.agg(*aggs)
+    null_bigint = F.lit(None).cast("bigint")
+    null_double = F.lit(None).cast("double")
+    rows = []
+    for c in _PROFILE_NUM:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_num"),
+                F.col(f"mx_{c}").alias("max_num"),
+                null_bigint.alias("min_len"),
+                null_bigint.alias("max_len"),
+            )
+        )
+    for c in _PROFILE_STR:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                null_double.alias("min_num"),
+                null_double.alias("max_num"),
+                F.col(f"ln_{c}").alias("min_len"),
+                F.col(f"lx_{c}").alias("max_len"),
+            )
+        )
+    return a.select(
+        F.col("n_rows"), F.explode(F.array(*rows)).alias("p")
+    ).select("p.col", "n_rows", "p.n_nulls", "p.n_distinct", "p.min_num", "p.max_num", "p.min_len", "p.max_len")
+
+
+def _profile_oracle() -> str:
+    num = []
+    for c in _PROFILE_NUM:
+        num.append(
+            f"SELECT '{c}' AS col, n_rows, n_rows - nn_{c} AS n_nulls,"
+            f" nd_{c} AS n_distinct, mn_{c} AS min_num, mx_{c} AS max_num,"
+            f" CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len FROM a"
+        )
+    for c in _PROFILE_STR:
+        num.append(
+            f"SELECT '{c}' AS col, n_rows, n_rows - nn_{c} AS n_nulls,"
+            f" nd_{c} AS n_distinct, CAST(NULL AS DOUBLE) AS min_num,"
+            f" CAST(NULL AS DOUBLE) AS max_num, ln_{c} AS min_len, lx_{c} AS max_len FROM a"
+        )
+    metrics = ["count(*) AS n_rows"]
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        metrics += [f"count({c}) AS nn_{c}", f"count(DISTINCT {c}) AS nd_{c}"]
+    for c in _PROFILE_NUM:
+        metrics += [
+            f"CAST(min({c}) AS DOUBLE) AS mn_{c}",
+            f"CAST(max({c}) AS DOUBLE) AS mx_{c}",
+        ]
+    for c in _PROFILE_STR:
+        metrics += [
+            f"CAST(min(length({c})) AS BIGINT) AS ln_{c}",
+            f"CAST(max(length({c})) AS BIGINT) AS lx_{c}",
+        ]
+    return (
+        "WITH a AS (SELECT " + ", ".join(metrics) + " FROM orders)\n"
+        + "\nUNION ALL\n".join(num)
+    )
+
+
+ORACLE_TABLE_PROFILE = _profile_oracle()
+
+
+# --------------------------------------------------------------------------
 # q_funnel_steps — EXT-EVENT-FUNNEL: strictly-ordered conversion funnel
 # (view → click → purchase) cohorted by first-view date. Each step's
 # timestamp must be strictly AFTER the previous step's — the classic
@@ -1079,4 +1233,6 @@ QUERIES = [
     QueryDef("salted_agg", q_salted_agg, ORACLE_SALTED_AGG, ("EXT-SKEW-SALT", "OP-AGG-SUMGROUP")),
     QueryDef("funnel_steps", q_funnel_steps, ORACLE_FUNNEL_STEPS, ("EXT-EVENT-FUNNEL",)),
     QueryDef("event_transitions", q_event_transitions, ORACLE_EVENT_TRANSITIONS, ("EXT-EVENT-MARKOV",)),
+    QueryDef("salted_join", q_salted_join, ORACLE_SALTED_JOIN, ("EXT-SKEW-JOIN-SALT",)),
+    QueryDef("table_profile", q_table_profile, ORACLE_TABLE_PROFILE, ("EXT-PROFILE",)),
 ]

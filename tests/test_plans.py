@@ -245,3 +245,22 @@ def test_temperature_resample_broadcast_rates(spark):
     plan = _plan(spark, "temperature_resample")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_salted_join_is_shuffled_hash_on_salted_keys(spark):
+    """The forced salted path: a ShuffledHashJoin whose keys include
+    the salt (each hot key fans out over _JOIN_SALT reducers), and no
+    broadcast of the replicated dim — that would defeat the pattern
+    the operator demonstrates."""
+    plan = _plan(spark, "salted_join")
+    assert "ShuffledHashJoin" in plan and "salt" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_table_profile_single_scan(spark):
+    """All per-column metrics come from ONE scan of orders: exactly one
+    FileScan in the plan, and the only shuffles belong to the expand +
+    two-phase distinct aggregation."""
+    plan = _plan(spark, "table_profile")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # multi-count_distinct rewrite
