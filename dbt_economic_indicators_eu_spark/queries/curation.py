@@ -436,13 +436,19 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(normalized_words()).alias("tok")
     ).filter(F.length("tok") > 0)
-    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    total = tf.agg(F.sum("tf").alias("n_total"))
+    # Corpus-wide term frequency as a window count over the token
+    # instances — a groupBy+join-back puts `toks` on both sides of a
+    # join, and Spark plans are trees, so the corpus would tokenize
+    # twice and the instance stream would shuffle twice. The scalar
+    # corpus size rides a broadcast crossJoin (second tokenize pass of
+    # a count-only branch — cheaper than a full-width exchange).
+    tf = F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     term_micro = F.round(
         F.log(F.col("tf").cast("double") / F.col("n_total").cast("double")) * _MICRO
     ).cast("long")
     scored = (
-        toks.join(tf, "tok")
+        toks.withColumn("tf", tf)
         .crossJoin(F.broadcast(total))
         .select("doc_id", term_micro.alias("ti"))
         .groupBy("doc_id")

@@ -192,15 +192,16 @@ def test_training_shuffle_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg reuse
 
 
-def test_tfidf_no_self_join_two_exchanges(spark):
-    """tf is computed row-locally (a doc's tokens share one array), so
-    the plan must contain no term self-join (which would tokenize the
-    corpus twice), NO aggregate before the first window, and only two
-    hash partitionings: term window (df), doc window (top-k). The
-    scalar N crossJoin broadcasts (1 row)."""
+def test_tfidf_no_self_join_three_exchanges(spark):
+    """df is a window count over the per-doc term table — the plan must
+    contain no term self-join (which would tokenize the corpus twice)
+    and at most three hash partitionings: (doc,term) partial-combined
+    agg, term window, doc window. The scalar N crossJoin broadcasts
+    (1 row)."""
     plan = _plan(spark, "tfidf_topk")
     assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "partial_count" in plan  # map-side combine before the exchange
 
 
 def test_paragraph_dedup_hash_only_shuffles_no_join(spark):
