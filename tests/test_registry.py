@@ -139,3 +139,26 @@ def test_run_models_all_materializations(spark, tmp_path):
     snap = out2["s_model"]
     assert snap.filter(F.col("is_current")).count() == 2  # k1(new ver), k3; k2 closed
     assert snap.filter(~F.col("is_current")).count() == 2  # old k1 + deleted k2
+
+
+def test_verify_rotation_names_consistent():
+    """The _VERIFY_FIRST rotation must name real queries, with no
+    duplicates — a typo would KeyError all_queries() at driver time,
+    and a dup silently wastes one of the ~50 verification slots."""
+    from dbt_economic_indicators_eu_spark.queries.common import _VERIFY_FIRST, all_queries
+
+    names = all_queries()
+    assert len(set(_VERIFY_FIRST)) == len(_VERIFY_FIRST)
+    assert set(_VERIFY_FIRST) <= set(names)
+    # rotation order is the dict order the driver samples
+    assert list(names)[: len(_VERIFY_FIRST)] == list(_VERIFY_FIRST)
+
+
+def test_every_query_has_oracle_and_ops():
+    """Driver-contract completeness: every QueryDef carries at least
+    one SURVEY/EXT operator id, and every oracle is non-empty SQL."""
+    from dbt_economic_indicators_eu_spark.queries.common import all_queries
+
+    for name, q in all_queries().items():
+        assert q.ops, name
+        assert q.oracle is None or "SELECT" in q.oracle.upper(), name
