@@ -149,6 +149,8 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
     q_rows.sort(key=lambda r: r.vec_id)
+    if not q_rows:  # empty corpus/workload: total, returns the empty result
+        return spark.createDataFrame([], "q_id bigint, neighbor_id bigint, cosine double, rnk int")
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)  # Q x dim
     q_nrm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
@@ -236,6 +238,8 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
     q_rows.sort(key=lambda r: r.vec_id)
+    if not q_rows:  # empty corpus/workload: total, returns the empty result
+        return spark.createDataFrame([], "q_id bigint, neighbor_id bigint, qcos double, rnk int")
     q_mat = _quantize_i8(np.array([r.embedding for r in q_rows], dtype=np.float64))
     q_nrm_all = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
     keep_q = q_nrm_all > 0
@@ -365,6 +369,8 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
     q_rows.sort(key=lambda r: r.vec_id)
+    if not q_rows:  # empty corpus/workload: total, returns the empty result
+        return spark.createDataFrame([], "q_id bigint, bucket_id int, neighbor_id bigint, cosine double, rnk int")
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
     q_nrm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
@@ -598,6 +604,11 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     small.sort(key=lambda r: r.vec_id)
     cent_rows = [r for r in small if r.vec_id % _IVF_CENTROID_STRIDE == 7]
+    if not cent_rows or not any(r.vec_id % _QUERY_MOD == 0 for r in small):
+        # empty corpus (or no centroids/queries): total, empty result
+        return spark.createDataFrame(
+            [], "q_id bigint, neighbor_id bigint, cosine double, rnk int"
+        )
     c_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
     c_mat = np.array([r.embedding for r in cent_rows], dtype=np.float64)
     c_nrm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
@@ -814,6 +825,10 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_rows = sorted(
         emb.filter(F.col("vec_id") < _KM_K).collect(), key=lambda r: r.vec_id
     )
+    if not seed_rows:  # empty corpus: total, returns the empty result
+        return spark.createDataFrame(
+            [], "k bigint, n_members bigint, shift double, new_norm double"
+        )
     cents = F.array(
         *[F.array(*[F.lit(float(x)) for x in r.v]) for r in seed_rows]
     )

@@ -100,14 +100,16 @@ def q_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer to 'incremental models re-read history': time-partition the
     target and every watermark filter prunes to the new partitions."""
     key = _layout_key(spark, "partitioned", sf_dir)
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     if key not in _LAYOUT_CACHE:
         base = tempfile.mkdtemp(prefix="partitioned_")
-        ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
         ev.write.mode("overwrite").partitionBy("event_date").parquet(f"{base}/events_p")
         _LAYOUT_CACHE[key] = base
     base = _LAYOUT_CACHE[key]
 
-    back = spark.read.parquet(f"{base}/events_p")
+    # explicit schema (the catalog schema in production): an EMPTY
+    # source writes no partition directories, so inference would fail
+    back = spark.read.schema(ev.schema).parquet(f"{base}/events_p")
     day = back.filter(F.col("event_date") == F.lit(_PRUNE_DATE).cast("date"))
     return day.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -144,16 +146,19 @@ _DEL_USER_MOD = 53
 
 
 def delete_where_partition_scoped(
-    spark: SparkSession, path: str, window, row_pred
+    spark: SparkSession, path: str, window, row_pred, schema=None
 ) -> None:
     """Rewrite only the partitions selected by ``window`` (a predicate
     on the partition column), dropping rows matching ``row_pred``.
     ``window`` must reference ONLY partition columns — that is what
-    makes the read prune and the overwrite partition-scoped."""
+    makes the read prune and the overwrite partition-scoped.
+    ``schema`` (the catalog schema in production) makes the read total
+    on an empty target — inference has no footer to read there."""
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        tgt = spark.read.parquet(path)
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        tgt = reader.parquet(path)
         keep = tgt.filter(window).filter(~row_pred)
         keep.write.mode("overwrite").partitionBy("event_date").parquet(path)
     finally:
@@ -162,18 +167,21 @@ def delete_where_partition_scoped(
 
 def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _layout_key(spark, "delete_target", sf_dir)
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     if key not in _LAYOUT_CACHE:
         base = tempfile.mkdtemp(prefix="del_target_")
-        ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
         ev.write.mode("overwrite").partitionBy("event_date").parquet(f"{base}/events_d")
         delete_where_partition_scoped(
             spark,
             f"{base}/events_d",
             F.col("event_date").between(_DEL_START, _DEL_END),
             F.col("user_id") % _DEL_USER_MOD == 0,
+            schema=ev.schema,
         )
         _LAYOUT_CACHE[key] = base
-    back = spark.read.parquet(f"{_LAYOUT_CACHE[key]}/events_d")
+    # explicit schema (the catalog schema in production): an EMPTY
+    # source writes no partition directories, so inference would fail
+    back = spark.read.schema(ev.schema).parquet(f"{_LAYOUT_CACHE[key]}/events_d")
     return back.groupBy("event_date").agg(
         F.count(F.lit(1)).alias("n_events"),
         r2(F.sum("value")).alias("total_value"),
