@@ -38,8 +38,11 @@ def extract_media_features(df: DataFrame, id_col: str = "doc_id", media_col: str
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": media.apply(lambda b: 0 if b is None else len(b)).astype("int32"),
+                    # None media follows the codec's null convention
+                    # (decode as empty bytes) — md5 of b"", not NULL,
+                    # so the fingerprint is total like n_bytes/is_empty
                     "content_md5": media.apply(
-                        lambda b: None if b is None else hashlib.md5(bytes(b)).hexdigest()
+                        lambda b: hashlib.md5(b"" if b is None else bytes(b)).hexdigest()
                     ),
                     "is_empty": media.apply(lambda b: b is None or len(b) == 0),
                 }

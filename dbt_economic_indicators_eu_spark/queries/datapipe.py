@@ -640,8 +640,11 @@ SELECT
   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
   md5(text) AS content_md5,
   octet_length(encode(text)) = 0 AS is_empty
-FROM documents
+FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d
 """
+# ^ coalesce mirrors the codec's null convention (operators/
+# multimodal.py: None media decodes as empty bytes) — without it NULL
+# text yields NULL features in the oracle but 0/empty-md5 in Spark.
 
 
 # --------------------------------------------------------------------------
@@ -918,7 +921,7 @@ WITH geom AS (
          8 + length(text) % 9 AS w,
          greatest(1, least(8 + (length(text) // 7) % 9,
                            length(text) // (8 + length(text) % 9))) AS h
-  FROM documents
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d
 ),
 dims AS (
   SELECT *, (w + 1) // 2 AS rw, (h + 1) // 2 AS rh FROM geom
@@ -965,7 +968,7 @@ ORACLE_FRAME_SAMPLE = f"""
 WITH frames AS (
   SELECT doc_id, text,
          unnest(range(0, length(text) // {_FRAME_SIZE}, {_FRAME_EVERY})) AS frame_idx
-  FROM documents
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d
 )
 SELECT
   doc_id,

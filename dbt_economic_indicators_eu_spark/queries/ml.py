@@ -166,7 +166,10 @@ def q_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.col("value")) * 100.0 / n).alias("completeness_score"),
         (n_valid * 100.0 / n).alias("validity_score"),
         F.max("ts").alias("latest_ts"),
-        (n_changed * 100.0 / n_with_prev).alias("consistency_score"),
+        # try_divide: a group whose values are ALL null has no
+        # prev-value pairs (n_with_prev = 0) — NULL consistency, not a
+        # DIVIDE_BY_ZERO crash (ANSI mode); DuckDB's double/0 is NULL
+        F.try_divide(n_changed * 100.0, n_with_prev).alias("consistency_score"),
     )
 
     days_late = F.datediff(F.expr(_NOW), F.col("latest_ts"))

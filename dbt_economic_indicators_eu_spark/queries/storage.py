@@ -285,8 +285,13 @@ def q_schema_evolve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         new.write.mode("overwrite").parquet(f"{base}/t/batch=2")
         _LAYOUT_CACHE[key] = base
     back = spark.read.option("mergeSchema", "true").parquet(f"{_LAYOUT_CACHE[key]}/t")
+    # label by the BATCH partition, not coalesce: a legacy row's
+    # missing column and an evolved row's genuine NULL are different
+    # things — coalescing would silently merge them into one group
     return back.groupBy(
-        F.coalesce(F.col("event_type"), F.lit("__legacy__")).alias("event_type")
+        F.when(F.col("batch") == 1, F.lit("__legacy__"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         r2(F.sum("value")).alias("total_value"),

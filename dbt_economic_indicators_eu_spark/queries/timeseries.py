@@ -209,7 +209,12 @@ def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users_exact"))
     )
-    return sketches.join(F.broadcast(exact), "event_type").select(
+    # null-safe join key: a NULL event_type group exists on BOTH sides
+    # (groupBy keeps it), but a plain equi-join would drop it
+    return sketches.join(
+        F.broadcast(exact.withColumnRenamed("event_type", "_et")),
+        sketches["event_type"].eqNullSafe(F.col("_et")),
+    ).select(
         "event_type",
         "n_users_exact",
         (

@@ -32,7 +32,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # canonicalize nulls BEFORE stringifying: Spark→pandas
+            # yields Python None, DuckDB→pandas yields numpy NaN —
+            # astype(str) would render them 'None' vs 'nan'
+            df[c] = df[c].where(df[c].notna(), "<NULL>").astype(str)
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(9)
         elif str(df[c].dtype).startswith("datetime"):
