@@ -257,13 +257,27 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    return (
+    wide = (
         ev.groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)
         .agg(
             F.count(F.lit(1)).alias("n"),
             r2(F.sum("value")).alias("total"),
         )
+    )
+    # COUNT of an absent pivot cell is 0, not NULL (Spark's pivot emits
+    # NULL for cells with no rows; SQL's count(*) FILTER — and any
+    # sane count — says 0). SUM stays NULL for empty cells in both.
+    return wide.select(
+        "user_id",
+        *[
+            c
+            for t in _EVENT_TYPES
+            for c in (
+                F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"),
+                F.col(f"{t}_total"),
+            )
+        ],
     )
 
 
