@@ -273,6 +273,7 @@ _VERIFY_FIRST = (
     "schema_evolve_read",
     "salted_join",
     "table_profile",
+    "stream_enrich",
     # r4-touched paths from the r3-verified set (broadcast-hint fix
     # lands on dedup_embedding this round; flagship stays exercised)
     "dedup_embedding",

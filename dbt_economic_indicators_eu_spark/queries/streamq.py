@@ -156,6 +156,47 @@ JOIN events b
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-STREAM-ENRICH: stream-static dimension enrichment — every
+    micro-batch broadcast-joins a STATIC dim table (no watermark, no
+    join state: the static side is just a broadcast per batch, the
+    canonical "enrich events with reference data" streaming pattern).
+    The dim here derives from the nation table (a genuinely separate
+    source); stateless join → append mode, drained result equals the
+    batch join the oracle runs. At 100 TB/day the static side refreshes
+    by restarting the query (or a Delta dim with CDF); the stream side
+    never shuffles for this join."""
+    ev = streaming.events_stream(spark, sf_dir)
+    dim = (
+        load(spark, sf_dir, "nation")
+        .select(
+            (F.col("n_nationkey") % 20).alias("region_bucket"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .groupBy("region_bucket")
+        .agg(F.min("nation_name").alias("nation_name"))
+    )
+    enriched = (
+        ev.withColumn("region_bucket", F.col("user_id") % 20)
+        .join(F.broadcast(dim), "region_bucket")
+        .select("event_id", "user_id", "nation_name", "value")
+    )
+    return streaming.run_available_now(
+        enriched, "stream_enrich", output_mode="append", n_state_partitions=2
+    )
+
+
+ORACLE_STREAM_ENRICH = f"""
+WITH dim AS (
+  SELECT n_nationkey % 20 AS region_bucket, min(n_name) AS nation_name
+  FROM nation GROUP BY 1
+)
+SELECT e.event_id, e.user_id, d.nation_name, e.value
+FROM {EVENTS_NORM_SQL} e
+JOIN dim d ON e.user_id % 20 = d.region_bucket
+"""
+
+
 def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed the target with stale values for 1/3 of the keys, then
     stream-merge ALL events via foreachBatch upsert: the final table
@@ -219,4 +260,5 @@ QUERIES = [
     ),
     QueryDef("stream_dedup", q_stream_dedup, ORACLE_STREAM_DEDUP, ("EXT-STREAM-DEDUP",), effectful=True),
     QueryDef("stream_join", q_stream_join, ORACLE_STREAM_JOIN, ("EXT-STREAM-JOIN",), effectful=True),
+    QueryDef("stream_enrich", q_stream_enrich, ORACLE_STREAM_ENRICH, ("EXT-STREAM-ENRICH",), effectful=True),
 ]

@@ -20,6 +20,9 @@ _PLAN_EXEMPT = {
     "stream_sessionize",
     "stream_stateful_totals",
     "stream_incremental",
+    "stream_dedup",
+    "stream_join",
+    "stream_enrich",
     "rest_ingest",
     "bucketed_join",
     "partition_pruned",
