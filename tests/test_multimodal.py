@@ -32,7 +32,10 @@ def test_media_features_bytes_nulls_empty(spark):
     assert out[2].is_empty is True
 
     assert out[3].n_bytes == 0
-    assert out[3].content_md5 is None
+    # codec null convention: None media decodes as EMPTY bytes, so its
+    # fingerprint is md5(b"") — total like n_bytes/is_empty, and what
+    # the DuckDB oracle computes via coalesce (null-injection parity)
+    assert out[3].content_md5 == hashlib.md5(b"").hexdigest()
     assert out[3].is_empty is True
 
 
