@@ -122,7 +122,28 @@ def cmd_test(args) -> int:
     reg = _registry(args.raw_dir)
     spark = _spark(args)
     select = reg.expand_selection(spark, list(args.select)) if args.select else None
-    ok, rows = run_schema_tests(reg, reg.context(spark), select)
+
+    from .materialize.run import schema_name
+
+    base = (
+        args.warehouse
+        if args.schema is None
+        else os.path.join(args.warehouse, schema_name(args.target, args.schema))
+    )
+
+    def resolve(name):
+        """dbt test checks the MATERIALIZED relation: prefer the
+        warehouse artifact a prior run/build wrote (a merge defect
+        accumulated there must fail the test even though a fresh
+        recompute would pass); views/unbuilt models fall back to
+        ref-recompute, which is also dbt's behavior for views. The
+        path mirrors cmd_run's target/schema namespace policy."""
+        path = os.path.join(base, name)
+        if os.path.isdir(path):
+            return spark.read.parquet(path)
+        return None
+
+    ok, rows = run_schema_tests(reg, reg.context(spark), select, resolve)
     for r in rows:
         status = "PASS" if r["violations"] == 0 else f"FAIL ({r['violations']} violations)"
         print(f"{status}  {r['model']}.{r['column']} {r['test']}")

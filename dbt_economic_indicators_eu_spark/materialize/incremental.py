@@ -120,7 +120,19 @@ def run_incremental(
     parts = [r[0] for r in incoming.select(partition_by).distinct().collect()]
     if not parts:
         return  # watermark dropped everything: no partition changes
-    subset = existing.filter(F.col(partition_by).isin(parts))
+    # null-safe membership: isin() is NULL for a NULL partition value,
+    # which would EXCLUDE existing NULL-partition rows from the merge
+    # while dynamic overwrite still replaces their directory — silent
+    # data loss for any pipeline whose partition column can be NULL
+    member = None
+    for v in parts:
+        term = (
+            F.col(partition_by).isNull()
+            if v is None
+            else F.col(partition_by) == F.lit(v)
+        )
+        member = term if member is None else (member | term)
+    subset = existing.filter(member)
     keys = incoming.select(unique_key)
     if broadcast_incoming_keys:
         keys = F.broadcast(keys)

@@ -125,8 +125,8 @@ class Registry:
         loader: Callable[[SparkSession], DataFrame] | None = None,
         *,
         loaded_at_field: str | None = None,
-        warn_after_days: int = 7,
-        error_after_days: int = 30,
+        warn_after_days: int | None = None,
+        error_after_days: int | None = None,
         tests: Iterable[tuple] = (),
     ) -> None:
         """Declare and/or bind a raw source (reference ``_sources.yml``).
@@ -137,14 +137,22 @@ class Registry:
         call for the same name merges — metadata given earlier is kept
         unless overridden."""
         prev = self._sources.get(name)
+        # freshness thresholds default to None = "not passed", so a
+        # later loader-only rebind cannot silently reset an earlier
+        # declared policy back to the defaults (7/30 apply only when
+        # NO call ever declared a policy)
         self._sources[name] = SourceDef(
             name=name,
             loader=loader if loader is not None else (prev.loader if prev else None),
             loaded_at_field=loaded_at_field
             if loaded_at_field is not None
             else (prev.loaded_at_field if prev else None),
-            warn_after_days=warn_after_days,
-            error_after_days=error_after_days,
+            warn_after_days=warn_after_days
+            if warn_after_days is not None
+            else (prev.warn_after_days if prev else 7),
+            error_after_days=error_after_days
+            if error_after_days is not None
+            else (prev.error_after_days if prev else 30),
             tests=tuple(tuple(t) for t in tests) or (prev.tests if prev else ()),
         )
 

@@ -949,7 +949,14 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_code",
         F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1))).alias("salt"),
     )
-    big = ev.withColumn("salt", (F.col("event_id") % _JOIN_SALT).cast("int"))
+    # pmod + null-coalesce keep the salt TOTAL over arbitrary ids:
+    # Spark's % preserves sign (negative id -> negative salt) and a
+    # NULL id would yield a NULL salt — either way the row would miss
+    # every replicated dim salt and silently vanish from a join whose
+    # contract is "equal to the unsalted join"
+    big = ev.withColumn(
+        "salt", F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(_JOIN_SALT)).cast("int")
+    )
     joined = big.join(dim_rep.hint("shuffle_hash"), ["event_type", "salt"])
     return joined.groupBy("type_code").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1101,7 +1108,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(views, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+        .agg(F.min("ts").alias("t2"))
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1129,7 +1136,7 @@ views AS (
   SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
 ),
 clicks AS (
-  SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+  SELECT e.user_id, min(e.ts) AS t2
   FROM e JOIN views v USING (user_id)
   WHERE e.event_type = 'click' AND e.ts > v.t1
   GROUP BY e.user_id

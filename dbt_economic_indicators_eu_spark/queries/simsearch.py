@@ -840,23 +840,30 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
+    # work on the 1-based seed POSITION internally (the centroid-array
+    # index), and emit the seed's vec_id as the cluster label at the
+    # end — what the oracle emits; position and vec_id only coincide
+    # when vec_ids below _KM_K happen to be the contiguous set 0..K-1.
+    # Seeds are sorted by vec_id, so first-minimum position = lowest
+    # vec_id: the tie-break matches the oracle's ORDER BY d2, k.
+    seed_ids = F.array(*[F.lit(int(r.vec_id)) for r in seed_rows])
     assigned = emb.select(
         "vec_id",
         "v",
-        (F.array_position(d2s, F.array_min(d2s)) - 1).alias("k"),
+        F.array_position(d2s, F.array_min(d2s)).cast("int").alias("pos"),
     )
-    cells = assigned.select("k", F.posexplode("v").alias("dim", "val"))
-    per_dim = cells.groupBy("k", "dim").agg(
+    cells = assigned.select("pos", F.posexplode("v").alias("dim", "val"))
+    per_dim = cells.groupBy("pos", "dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.aggregate(
             F.sort_array(F.collect_list("val")), F.lit(0.0), lambda acc, x: acc + x
         ).alias("s"),
     )
     old = F.element_at(
-        F.element_at(cents, (F.col("k") + 1).cast("int")), (F.col("dim") + 1).cast("int")
+        F.element_at(cents, F.col("pos")), (F.col("dim") + 1).cast("int")
     )
     co = per_dim.select(
-        "k",
+        "pos",
         "dim",
         "n",
         (F.col("s") / F.col("n")).alias("c"),
@@ -874,7 +881,7 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        co.groupBy("k")
+        co.groupBy("pos")
         .agg(
             F.max("n").alias("n_members"),
             _pinned_fold((F.col("c") - F.col("o")) * (F.col("c") - F.col("o"))).alias(
@@ -883,7 +890,7 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pinned_fold(F.col("c") * F.col("c")).alias("nm2"),
         )
         .select(
-            "k",
+            F.element_at(seed_ids, F.col("pos")).cast("bigint").alias("k"),
             "n_members",
             r6(F.sqrt("sh2")).alias("shift"),
             r6(F.sqrt("nm2")).alias("new_norm"),

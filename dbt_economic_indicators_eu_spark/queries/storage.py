@@ -153,14 +153,40 @@ def delete_where_partition_scoped(
     ``window`` must reference ONLY partition columns — that is what
     makes the read prune and the overwrite partition-scoped.
     ``schema`` (the catalog schema in production) makes the read total
-    on an empty target — inference has no footer to read there."""
+    on an empty target — inference has no footer to read there.
+
+    Fully-purged partitions: dynamic overwrite only replaces
+    partitions PRESENT in the output, so a partition whose every row
+    matches the delete predicate would otherwise survive untouched —
+    the silent-no-op failure mode of a purge, hit exactly when
+    deletion demand is highest. The window partitions that produced
+    zero surviving rows are therefore dropped explicitly (the
+    directory removal a transactional format expresses as a DELETE
+    commit; both partition lists are tiny driver artifacts bounded by
+    the delete window)."""
+    import shutil as _shutil
+    import os as _os
+
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         reader = spark.read if schema is None else spark.read.schema(schema)
         tgt = reader.parquet(path)
+        in_window = [
+            r[0]
+            for r in tgt.filter(window).select("event_date").distinct().collect()
+        ]
         keep = tgt.filter(window).filter(~row_pred)
+        surviving = {
+            r[0] for r in keep.select("event_date").distinct().collect()
+        }
         keep.write.mode("overwrite").partitionBy("event_date").parquet(path)
+        for v in in_window:
+            if v in surviving:
+                continue
+            part_dir = f"{path}/event_date={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            if _os.path.isdir(part_dir):
+                _shutil.rmtree(part_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

@@ -26,6 +26,8 @@ available through ``testing.generic`` directly.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,18 +38,35 @@ REPORT_SCHEMA = "model string, test string, column string, violations bigint"
 
 
 def _violations_frame(
-    ctx: Context, model: str, decl: tuple, df: DataFrame | None = None
+    ctx: Context,
+    model: str,
+    decl: tuple,
+    df: DataFrame | None = None,
+    resolve: "Callable[[str], DataFrame | None] | None" = None,
 ) -> tuple[str, str, DataFrame]:
     kind = decl[0]
+
+    def _frame(name: str) -> DataFrame:
+        # dbt test checks the MATERIALIZED relation when one exists:
+        # a merge defect accumulated in the warehouse must fail the
+        # unique test even though a fresh single-batch recompute would
+        # pass. ``resolve`` maps a model to its stored artifact (None
+        # -> view/ephemeral: recompute via ref, like dbt does).
+        if resolve is not None:
+            stored = resolve(name)
+            if stored is not None:
+                return stored
+        return ctx.ref(name)
+
     if df is None:
-        df = ctx.ref(model)
+        df = _frame(model)
     if kind == "unique":
         return kind, decl[1], generic.test_unique(df, decl[1])
     if kind == "not_null":
         return kind, decl[1], generic.test_not_null(df, decl[1])
     if kind == "relationships":
         _, col, parent_model, parent_col = decl
-        parent = ctx.ref(parent_model).select(F.col(parent_col).alias(col))
+        parent = _frame(parent_model).select(F.col(parent_col).alias(col))
         return kind, col, generic.test_relationships(df, parent, col)
     if kind == "accepted_values":
         # dbt semantics: NULLs are not violations (the NOT IN predicate
@@ -62,6 +81,7 @@ def schema_test_report(
     registry: Registry,
     ctx: Context,
     select: list[str] | None = None,
+    resolve: "Callable[[str], DataFrame | None] | None" = None,
 ) -> DataFrame:
     """Lazy report over every declared test of ``select`` models
     (default: all models AND all bound sources that declare tests —
@@ -71,7 +91,7 @@ def schema_test_report(
     counts: list[DataFrame] = []
 
     def add(label: str, decl: tuple, df: DataFrame | None = None) -> None:
-        kind, col, viol = _violations_frame(ctx, label, decl, df)
+        kind, col, viol = _violations_frame(ctx, label, decl, df, resolve)
         counts.append(
             viol.agg(
                 F.lit(label).alias("model"),
@@ -84,6 +104,8 @@ def schema_test_report(
     if select is not None:
         for name in select:
             if name in registry.sources:
+                if registry.sources[name].loader is None:
+                    continue  # declared-only source: same skip as the full run
                 for decl in registry.sources[name].tests:
                     add(name, decl, ctx.source(name))
             else:
@@ -140,7 +162,8 @@ def run_schema_tests(
     registry: Registry,
     ctx: Context,
     select: list[str] | None = None,
+    resolve: "Callable[[str], DataFrame | None] | None" = None,
 ) -> tuple[bool, list]:
     """Execute the suite; returns (all_passed, report rows)."""
-    rows = schema_test_report(registry, ctx, select).collect()
+    rows = schema_test_report(registry, ctx, select, resolve).collect()
     return all(r["violations"] == 0 for r in rows), rows

@@ -235,3 +235,69 @@ def test_cli_tag_selector(spark, tmp_path, capsys):
               "stg_eurostat__inflation", "stg_eurostat__population"):
         assert f"ran {m}" in out
     assert "dim_country" not in out and "fct_economic" not in out
+
+
+def test_cli_test_checks_materialized_relation(spark, tmp_path, capsys):
+    """dbt test semantics: the suite must test the STORED relation, so
+    a defect accumulated in the warehouse (here: duplicated rows
+    injected into the incremental target after a clean build) fails the
+    unique test even though a fresh recompute would pass."""
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    assert main(["build", "--warehouse", wh, "--raw-dir", raw,
+                 "--now", "2024-03-01T00:00:00"]) == 0
+    capsys.readouterr()
+
+    # clean warehouse passes
+    assert main(["test", "--warehouse", wh, "--raw-dir", raw]) == 0
+    capsys.readouterr()
+
+    # corrupt the stored fct: duplicate every row (a double-apply merge)
+    path = os.path.join(wh, "fct_economic_indicators")
+    fct = spark.read.parquet(path)
+    dup = fct.unionByName(fct)
+    tmp = path + ".dup"
+    dup.write.parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+    rc = main(["test", "--warehouse", wh, "--raw-dir", raw])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL" in out and "fct_economic_indicators" in out
+
+
+def test_cli_test_select_skips_declared_only_source(spark, tmp_path, capsys):
+    """A declared-but-unbound source in --select must be skipped (like
+    the full run does), not crash the report mid-flight."""
+    from dbt_economic_indicators_eu_spark.plans.registry import Registry
+    from dbt_economic_indicators_eu_spark.testing.schedule import run_schema_tests
+
+    reg = Registry()
+    reg.source("raw_declared_only", tests=[("not_null", "x")])
+    ok, rows = run_schema_tests(reg, reg.context(spark), select=["raw_declared_only"])
+    assert ok and rows == []
+
+
+def test_registry_source_rebind_keeps_freshness_policy():
+    """A loader-only rebind must not reset a previously declared
+    freshness policy back to the 7/30 defaults."""
+    from dbt_economic_indicators_eu_spark.plans.registry import Registry
+
+    reg = Registry()
+    reg.source(
+        "raw_x",
+        loaded_at_field="extracted_at",
+        warn_after_days=2,
+        error_after_days=5,
+        tests=[("not_null", "geo_code")],
+    )
+    reg.source("raw_x", lambda spark: None)  # CLI-style loader bind
+    src = reg.sources["raw_x"]
+    assert src.warn_after_days == 2 and src.error_after_days == 5
+    assert src.loaded_at_field == "extracted_at"
+    assert src.tests == (("not_null", "geo_code"),)
+    assert src.loader is not None

@@ -356,3 +356,42 @@ def test_embedding_normalize_units_and_zero_guard(spark, monkeypatch):
     import math
 
     assert out[1].cos_to_mean == pytest.approx(4 / (2 * math.sqrt(5)), abs=1e-6)
+
+
+def test_kmeans_labels_by_seed_vec_id_not_position(spark, monkeypatch):
+    """vec_ids below _KM_K need not be contiguous from 0: cluster labels
+    must be the seed VEC_IDs (what the oracle emits), not array
+    positions."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (5, [0.0, 1.0], 0),
+        (100, [0.0, 3.0], 0),  # nearest seed 5
+    ]
+    emb = local_df(spark, rows, "vec_id bigint, embedding array<float>, label int")
+    monkeypatch.setattr(simsearch, "load", lambda s, d, n: emb)
+    monkeypatch.setattr(simsearch, "_KM_K", 8)
+    out = {r.k: r.n_members for r in simsearch.q_kmeans_refine(spark, "i").collect()}
+    assert out == {1: 1, 5: 2}
+
+
+def test_salted_join_total_over_negative_and_null_ids(spark, monkeypatch):
+    """The salted join's contract is 'equal to the unsalted join': rows
+    with negative (sign-preserving %) or NULL event_ids must still
+    match the replicated dim."""
+    import datetime as dt_
+
+    rows = [
+        (-1, dt_.datetime(2025, 1, 1), 1, "view", 1.0, "{}"),
+        (None, dt_.datetime(2025, 1, 1), 2, "view", 2.0, "{}"),
+        (7, dt_.datetime(2025, 1, 1), 3, "view", 4.0, "{}"),
+    ]
+    ev = local_df(
+        spark,
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(relational, "load", lambda s, d, n: ev)
+    out = relational.q_salted_join(spark, "ignored").collect()
+    assert len(out) == 1
+    assert out[0].n_events == 3 and out[0].total_value == 7.0

@@ -303,3 +303,35 @@ def test_run_incremental_partition_scoped_merge(spark, tmp_path):
     d2_before = files(2)
     run_incremental(spark, target, batch, "k", watermark_col="v", partition_by="d")
     assert files(1) == d1_before and files(2) == d2_before
+
+
+def test_partition_scoped_merge_keeps_null_partition_rows(spark, tmp_path):
+    """An incoming batch touching the NULL partition must MERGE with the
+    existing NULL-partition rows, not replace them: isin() is NULL for a
+    NULL partition value, so a non-null-safe membership filter would
+    drop existing rows while dynamic overwrite still rewrites the
+    __HIVE_DEFAULT_PARTITION__ directory — silent data loss."""
+    import datetime as dt
+
+    from dbt_economic_indicators_eu_spark.materialize.incremental import (
+        run_incremental,
+    )
+
+    target = str(tmp_path / "t")
+    existing = spark.createDataFrame(
+        [("k1", None, 1.0), ("k2", dt.date(2024, 1, 5), 2.0)],
+        "k string, d date, v double",
+    )
+    existing.write.partitionBy("d").parquet(target)
+
+    incoming = spark.createDataFrame(
+        [("k3", None, 3.0)], "k string, d date, v double"
+    )
+    run_incremental(spark, target, incoming, unique_key="k", partition_by="d")
+
+    got = {
+        r["k"]: (r["d"], r["v"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert set(got) == {"k1", "k2", "k3"}  # k1 survived the NULL-partition merge
+    assert got["k1"] == (None, 1.0) and got["k3"] == (None, 3.0)

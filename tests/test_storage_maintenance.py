@@ -98,3 +98,21 @@ def test_schema_evolve_read_nulls_for_legacy_rows(spark, tmp_path):
     evolved = back.filter(F.col("batch") == 2)
     assert evolved.filter(F.col("event_type").isNull()).count() == 0
     assert back.count() == ev.count()
+
+
+def test_targeted_delete_removes_fully_purged_partition(spark, tmp_path):
+    """A partition whose EVERY row matches the delete predicate must
+    disappear — dynamic overwrite alone never rewrites a partition
+    absent from the output, which would silently no-op the purge
+    exactly when deletion demand is highest."""
+    path = str(tmp_path / "events_d")
+    ev = load(spark, SF_DIR, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.partitionBy("event_date").parquet(path)
+
+    window = F.col("event_date").between("2024-01-12", "2024-01-12")
+    delete_where_partition_scoped(spark, path, window, F.lit(True), schema=ev.schema)
+
+    assert not glob.glob(f"{path}/event_date=2024-01-12")
+    back = spark.read.schema(ev.schema).parquet(path)
+    assert back.filter(window).count() == 0
+    assert back.count() > 0  # other partitions intact
