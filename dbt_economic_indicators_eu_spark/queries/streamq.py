@@ -177,7 +177,8 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("nation_name").alias("nation_name"))
     )
     enriched = (
-        ev.withColumn("region_bucket", F.col("user_id") % 20)
+        ev.filter(F.col("event_type") == "purchase")  # enrich conversions
+        .withColumn("region_bucket", F.col("user_id") % 20)
         .join(F.broadcast(dim), "region_bucket")
         .select("event_id", "user_id", "nation_name", "value")
     )
@@ -194,6 +195,7 @@ WITH dim AS (
 SELECT e.event_id, e.user_id, d.nation_name, e.value
 FROM {EVENTS_NORM_SQL} e
 JOIN dim d ON e.user_id % 20 = d.region_bucket
+WHERE e.event_type = 'purchase'
 """
 
 
