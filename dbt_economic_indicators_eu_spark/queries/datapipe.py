@@ -119,14 +119,42 @@ HAVING count(*) > 1
 
 
 # THE corpus tokenization, shared by every shingle/word operator (and
-# re-used by queries/curation.py): lower → NULL→'' → collapse \s+ →
-# trim → split on single space. Null text tokenizes to [''] — the
-# convention the Arrow passes, the oracles, and
-# tests/test_null_text_parity.py all pin. Change it HERE (and in the
-# SQL twin below) or engines silently diverge.
+# re-used by queries/curation.py and corpus.py): ASCII case fold →
+# NULL→'' → collapse \s+ → trim → split on single space. Null text
+# tokenizes to [''] — the convention the Arrow passes, the oracles,
+# and tests/test_null_text_parity.py all pin. Change it HERE (and in
+# the SQL twin below) or engines silently diverge.
+#
+# ASCII-only case folding, pinned across all three tokenizer twins
+# (Spark Column, DuckDB SQL, Python). Full Unicode lower() is
+# ENGINE-DEPENDENT: Java/Python apply ICU full case mapping
+# (U+0130 'İ' -> 'i' + combining dot; context-sensitive Greek final
+# sigma), DuckDB's utf8proc applies simple folding ('İ' -> 'i',
+# 'Σ' -> 'σ' unconditionally) — so a tokenizer built on lower()
+# silently disagrees across engines on real multilingual text.
+# Folding [A-Z] only is deterministic everywhere; full Unicode
+# normalization (NFC + case folding) belongs to an explicit,
+# versioned normalization stage, not the tokenizer.
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+_PY_FOLD = str.maketrans(_ASCII_UP, _ASCII_LO)
+
+
+def ascii_fold(c: F.Column) -> F.Column:
+    return F.translate(c, _ASCII_UP, _ASCII_LO)
+
+
+def _oracle_fold(expr: str) -> str:
+    return f"translate({expr}, '{_ASCII_UP}', '{_ASCII_LO}')"
+
+
 def normalized_words() -> F.Column:
     return F.split(
-        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")),
+        F.trim(
+            F.regexp_replace(
+                ascii_fold(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+            )
+        ),
         " ",
     )
 
@@ -134,7 +162,8 @@ def normalized_words() -> F.Column:
 # DuckDB twin of ``normalized_words`` (single-backslash regex, ready to
 # interpolate into oracle SQL).
 ORACLE_WORDS_EXPR = (
-    r"string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ')"
+    r"string_split(trim(regexp_replace(translate(coalesce(text, ''), "
+    r"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g')), ' ')"
 )
 
 
@@ -285,7 +314,7 @@ def _shingles_py(text: str, k: int = 3) -> list[str]:
     explicitly so Python's Unicode-aware ``\\s`` cannot diverge."""
     import re
 
-    words = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip().split(" ")
+    words = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.translate(_PY_FOLD)).strip().split(" ")
     if len(words) < k:
         return [" ".join(words)]
     seen: set[str] = set()
@@ -528,7 +557,7 @@ _STOPWORDS = {
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    tokens = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    tokens = F.split(F.trim(F.regexp_replace(ascii_fold(F.col("text")), r"\s+", " ")), " ")
 
     def score(sw: list[str]):
         arr = F.array(*[F.lit(w) for w in sw])
@@ -561,7 +590,7 @@ def _oracle_sw_list(lang: str) -> str:
 ORACLE_LANG_ID = f"""
 WITH toks AS (
   SELECT doc_id, lang,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tokens
+         string_split(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')), ' ') AS tokens
   FROM documents
 ),
 scored AS (
@@ -835,7 +864,7 @@ _VOCAB_K = 50
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = F.array_distinct(
-        F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        F.split(F.trim(F.regexp_replace(ascii_fold(F.col("text")), r"\s+", " ")), " ")
     )
     df_counts = (
         docs.select("doc_id", F.explode(words).alias("term"))
@@ -853,7 +882,7 @@ ORACLE_VOCAB_TOPK = f"""
 WITH words AS (
   SELECT doc_id,
          unnest(list_distinct(
-           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           string_split(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')), ' ')
          )) AS term
   FROM documents
 ),
@@ -915,13 +944,23 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pixel is ascii(substr(text, i, 1)) and the oracle recomputes the
 # decode geometry, the pixel sum, AND the strided nearest-neighbor
 # sample (pixel (x,y) -> byte at 2y*w + 2x, 1-indexed) exactly.
+# The codec operates on UTF-8 BYTES (media = encode(text)); the oracle
+# must too, or any multibyte character breaks the byte<->char
+# equivalence an ascii(substr(text, i, 1)) formulation assumes. DuckDB
+# has no blob indexing, so bytes come out of to_hex(encode(..)):
+# byte i (1-based) = int('0x' || hx[2i-1 : 2i]); TRY_CAST+coalesce(0)
+# reproduces the codec's zero-padding when w*h overruns the media.
 ORACLE_MEDIA_PIPELINE = """
-WITH geom AS (
-  SELECT doc_id, text, length(text) AS n,
-         8 + length(text) % 9 AS w,
-         greatest(1, least(8 + (length(text) // 7) % 9,
-                           length(text) // (8 + length(text) % 9))) AS h
-  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d
+WITH b AS (
+  SELECT doc_id, to_hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+),
+geom AS (
+  SELECT doc_id, hx, n,
+         8 + n % 9 AS w,
+         greatest(1, least(8 + (n // 7) % 9, n // (8 + n % 9))) AS h
+  FROM b
 ),
 dims AS (
   SELECT *, (w + 1) // 2 AS rw, (h + 1) // 2 AS rh FROM geom
@@ -931,13 +970,16 @@ SELECT
   CAST(w AS INTEGER) AS width,
   CAST(h AS INTEGER) AS height,
   CAST(list_sum(list_transform(range(1, w * h + 1),
-                               i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
+         i -> coalesce(TRY_CAST(concat('0x',
+                substr(hx, CAST(2 * i - 1 AS INT), 2)) AS INT), 0))) AS BIGINT)
     AS pixel_sum,
   CAST(rw AS INTEGER) AS r_width,
   CAST(rh AS INTEGER) AS r_height,
   CAST(list_sum(flatten(list_transform(range(0, rh), y ->
          list_transform(range(0, rw), x ->
-           ascii(substr(text, CAST(2 * y * w + 2 * x + 1 AS INT), 1)))))) AS BIGINT)
+           coalesce(TRY_CAST(concat('0x',
+             substr(hx, CAST(2 * (2 * y * w + 2 * x + 1) - 1 AS INT), 2))
+             AS INT), 0))))) AS BIGINT)
     AS resized_sum
 FROM dims
 """
@@ -964,17 +1006,26 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(docs, frame_size=_FRAME_SIZE, every_n=_FRAME_EVERY)
 
 
+# byte-level frames via hex (same reasoning as ORACLE_MEDIA_PIPELINE);
+# every frame lies fully inside n bytes (floor division), so no pad
 ORACLE_FRAME_SAMPLE = f"""
-WITH frames AS (
-  SELECT doc_id, text,
-         unnest(range(0, length(text) // {_FRAME_SIZE}, {_FRAME_EVERY})) AS frame_idx
-  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d
+WITH b AS (
+  SELECT doc_id, to_hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, hx,
+         unnest(range(0, n // {_FRAME_SIZE}, {_FRAME_EVERY})) AS frame_idx
+  FROM b
 )
 SELECT
   doc_id,
   CAST(frame_idx AS INTEGER) AS frame_idx,
   CAST(list_sum(list_transform(range(1, {_FRAME_SIZE} + 1),
-         i -> ascii(substr(text, CAST(frame_idx * {_FRAME_SIZE} + i AS INT), 1)))) AS BIGINT)
+         i -> CAST(concat('0x',
+           substr(hx, CAST(2 * (frame_idx * {_FRAME_SIZE} + i) - 1 AS INT), 2))
+           AS INT))) AS BIGINT)
     AS frame_sum
 FROM frames
 """
