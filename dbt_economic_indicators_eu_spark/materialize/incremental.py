@@ -31,6 +31,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _past_watermark(existing: DataFrame, incoming: DataFrame, wc: str) -> DataFrame:
+    """Keep incoming rows strictly past ``max(existing[wc])``, as a
+    broadcast scalar-agg crossJoin (no driver collect). A NULL
+    watermark — empty target, or an all-NULL watermark column — must
+    pass EVERYTHING through: ``col > NULL`` is NULL, so without the
+    isNull disjunct a once-empty target silently rejects every later
+    batch forever."""
+    wm = existing.agg(F.max(wc).alias("__wm"))
+    return (
+        incoming.crossJoin(F.broadcast(wm))
+        .filter(F.col("__wm").isNull() | (F.col(wc) > F.col("__wm")))
+        .drop("__wm")
+    )
+
+
 def merge_upsert(
     existing: DataFrame | None,
     incoming: DataFrame,
@@ -52,12 +67,7 @@ def merge_upsert(
     if existing is None:
         return incoming
     if watermark_col is not None:
-        wm = existing.agg(F.max(watermark_col).alias("__wm"))
-        incoming = (
-            incoming.crossJoin(F.broadcast(wm))
-            .filter(F.col(watermark_col) > F.col("__wm"))
-            .drop("__wm")
-        )
+        incoming = _past_watermark(existing, incoming, watermark_col)
     keys = incoming.select(unique_key)
     if broadcast_incoming_keys:
         # Micro-batch merges: the incoming key set is bounded by the
@@ -90,7 +100,14 @@ def run_incremental(
     """
     existing = None
     if os.path.exists(target_path):
-        existing = spark.read.parquet(target_path)
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:
+            # a rowless (e.g. first-run-on-empty-source) partitioned
+            # target has no parquet footers to infer a schema from —
+            # treat it as a first run rather than crashing every
+            # subsequent batch (production reads use the catalog schema)
+            existing = None
     if existing is None or partition_by is None:
         merged = merge_upsert(
             existing, incoming, unique_key, watermark_col, broadcast_incoming_keys
@@ -106,15 +123,17 @@ def run_incremental(
         return
 
     # -- partition-scoped path ----------------------------------------
+    # CONTRACT: the partition value must be stable per unique_key (a
+    # pure function of the key, or immutable once written). A key
+    # whose partition value CHANGES leaves its old row in an untouched
+    # partition — the key-scoped anti-join only sees the affected
+    # partitions. Keys that can move partitions need the global merge
+    # path (partition_by=None), same as Hive/Delta dynamic-overwrite
+    # pipelines.
     if watermark_col is not None:
         # global watermark over the FULL table — a column-pruned scan
         # of one column, not a data rewrite
-        wm = existing.agg(F.max(watermark_col).alias("__wm"))
-        incoming = (
-            incoming.crossJoin(F.broadcast(wm))
-            .filter(F.col(watermark_col) > F.col("__wm"))
-            .drop("__wm")
-        )
+        incoming = _past_watermark(existing, incoming, watermark_col)
     # affected partitions: bounded by nature (a batch touches few
     # partitions), so the driver-side list is safe
     parts = [r[0] for r in incoming.select(partition_by).distinct().collect()]
@@ -133,11 +152,12 @@ def run_incremental(
         )
         member = term if member is None else (member | term)
     subset = existing.filter(member)
-    keys = incoming.select(unique_key)
-    if broadcast_incoming_keys:
-        keys = F.broadcast(keys)
-    merged = subset.join(keys, on=unique_key, how="left_anti").unionByName(
-        incoming, allowMissingColumns=True
+    # same merge semantics as the global path, scoped to the affected
+    # partitions (watermark already applied above)
+    merged = merge_upsert(
+        subset, incoming, unique_key,
+        watermark_col=None,
+        broadcast_incoming_keys=broadcast_incoming_keys,
     )
     # Materialize before overwriting the path we just read (Spark
     # refuses a same-path read+overwrite otherwise). The checkpoint is

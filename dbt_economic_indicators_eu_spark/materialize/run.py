@@ -92,6 +92,7 @@ def run_models(
             observed.write.mode("overwrite").parquet(path)
             log_observed(name, obs)
             out[name] = spark.read.parquet(path)
+            ctx.set_relation(name, out[name])
         elif model.materialization == "incremental":
             assert model.unique_key, f"incremental model {name} needs unique_key"
             # per-model watermark (the reference's is_incremental()
@@ -102,8 +103,10 @@ def run_models(
                 partition_by=model.partition_by,
             )
             out[name] = spark.read.parquet(path)
+            ctx.set_relation(name, out[name])
         elif model.materialization == "snapshot":
             assert model.unique_key and model.check_cols
             run_snapshot(spark, path, df, model.unique_key, list(model.check_cols), now)
             out[name] = spark.read.parquet(path)
+            ctx.set_relation(name, out[name])
     return out

@@ -51,6 +51,14 @@ def scd2_merge(
     ``snapshot`` columns = source columns + valid_from/valid_to/is_current;
     ``current`` columns = source columns only.
     """
+    if now is None:
+        # fail fast: lit(None) would write NULL valid_from/valid_to
+        # while is_current still flips — permanently unorderable SCD2
+        # history, with no error at write time
+        raise ValueError(
+            "scd2_merge requires a concrete clock; pass now=<datetime|Column> "
+            "(the CLI auto-fills it, library callers must too)"
+        )
     now_col = now if isinstance(now, Column) else F.lit(now).cast("timestamp")
     src_cols = [c for c in current.columns]
 

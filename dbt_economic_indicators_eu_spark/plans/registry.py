@@ -262,8 +262,11 @@ class Context:
         self._record_edge(name)
         if name in self.mocks:  # unit-test given-rows win (OP-TEST-UNIT)
             return self.mocks[name]
-        if name in self._cache:
-            return self._cache[name]
+        # cache keys are namespaced: a model and a source may share a
+        # bare name (register() and source() each only police their own
+        # dict), and a shared key would silently return the wrong frame
+        if f"m:{name}" in self._cache:
+            return self._cache[f"m:{name}"]
         if name in self._building:
             cycle = " -> ".join(self._building + [name])
             raise RegistryError(f"ref cycle: {cycle}")
@@ -277,15 +280,22 @@ class Context:
             from ..testing.contracts import enforce_contract
 
             enforce_contract(df.schema, model.contract, model_name=name)
-        self._cache[name] = df
+        self._cache[f"m:{name}"] = df
         return df
+
+    def set_relation(self, name: str, df: DataFrame) -> None:
+        """Point later ``ref(name)`` calls at the MATERIALIZED artifact
+        (dbt semantics: downstream models read the stored relation —
+        for snapshots that includes valid_from/valid_to/is_current,
+        which the pre-write recompute does not even have)."""
+        self._cache[f"m:{name}"] = df
 
     def source(self, name: str) -> DataFrame:
         self._record_edge(name)
         if name in self.mocks:
             return self.mocks[name]
-        if name in self._cache:
-            return self._cache[name]
+        if f"s:{name}" in self._cache:
+            return self._cache[f"s:{name}"]
         src = self.registry._sources.get(name)
         if src is None:
             raise RegistryError(f"unknown source {name!r}")
@@ -295,5 +305,5 @@ class Context:
                 "(bind one with registry.source(name, loader))"
             )
         df = src.loader(self.spark)
-        self._cache[name] = df
+        self._cache[f"s:{name}"] = df
         return df

@@ -626,20 +626,23 @@ def q_schema_test_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SCHEMA_TEST_SUITE = """
 SELECT 'stg_customer' AS model, 'unique' AS test, 'c_custkey' AS "column",
-  (SELECT count(*) FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 0
+  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+   WHERE c_acctbal > 0 AND c_custkey IS NOT NULL
    GROUP BY 1 HAVING count(*) > 1)) AS violations
 UNION ALL
 SELECT 'stg_customer', 'not_null', 'c_name',
   (SELECT count(*) FROM customer WHERE c_acctbal > 0 AND c_name IS NULL)
 UNION ALL
 SELECT 'stg_orders', 'unique', 'o_orderkey',
-  (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+  (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+   WHERE o_orderkey IS NOT NULL GROUP BY 1 HAVING count(*) > 1))
 UNION ALL
 SELECT 'stg_orders', 'not_null', 'o_custkey',
   (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
 UNION ALL
 SELECT 'stg_orders', 'relationships', 'o_custkey',
-  (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+  (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+   AND NOT EXISTS (
      SELECT 1 FROM customer c WHERE c.c_acctbal > 0 AND c.c_custkey = o.o_custkey))
 UNION ALL
 SELECT 'stg_orders', 'accepted_values', 'o_orderstatus',

@@ -554,9 +554,12 @@ def q_test_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TEST_UNIQUE = """
 SELECT l_orderkey AS order_key, l_linenumber AS line_number, count(*) AS n
 FROM lineitem
+WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
 GROUP BY 1, 2
 HAVING count(*) > 1
 """
+# ^ the NOT NULL guard mirrors dbt's compiled unique test (and
+# generic.test_unique): NULL keys are not uniqueness violations.
 
 
 # --------------------------------------------------------------------------
@@ -577,10 +580,13 @@ def q_test_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TEST_RELATIONSHIPS = """
 SELECT o_orderkey AS order_key, o_custkey AS cust_key
 FROM orders o
-WHERE NOT EXISTS (
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (
   SELECT 1 FROM customer c WHERE c.c_acctbal > 0 AND c.c_custkey = o.o_custkey
 )
 """
+# ^ NULL child keys excluded, mirroring dbt's relationships test and
+# generic.test_relationships.
 
 
 # --------------------------------------------------------------------------

@@ -29,14 +29,25 @@ from pyspark.sql.types import (
 )
 
 # JSON-stat subset the reference consumes: dimension id order, sizes,
-# per-dimension category labels (index order), flat value array.
+# per-dimension category labels (index order), and the flat value
+# cells. JSON-stat 2.0 ships ``value`` in TWO physical forms — a dense
+# ARRAY, or the SPARSE OBJECT {"<flat_index>": v, ...} the live
+# Eurostat API (and the reference's own parser,
+# extract_eurostat.py:133: ``data.get("value", {}).items()``) uses for
+# tables with missing cells. from_json nulls a mismatched field
+# silently, so the payload is parsed against BOTH schemas and the
+# decoder coalesces — an array-only schema would decode real API
+# responses to zero rows with no error.
+_BASE_FIELDS = [
+    StructField("id", ArrayType(StringType())),
+    StructField("size", ArrayType(IntegerType())),
+    StructField("dimension", MapType(StringType(), ArrayType(StringType()))),
+]
 JSONSTAT_SCHEMA = StructType(
-    [
-        StructField("id", ArrayType(StringType())),
-        StructField("size", ArrayType(IntegerType())),
-        StructField("dimension", MapType(StringType(), ArrayType(StringType()))),
-        StructField("value", ArrayType(DoubleType())),
-    ]
+    _BASE_FIELDS + [StructField("value", ArrayType(DoubleType()))]
+)
+JSONSTAT_SCHEMA_SPARSE = StructType(
+    _BASE_FIELDS + [StructField("value", MapType(StringType(), DoubleType()))]
 )
 
 
@@ -50,9 +61,40 @@ def decode_jsonstat(payloads: DataFrame, json_col: str = "payload") -> DataFrame
     e.g. ``codes['geo']``), mirroring parse_eurostat_json's records.
     """
     doc = F.from_json(F.col(json_col), JSONSTAT_SCHEMA)
+    sparse = F.from_json(F.col(json_col), JSONSTAT_SCHEMA_SPARSE)
+    # unify both physical forms into (flat_index, value) pairs: dense
+    # array -> posexplode positions; sparse object -> int(map key).
+    # Exactly one of the two parses yields a non-null value field.
+    cells = (
+        F.when(
+            doc["value"].isNotNull() & (F.size(doc["value"]) > 0),
+            F.transform(
+                F.sequence(F.lit(0), F.size(doc["value"]) - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("flat_index"),
+                    F.element_at(doc["value"], (i + 1).cast("int")).alias("value"),
+                ),
+            ),
+        )
+        .when(
+            sparse["value"].isNotNull(),
+            F.transform(
+                F.map_entries(sparse["value"]),
+                lambda e: F.struct(
+                    e["key"].cast("int").alias("flat_index"),
+                    e["value"].alias("value"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<flat_index:int,value:double>>"))
+    )
     exploded = payloads.select(
         doc.alias("doc"),
-        F.posexplode(doc["value"]).alias("flat_index", "value"),
+        F.explode(cells).alias("cell"),
+    ).select(
+        "doc",
+        F.col("cell.flat_index").alias("flat_index"),
+        F.col("cell.value").alias("value"),
     ).filter(F.col("value").isNotNull())
 
     # stride for dim i = product of sizes of dims AFTER i

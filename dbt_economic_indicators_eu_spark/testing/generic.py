@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 
 def test_unique(df: DataFrame, *cols: str) -> DataFrame:
-    """Duplicated key values (reference _staging__models.yml:11-13)."""
+    """Duplicated key values (reference _staging__models.yml:11-13).
+    dbt's compiled unique test excludes NULL keys (``where column is
+    not null``) — two NULLs are NOT a uniqueness violation; declare a
+    separate not_null test to reject them."""
+    for c in cols:
+        df = df.filter(F.col(c).isNotNull())
     return (
         df.groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -32,8 +37,12 @@ def test_not_null(df: DataFrame, *cols: str) -> DataFrame:
 
 def test_relationships(child: DataFrame, parent: DataFrame, key: str) -> DataFrame:
     """Orphaned foreign keys (reference _marts__models.yml:90-93) — the
-    one anti-join in the system."""
-    return child.join(parent.select(key).distinct(), on=key, how="left_anti")
+    one anti-join in the system. dbt's compiled relationships test
+    excludes NULL child keys (``where from_field is not null``): a
+    nullable FK is not an orphan."""
+    return child.filter(F.col(key).isNotNull()).join(
+        parent.select(key).distinct(), on=key, how="left_anti"
+    )
 
 
 def test_value_in_range(df: DataFrame, col: str, lo: float, hi: float) -> DataFrame:
@@ -72,8 +81,12 @@ def check_freshness(
     max(loaded_at), staleness days, and status pass/warn/error."""
     agg = df.agg(F.max(loaded_at_col).alias("max_loaded_at"))
     days = F.datediff(F.to_date(now), F.to_date(F.col("max_loaded_at")))
+    # an EMPTY source (max NULL -> days NULL) is the dead-feed case
+    # freshness monitoring exists to catch: report 'error', never let
+    # NULL fall through both whens into 'pass' (dbt also errors here)
     status = (
-        F.when(days > error_after_days, "error")
+        F.when(F.col("max_loaded_at").isNull(), "error")
+        .when(days > error_after_days, "error")
         .when(days > warn_after_days, "warn")
         .otherwise("pass")
     )
