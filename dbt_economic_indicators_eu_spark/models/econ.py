@@ -280,7 +280,13 @@ def build_registry() -> Registry:
     )
     def int_monthly(ctx: Context) -> DataFrame:
         """int_country_monthly_indicators.sql:20-123 — monthly spine +
-        joins + lag1/lag12/rolling-12 windows."""
+        joins + lag1/lag12/rolling-12 windows.
+
+        The spine deliberately derives from UNEMPLOYMENT rows only —
+        faithful to the reference (int_country_monthly_indicators.sql
+        :52-59 "Create complete monthly spine from unemployment
+        data"): a country-month present only in the inflation feed is
+        dropped by design, matching dbt-side behavior."""
         unemp = ctx.ref("stg_eurostat__unemployment").select(
             "country_code",
             "country_name",
@@ -516,11 +522,22 @@ def build_registry() -> Registry:
                 ).alias("share_of_eu_gdp_pct"),
                 F.when(
                     F.col("eu_total_population") > 0,
+                    # float (not double) is deliberate: the reference
+                    # casts ::float here (rpt_annual_economic_summary
+                    # .sql:96) — parity over precision
                     F.col("population_count").cast("float") / F.col("eu_total_population") * 100,
                 ).alias("share_of_eu_population_pct"),
-                (
+                # guard matches the reference's ENGINE behavior: the
+                # reference SQL (rpt_annual_economic_summary.sql:101)
+                # divides unguarded, but DuckDB's double/0 is NULL —
+                # under Spark's ANSI mode the same expression would
+                # CRASH the mart run, so the NULL is made explicit
+                F.when(
+                    F.col("eu_total_population") > 0,
                     F.col("gdp_per_capita_eur")
-                    - F.col("eu_total_gdp_million_eur") * 1000000.0 / F.col("eu_total_population")
+                    - F.col("eu_total_gdp_million_eur")
+                    * 1000000.0
+                    / F.col("eu_total_population"),
                 ).alias("gdp_per_capita_vs_eu_avg"),
                 (F.col("avg_unemployment_rate_pct") - F.col("eu_avg_unemployment_rate")).alias(
                     "unemployment_vs_eu_avg_pp"

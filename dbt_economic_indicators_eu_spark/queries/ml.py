@@ -51,7 +51,17 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.25)").alias("_q1"),
         F.expr("percentile(value, 0.75)").alias("_q3"),
     )
-    ev = ev.withColumn("_prev", F.lag("value").over(w_ord)).join(stats, "user_id")
+    # null-safe join-back: the groupBy keeps a NULL-user_id stats row
+    # and the oracle's PARTITION BY windows keep those events, but a
+    # plain equi-join would silently drop them (NULL != NULL)
+    ev = (
+        ev.withColumn("_prev", F.lag("value").over(w_ord))
+        .join(
+            stats.withColumnRenamed("user_id", "_uid"),
+            F.col("user_id").eqNullSafe(F.col("_uid")),
+        )
+        .drop("_uid")
+    )
 
     mean = F.col("_mean")
     std = F.col("_std")
