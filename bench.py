@@ -302,6 +302,13 @@ def main() -> int:
         oracle_total = round(sum(oracle_best[n] for n in covered), 3)
         payload["oracle_value"] = oracle_total
         payload["oracle_coverage"] = len(covered)
+        # per-query oracle minima: lets a reader compute PER-QUERY
+        # ratios and same-workload cross-round comparisons (the suite
+        # grew 76 -> 97 queries in round 4; a total-only ratio
+        # conflates mix shift with regressions)
+        payload["oracle_queries"] = {
+            n: round(t, 3) for n, t in sorted(oracle_best.items())
+        }
         payload["spark_covered_value"] = round(
             sum(per_query[n] for n in covered), 3
         )
