@@ -156,7 +156,6 @@ def cmd_docs(args) -> int:
     (materialization, keys, tags, declared tests, upstream deps) and
     source (freshness policy, tests). Deps need bound sources
     (--raw-dir); without them the manifest ships without edges."""
-    import dataclasses
     import json
 
     reg = _registry(args.raw_dir)
@@ -230,12 +229,22 @@ def cmd_source_freshness(args) -> int:
 
 
 def cmd_build(args) -> int:
-    # dbt build = seed + run + test + snapshot over the selected graph
+    # dbt build = seed + run + snapshot + test over the selected graph.
+    # Materializations run BEFORE tests (dbt's DAG order: a test on a
+    # snapshot model must see the materialized relation with its
+    # validity columns, not a ref-recompute), and a failed stage
+    # short-circuits — testing a stale warehouse after a failed run
+    # masks the original failure with misleading FAIL rows.
     rc = cmd_seed(args)
-    rc = rc or cmd_run(args)
-    rc_test = cmd_test(args)
-    rc_snap = cmd_snapshot(args)
-    return rc or rc_test or rc_snap
+    if rc:
+        return rc
+    rc = cmd_run(args)
+    if rc:
+        return rc
+    rc = cmd_snapshot(args)
+    if rc:
+        return rc
+    return cmd_test(args)
 
 
 def main(argv: list[str] | None = None) -> int:

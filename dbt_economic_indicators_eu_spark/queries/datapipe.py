@@ -557,7 +557,7 @@ _STOPWORDS = {
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    tokens = F.split(F.trim(F.regexp_replace(ascii_fold(F.col("text")), r"\s+", " ")), " ")
+    tokens = normalized_words()  # THE pinned corpus tokenization
 
     def score(sw: list[str]):
         arr = F.array(*[F.lit(w) for w in sw])
@@ -590,7 +590,7 @@ def _oracle_sw_list(lang: str) -> str:
 ORACLE_LANG_ID = f"""
 WITH toks AS (
   SELECT doc_id, lang,
-         string_split(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')), ' ') AS tokens
+         string_split(trim(regexp_replace(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')), ' ') AS tokens
   FROM documents
 ),
 scored AS (
@@ -771,6 +771,23 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             if prev_sum is not None and cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
+        else:
+            # cap hit without a fixed point: labels are NOT final
+            # components (a near-dup chain longer than _CC_MAX_ITERS
+            # has diameter > the rounds run). Never silent — a wrong
+            # dedup clustering must be loud; callers on adversarial
+            # corpora should raise the cap (convergence needs
+            # O(diameter) rounds; near-dup clusters are quasi-cliques,
+            # so real diameters are tiny).
+            import warnings
+
+            warnings.warn(
+                f"dedup_cluster: no fixed point after {_CC_MAX_ITERS} "
+                "rounds — component labels may be unconverged; raise "
+                "_CC_MAX_ITERS for long near-dup chains",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     from pyspark.sql import Window as _W
 
@@ -863,9 +880,7 @@ _VOCAB_K = 50
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    words = F.array_distinct(
-        F.split(F.trim(F.regexp_replace(ascii_fold(F.col("text")), r"\s+", " ")), " ")
-    )
+    words = F.array_distinct(normalized_words())  # pinned tokenization
     df_counts = (
         docs.select("doc_id", F.explode(words).alias("term"))
         .filter(F.length("term") > 0)
@@ -882,7 +897,7 @@ ORACLE_VOCAB_TOPK = f"""
 WITH words AS (
   SELECT doc_id,
          unnest(list_distinct(
-           string_split(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')), ' ')
+           string_split(trim(regexp_replace(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')), ' ')
          )) AS term
   FROM documents
 ),

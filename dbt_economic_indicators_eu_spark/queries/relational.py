@@ -543,11 +543,17 @@ FROM orders WHERE o_orderpriority = '1-URGENT'
 
 
 def q_test_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy(F.col("l_orderkey").alias("order_key"), F.col("l_linenumber").alias("line_number"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
+    # drives the REAL operator (testing.generic.test_unique — the one
+    # run_schema_tests compiles), so the oracle verdict certifies its
+    # semantics, including dbt's NULL-keys-are-not-duplicates rule
+    from ..testing import generic
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+    )
+    return generic.test_unique(li, "order_key", "line_number").withColumnRenamed(
+        "n_rows", "n"
     )
 
 
@@ -570,11 +576,22 @@ HAVING count(*) > 1
 
 
 def q_test_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
-    return orders.join(
-        cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_anti"
-    ).select(F.col("o_orderkey").alias("order_key"), F.col("o_custkey").alias("cust_key"))
+    # drives the REAL operator (testing.generic.test_relationships),
+    # which excludes NULL child keys like dbt's compiled test
+    from ..testing import generic
+
+    child = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+    )
+    parent = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("cust_key"))
+    )
+    return generic.test_relationships(child, parent, "cust_key").select(
+        "order_key", "cust_key"
+    )
 
 
 ORACLE_TEST_RELATIONSHIPS = """

@@ -63,34 +63,6 @@ def _lit_array(xs: list[float]) -> Column:
     return F.array(*[F.lit(x) for x in xs])
 
 
-def _cos_udf():
-    """Arrow-vectorized pairwise cosine over two raw ``array<float>``
-    columns: one einsum per batch instead of an interpreted
-    ``aggregate(zip_with)`` fold per row (HOFs are not codegen'd — the
-    fold form cost ~0.6s per knn query at sf0.1, this ~0.1s).
-
-    Parity with the oracle's sequential ``list_dot_product``: numpy's
-    pairwise summation differs by ~1e-16, which only matters (a) at an
-    r6 rounding boundary — measured min distance 8.3e-13 across every
-    query×candidate cosine at all SFs — or (b) at a rank tie — measured
-    min top-k cosine gap 0.06. Both margins dwarf the noise; the
-    equality-sensitive fold discipline (queries/common.py) still
-    applies to SUMS over many rows (label_centroids), which keep the
-    ordered JVM fold."""
-
-    @F.pandas_udf("double")
-    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if va.empty:
-            return pd.Series([], dtype="float64")
-        a = np.stack(va.to_numpy()).astype(np.float64)
-        b = np.stack(vb.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", a, b)
-        den = np.sqrt(np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b))
-        return pd.Series(num / den)
-
-    return cos
-
-
 def _plane_buckets_np(planes: list[list[float]], v: np.ndarray) -> np.ndarray:
     """Sign-of-dot bucket ids (bit j = sign of dot with plane j) — the
     ONE implementation of the bucket formula, shared by the pandas UDF,
@@ -144,8 +116,11 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Float parity with the oracle's sequential ``list_dot_product``:
     BLAS accumulation differs by ~1e-15; measured margins are 8.3e-13
-    to the nearest r6 boundary and 0.06 to the nearest rank tie (see
-    ``_cos_udf``), so gemm order is output-invariant here."""
+    to the nearest r6 rounding boundary and 0.06 to the nearest rank
+    tie across every query x candidate cosine at all SFs, so gemm
+    order is output-invariant here. (HOFs are not codegen'd: an
+    ``aggregate(zip_with)`` fold per row measured ~0.6s/query at
+    sf0.1 vs ~0.1s for the Arrow GEMM.)"""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
     q_rows.sort(key=lambda r: r.vec_id)
@@ -153,7 +128,16 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "q_id bigint, neighbor_id bigint, cosine double, rnk int")
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)  # Q x dim
-    q_nrm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    q_nrm_all = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    # zero-norm guard (cosine undefined): mirror the oracle's nrm > 0
+    # filters — without it numpy's 0/0 = NaN rows are silently dropped
+    # by the -inf filter while DuckDB keeps + top-sorts its NaNs
+    keep_q = q_nrm_all > 0
+    q_ids, q_mat, q_nrm = q_ids[keep_q], q_mat[keep_q], q_nrm_all[keep_q]
+    if not len(q_ids):
+        return spark.createDataFrame(
+            [], "q_id bigint, neighbor_id bigint, cosine double, rnk int"
+        )
 
     def score(batches):
         for pdf in batches:
@@ -161,9 +145,12 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             ids = pdf["vec_id"].to_numpy()
             v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            cos = (v @ q_mat.T) / (
-                np.sqrt(np.einsum("ij,ij->i", v, v))[:, None] * q_nrm[None, :]
-            )  # B x Q
+            nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+            live = nrm > 0
+            ids, v, nrm = ids[live], v[live], nrm[live]
+            if not len(ids):
+                continue
+            cos = (v @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])  # B x Q
             cos[ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
             k = min(_TOP_K, len(ids))
             # local top-k per query under the GLOBAL order (cos desc,
@@ -190,7 +177,8 @@ ORACLE_KNN_BRUTE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      WHERE sqrt(list_dot_product(v, v)) > 0),
 q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % {_QUERY_MOD} = 0),
 scored AS (
   SELECT q.q_id, n.vec_id AS neighbor_id,
@@ -316,14 +304,6 @@ WHERE rnk <= {_TOP_K}
 # --------------------------------------------------------------------------
 
 
-def _bucket_expr(v: Column) -> Column:
-    out = None
-    for j, plane in enumerate(_PLANES):
-        bit = F.when(_dot(v, _lit_array(plane)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        out = bit if out is None else out + bit
-    return out.cast("int")
-
-
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return (
@@ -373,7 +353,13 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "q_id bigint, bucket_id int, neighbor_id bigint, cosine double, rnk int")
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    q_nrm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    q_nrm_all = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    keep_q = q_nrm_all > 0  # zero-norm guard, mirrored in the oracle
+    q_ids, q_mat, q_nrm = q_ids[keep_q], q_mat[keep_q], q_nrm_all[keep_q]
+    if not len(q_ids):
+        return spark.createDataFrame(
+            [], "q_id bigint, bucket_id int, neighbor_id bigint, cosine double, rnk int"
+        )
     q_buckets = bucket_of(q_mat)
 
     def score(batches):
@@ -382,9 +368,12 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             ids = pdf["vec_id"].to_numpy()
             v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            cos = (v @ q_mat.T) / (
-                np.sqrt(np.einsum("ij,ij->i", v, v))[:, None] * q_nrm[None, :]
-            )
+            nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+            live = nrm > 0
+            ids, v, nrm = ids[live], v[live], nrm[live]
+            if not len(ids):
+                continue
+            cos = (v @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])
             cos[bucket_of(v)[:, None] != q_buckets[None, :]] = -np.inf
             cos[ids[:, None] == q_ids[None, :]] = -np.inf
             k = min(_TOP_K_LSH, len(ids))
@@ -417,7 +406,7 @@ WITH e AS (
 n AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
          {_oracle_bucket_sql("v")} AS bucket_id
-  FROM e
+  FROM e WHERE sqrt(list_dot_product(v, v)) > 0
 ),
 q AS (
   SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket_id
@@ -603,6 +592,12 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("vec_id") % _QUERY_MOD == 0)
     ).collect()
     small.sort(key=lambda r: r.vec_id)
+    # zero-norm guard on every driver artifact (cosine undefined);
+    # the oracle filters nrm > 0 in its base CTE
+    def _nz(rows):
+        return [r for r in rows if any(x != 0.0 for x in r.embedding)]
+
+    small = _nz(small)
     cent_rows = [r for r in small if r.vec_id % _IVF_CENTROID_STRIDE == 7]
     if not cent_rows or not any(r.vec_id % _QUERY_MOD == 0 for r in small):
         # empty corpus (or no centroids/queries): total, empty result
@@ -643,10 +638,13 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             ids = pdf["vec_id"].to_numpy()
             v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+            live = nrm > 0
+            ids, v, nrm = ids[live], v[live], nrm[live]
+            if not len(ids):
+                continue
             cluster_idx = nearest_clusters(v, 1)[:, 0]
-            cos = (v @ q_mat.T) / (
-                np.sqrt(np.einsum("ij,ij->i", v, v))[:, None] * q_nrm[None, :]
-            )  # B x Q
+            cos = (v @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])  # B x Q
             cos[~probe_mask[:, cluster_idx].T] = -np.inf
             cos[ids[:, None] == q_ids[None, :]] = -np.inf
             k = min(_TOP_K_IVF, len(ids))
@@ -673,7 +671,8 @@ ORACLE_KNN_IVF = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      WHERE sqrt(list_dot_product(v, v)) > 0),
 cent AS (
   SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
   WHERE vec_id % {_IVF_CENTROID_STRIDE} = 7

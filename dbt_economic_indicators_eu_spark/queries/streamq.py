@@ -199,6 +199,9 @@ WHERE e.event_type = 'purchase'
 """
 
 
+_INCR_PREV_SCRATCH: str | None = None
+
+
 def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed the target with stale values for 1/3 of the keys, then
     stream-merge ALL events via foreachBatch upsert: the final table
@@ -208,7 +211,17 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RAM-backed scratch applies (a PRODUCTION incremental merge keeps
     # both on durable storage — resume/exactly-once depends on it; see
     # streaming.ephemeral_scratch and tests/test_streaming.py resume).
+    # The dir must be FRESH per call (a reused checkpoint would RESUME
+    # and no-op the merge), but the previous call's dir is reclaimed —
+    # an effectful query re-run by every bench pass would otherwise
+    # leak one events-table copy into RAM-backed /dev/shm per call.
+    global _INCR_PREV_SCRATCH
+    if _INCR_PREV_SCRATCH is not None:
+        import shutil as _shutil
+
+        _shutil.rmtree(_INCR_PREV_SCRATCH, ignore_errors=True)
     base = streaming.ephemeral_scratch("stream_incr_")
+    _INCR_PREV_SCRATCH = base
     target, checkpoint = f"{base}/target", f"{base}/ckpt"
 
     cols = ["event_id", "user_id", "event_type", "ts", "value"]

@@ -395,3 +395,29 @@ def test_salted_join_total_over_negative_and_null_ids(spark, monkeypatch):
     out = relational.q_salted_join(spark, "ignored").collect()
     assert len(out) == 1
     assert out[0].n_events == 3 and out[0].total_value == 7.0
+
+
+def test_knn_family_total_on_zero_norm_vectors(spark, monkeypatch):
+    """Zero-norm embeddings make cosine undefined (0/0): the ANN
+    queries must exclude them on BOTH engines rather than silently
+    dropping NaN rows Spark-side while the oracle top-sorts NaN."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = simsearch._DIM  # the LSH hyperplanes are dim-bound
+    rows = []
+    for i in range(120):
+        if i % 10 == 5:
+            v = [0.0] * dim                    # zero-norm corpus vectors
+        else:
+            v = [float(x) for x in rng.randn(dim)]
+        rows.append((i, v, 0))
+    rows.append((150, [0.0] * dim, 0))         # zero-norm QUERY (150 % 50 == 0)
+    emb = local_df(spark, rows, "vec_id bigint, embedding array<float>, label int")
+    monkeypatch.setattr(simsearch, "load", lambda s, d, n: emb)
+    for q in (simsearch.q_knn_brute, simsearch.q_knn_lsh, simsearch.q_knn_ivf):
+        out = q(spark, "ignored").collect()
+        ids = {r.q_id for r in out} | {r.neighbor_id for r in out}
+        assert 150 not in ids and 5 not in ids, q.__name__
+        for r in out:
+            assert r.cosine == r.cosine, q.__name__  # no NaN emitted
