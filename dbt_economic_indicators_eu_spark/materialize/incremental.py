@@ -100,14 +100,21 @@ def run_incremental(
     """
     existing = None
     if os.path.exists(target_path):
-        try:
+        # A rowless (e.g. first-run-on-empty-source) partitioned target
+        # has no parquet footers to infer a schema from — that specific
+        # case is a first run. Anything ELSE (corrupt footer, transient
+        # IO, permissions) must re-raise: swallowing it would treat a
+        # readable-but-failing target as first-run and the merge would
+        # overwrite it with only the incoming batch — silent loss of
+        # the full accumulated history. Probe for data files first so
+        # the no-footers case never reaches the reader at all.
+        has_data_files = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(target_path)
+            for f in files
+        )
+        if has_data_files:
             existing = spark.read.parquet(target_path)
-        except Exception:
-            # a rowless (e.g. first-run-on-empty-source) partitioned
-            # target has no parquet footers to infer a schema from —
-            # treat it as a first run rather than crashing every
-            # subsequent batch (production reads use the catalog schema)
-            existing = None
     if existing is None or partition_by is None:
         merged = merge_upsert(
             existing, incoming, unique_key, watermark_col, broadcast_incoming_keys

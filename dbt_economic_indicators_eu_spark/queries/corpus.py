@@ -63,19 +63,33 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(normalized_words()).alias("tok")).filter(
         F.length("tok") > 0
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    # document frequency as a window count over the per-doc term table
-    # (tf has one row per (doc, term), so rows-per-term IS df). A
-    # groupBy+self-join computes the same thing but duplicates the
-    # tokenize/explode subtree — Spark plans are trees, so a frame used
-    # on both sides of a join is computed twice.
-    df = F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    # Checkpoint tf so it feeds BOTH the df aggregate and the join
+    # without duplicating the tokenize/explode subtree (Spark plans are
+    # trees — a frame used on both sides of a join is otherwise
+    # computed twice). Lazy: materializes on first action, both
+    # consumers read the persisted partitions.
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # Document frequency as groupBy(tok).count() + join back — NOT a
+    # count().over(Window.partitionBy(tok)): under Zipf a stop-word
+    # appearing in ~every doc puts all its (doc, term) rows in ONE
+    # window partition → one O(n_docs) task at 100×. The groupBy is
+    # map-side combinable (partial counts collapse before the
+    # exchange, output is vocab-sized). No broadcast hint on the join,
+    # deliberately: df is vocab-bounded but vocab grows with the
+    # corpus; AQE broadcasts it when the materialized shuffle size
+    # fits, else falls back to a shuffle join with AQE skew-split
+    # handling the hot terms.
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf_micro = F.round(
         F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")) * _MICRO
     ).cast("long")
     scored = (
-        tf.withColumn("df", df)
+        tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "tok", (F.col("tf") * idf_micro).alias("score_micro"))
     )
@@ -417,7 +431,7 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.regexp_replace(text, _PAT_TAG, " "), _PAT_CTRL, ""),
-            r"\s+",
+            r"[ \t\n\x0b\f\r]+",  # explicit: Java \s has \x0b, RE2 \s doesn't
             " ",
         )
     )
@@ -438,7 +452,7 @@ c AS (
            regexp_replace(
              regexp_replace(text, '{_PAT_TAG}', ' ', 'g'),
              '{_PAT_CTRL}', '', 'g'),
-           '\s+', ' ', 'g')) AS cleaned
+           '[ \t\n\x0b\f\r]+', ' ', 'g')) AS cleaned
   FROM t
 )
 SELECT doc_id,

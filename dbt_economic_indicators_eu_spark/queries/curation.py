@@ -84,7 +84,7 @@ GROUP BY c.doc_id
 # Pure projection: runs inside the scan stage at any scale.
 # --------------------------------------------------------------------------
 
-_PAT_URL = r"https?://\S+"
+_PAT_URL = r"https?://[^ \t\n\x0b\f\r]+"
 _PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PAT_LONGNUM = r"\b\d{4,}\b"
 
@@ -137,7 +137,7 @@ FROM documents
 
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0b\f\r]+"), 0))
     bucket = F.length(F.bin(n_tokens.cast("bigint")))
     return (
         docs.select(n_tokens.alias("n_tokens"), bucket.alias("bucket"))
@@ -153,7 +153,7 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LENGTH_BUCKETS = r"""
 WITH t AS (
-  SELECT CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+  SELECT CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS INTEGER) AS n_tokens
   FROM documents
 )
 SELECT
@@ -228,7 +228,7 @@ GROUP BY shard
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0b\f\r]+"), 0))
     n_chars = F.length("text")
     quality = (n_tokens >= 5) & (n_chars >= 20)
     w = Window.partitionBy("content_hash")
@@ -247,8 +247,8 @@ ORACLE_CORPUS_CURATION = r"""
 WITH flagged AS (
   SELECT
     doc_id, lang,
-    (len(regexp_extract_all(text, '\S+')) >= 5 AND length(text) >= 20) AS q,
-    min(CASE WHEN (len(regexp_extract_all(text, '\S+')) >= 5 AND length(text) >= 20)
+    (len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) >= 5 AND length(text) >= 20) AS q,
+    min(CASE WHEN (len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) >= 5 AND length(text) >= 20)
              THEN doc_id END)
       OVER (PARTITION BY md5(text)) AS canon_id
   FROM documents

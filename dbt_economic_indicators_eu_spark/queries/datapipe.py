@@ -38,7 +38,8 @@ def _python_pass_width(spark) -> int:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    tokens = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    # explicit non-whitespace class: Java \S excludes \x0b, RE2 \S keeps it
+    tokens = F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0b\f\r]+"), 0)
     n_tokens = F.size(tokens)
     n_chars = F.length("text")
     n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
@@ -65,17 +66,17 @@ SELECT
   lang,
   source,
   length(text) AS n_chars,
-  len(regexp_extract_all(text, '\S+')) AS n_tokens,
-  CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+  len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS n_tokens,
+  CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) > 0
         THEN CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
-             / len(regexp_extract_all(text, '\S+')) END AS avg_token_len,
+             / len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) END AS avg_token_len,
   CASE WHEN length(text) > 0
         THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
         ELSE 0.0 END AS punct_ratio,
   CASE WHEN length(text) > 0
         THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
         ELSE 0.0 END AS digit_ratio,
-  (len(regexp_extract_all(text, '\S+')) >= 5 AND length(text) >= 20) AS passes_min_length
+  (len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) >= 5 AND length(text) >= 20) AS passes_min_length
 FROM documents
 """
 
@@ -148,11 +149,19 @@ def _oracle_fold(expr: str) -> str:
     return f"translate({expr}, '{_ASCII_UP}', '{_ASCII_LO}')"
 
 
+# The whitespace class is written EXPLICITLY ([ \t\n\x0b\f\r]+), never
+# as \s: Java regex \s includes \x0b (vertical tab) but DuckDB's RE2
+# \s does not — text containing \x0b would tokenize differently across
+# engines. The explicit class is identical in Java, RE2, and Python
+# (see _shingles_py). Pinned by tests/test_unicode_parity.py.
+_WS_CLASS = r"[ \t\n\x0b\f\r]+"
+
+
 def normalized_words() -> F.Column:
     return F.split(
         F.trim(
             F.regexp_replace(
-                ascii_fold(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+                ascii_fold(F.coalesce(F.col("text"), F.lit(""))), _WS_CLASS, " "
             )
         ),
         " ",
@@ -163,7 +172,8 @@ def normalized_words() -> F.Column:
 # interpolate into oracle SQL).
 ORACLE_WORDS_EXPR = (
     r"string_split(trim(regexp_replace(translate(coalesce(text, ''), "
-    r"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g')), ' ')"
+    r"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
+    r"'[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')"
 )
 
 
@@ -556,29 +566,44 @@ _STOPWORDS = {
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codegen'd relational form: explode the pinned tokenization ONCE,
+    broadcast-hash-join the tiny (tok, sw_lang) table, one
+    groupBy(doc_id) with conditional sums. A single shuffle
+    (map-side-combinable partial agg); no interpreted higher-order
+    functions — the previous 3×``F.filter(tokens, …array_contains…)``
+    form ran the lambda interpreter outside whole-stage codegen and
+    rescanned the token array once per language. Every doc survives
+    the explode (normalized_words yields [''] for empty/NULL text) and
+    the stopword join is a LEFT join, so zero-hit docs keep their row.
+    """
     docs = load(spark, sf_dir, "documents")
-    tokens = normalized_words()  # THE pinned corpus tokenization
-
-    def score(sw: list[str]):
-        arr = F.array(*[F.lit(w) for w in sw])
-        return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
-
-    scores = {lang: score(sw) for lang, sw in _STOPWORDS.items()}
-    best = (
-        F.when(
-            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]) & (scores["en"] > 0),
-            "en",
+    sw_rows = [(w, lang) for lang, ws in _STOPWORDS.items() for w in ws]
+    sw = docs.sparkSession.createDataFrame(sw_rows, "tok string, sw_lang string")
+    toks = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        F.explode(normalized_words()).alias("tok"),
+    )
+    hit = lambda lang: F.sum(
+        F.when(F.col("sw_lang") == lang, 1).otherwise(0)
+    ).cast("int")
+    scored = (
+        toks.join(F.broadcast(sw), "tok", "left")
+        .groupBy("doc_id", "labeled_lang")
+        .agg(
+            hit("en").alias("hits_en"),
+            hit("de").alias("hits_de"),
+            hit("fr").alias("hits_fr"),
         )
-        .when((scores["de"] >= scores["fr"]) & (scores["de"] > 0), "de")
-        .when(scores["fr"] > 0, "fr")
+    )
+    en, de, fr = F.col("hits_en"), F.col("hits_de"), F.col("hits_fr")
+    best = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
         .otherwise("unknown")
     )
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        scores["en"].alias("hits_en"),
-        scores["de"].alias("hits_de"),
-        scores["fr"].alias("hits_fr"),
+    return scored.select(
+        "doc_id", "labeled_lang", "hits_en", "hits_de", "hits_fr",
         best.alias("predicted_lang"),
     )
 
@@ -590,7 +615,7 @@ def _oracle_sw_list(lang: str) -> str:
 ORACLE_LANG_ID = f"""
 WITH toks AS (
   SELECT doc_id, lang,
-         string_split(trim(regexp_replace(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')), ' ') AS tokens
+         {ORACLE_WORDS_EXPR} AS tokens
   FROM documents
 ),
 scored AS (
@@ -615,12 +640,15 @@ FROM scored
 # GPT-2-style split approximation), chars-per-token ratio.
 # --------------------------------------------------------------------------
 
-_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+# Explicit whitespace class, same reason as _WS_CLASS: \s (and \S)
+# disagree between Java regex and DuckDB's RE2 on \x0b.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]+"
+_NON_WS_RE = r"[^ \t\n\x0b\f\r]+"
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    ws_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    ws_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_NON_WS_RE), 0))
     bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
     return docs.select(
         "doc_id",
@@ -635,7 +663,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOKEN_COUNT = rf"""
 SELECT
   doc_id,
-  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '{_NON_WS_RE}')) AS n_ws_tokens,
   len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
   CASE WHEN len(regexp_extract_all(text, '{_BPE_RE}')) > 0
        THEN CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '{_BPE_RE}'))
@@ -896,9 +924,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VOCAB_TOPK = f"""
 WITH words AS (
   SELECT doc_id,
-         unnest(list_distinct(
-           string_split(trim(regexp_replace(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')), ' ')
-         )) AS term
+         unnest(list_distinct({ORACLE_WORDS_EXPR})) AS term
   FROM documents
 ),
 df AS (
@@ -1066,7 +1092,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0b\f\r]+"), 0))
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
@@ -1097,7 +1123,7 @@ WITH t AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
            % {_PACK_SHARDS} AS shard,
-         len(regexp_extract_all(text, '\S+')) AS n_tokens
+         len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS n_tokens
   FROM documents
 ),
 c AS (

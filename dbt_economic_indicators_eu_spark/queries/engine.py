@@ -357,16 +357,22 @@ def q_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         if name not in declared_names:
             rows.append((name, None, act.dataType.simpleString(), "unexpected"))
     # the tabular report must agree with the REAL operator
-    # (testing.contracts.diff_contract — what Context.ref enforces):
-    # every non-ok row corresponds to a diff_contract problem and vice
-    # versa, so the oracle verdict certifies the operator, not an
-    # inline reimplementation that could drift
-    from ..testing.contracts import diff_contract
+    # (testing.contracts.diff_contract_structured — what Context.ref
+    # enforces): every non-ok row corresponds to a structured problem
+    # and vice versa, so the oracle verdict certifies the operator, not
+    # an inline reimplementation that could drift. Structured access
+    # (p.name) and a real exception: no message-format parsing, and
+    # the check survives python -O (assert would be stripped).
+    from ..testing.contracts import ContractViolation, diff_contract_structured
 
-    problems = diff_contract(actual, declared)
+    problems = diff_contract_structured(actual, declared)
     flagged = {name for name, _, _, st in rows if st != "ok"}
-    referenced = {p.split("'")[1] for p in problems}
-    assert flagged == referenced, (flagged, referenced)
+    referenced = {p.name for p in problems}
+    if flagged != referenced:
+        raise ContractViolation(
+            f"contract_check report disagrees with diff_contract: "
+            f"report flagged {sorted(flagged)}, operator flagged {sorted(referenced)}"
+        )
     return local_df(
         spark, rows, "column_name string, declared_type string, actual_type string, status string"
     )

@@ -163,7 +163,14 @@ def delete_where_partition_scoped(
     zero surviving rows are therefore dropped explicitly (the
     directory removal a transactional format expresses as a DELETE
     commit; both partition lists are tiny driver artifacts bounded by
-    the delete window)."""
+    the delete window).
+
+    NULL-predicate rows: SQL/Delta DELETE removes only rows where the
+    predicate is definitely TRUE; a NULL predicate (e.g. NULL user_id
+    in the delete window) keeps the row. ``filter(~row_pred)`` alone
+    would silently drop those rows too — over-deletion, the worst
+    failure mode for a GDPR purge — so survivors are computed as
+    "NOT definitely deleted": ``~row_pred | row_pred.isNull()``."""
     import shutil as _shutil
     import os as _os
 
@@ -176,7 +183,7 @@ def delete_where_partition_scoped(
             r[0]
             for r in tgt.filter(window).select("event_date").distinct().collect()
         ]
-        keep = tgt.filter(window).filter(~row_pred)
+        keep = tgt.filter(window).filter(~row_pred | row_pred.isNull())
         surviving = {
             r[0] for r in keep.select("event_date").distinct().collect()
         }
@@ -219,8 +226,9 @@ SELECT CAST(ts AS DATE) AS event_date,
        count(*) AS n_events,
        round(sum(value), 2) AS total_value
 FROM {EVENTS_NORM_SQL} e
-WHERE NOT (user_id % {_DEL_USER_MOD} = 0
-           AND CAST(ts AS DATE) BETWEEN DATE '{_DEL_START}' AND DATE '{_DEL_END}')
+WHERE (user_id % {_DEL_USER_MOD} = 0
+       AND CAST(ts AS DATE) BETWEEN DATE '{_DEL_START}' AND DATE '{_DEL_END}')
+      IS NOT TRUE
 GROUP BY 1
 """
 

@@ -11,6 +11,8 @@ is the same guarantee (no job is launched for a schema check).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql.types import StructType
 
 
@@ -18,32 +20,66 @@ class ContractViolation(Exception):
     pass
 
 
-def diff_contract(actual: StructType, declared: StructType) -> list[str]:
-    """Human-readable list of violations (empty = conforming).
+class ContractProblem(NamedTuple):
+    """One structured violation — programmatic consumers (e.g. the
+    contract_check query's coherence cross-check) key on ``name``/
+    ``kind`` instead of parsing the human-readable message."""
+
+    name: str  # column name
+    kind: str  # 'missing' | 'type' | 'nullability' | 'unexpected'
+    detail: str  # human-readable message
+
+    def __str__(self) -> str:  # keeps "; ".join(problems) readable
+        return self.detail
+
+
+def diff_contract_structured(
+    actual: StructType, declared: StructType
+) -> list[ContractProblem]:
+    """Structured list of violations (empty = conforming).
 
     Checks: missing / unexpected columns, type mismatches (exact
     simpleString equality — contracts are exact in dbt), and declared
     not-null columns that are nullable in the plan.
     """
-    problems: list[str] = []
+    problems: list[ContractProblem] = []
     actual_by_name = {f.name: f for f in actual.fields}
     declared_by_name = {f.name: f for f in declared.fields}
     for name, decl in declared_by_name.items():
         act = actual_by_name.get(name)
         if act is None:
-            problems.append(f"missing column {name!r}")
+            problems.append(
+                ContractProblem(name, "missing", f"missing column {name!r}")
+            )
             continue
         if act.dataType.simpleString() != decl.dataType.simpleString():
             problems.append(
-                f"column {name!r}: type {act.dataType.simpleString()} != declared "
-                f"{decl.dataType.simpleString()}"
+                ContractProblem(
+                    name,
+                    "type",
+                    f"column {name!r}: type {act.dataType.simpleString()} != declared "
+                    f"{decl.dataType.simpleString()}",
+                )
             )
         if not decl.nullable and act.nullable:
-            problems.append(f"column {name!r}: nullable but declared not null")
+            problems.append(
+                ContractProblem(
+                    name,
+                    "nullability",
+                    f"column {name!r}: nullable but declared not null",
+                )
+            )
     for name in actual_by_name:
         if name not in declared_by_name:
-            problems.append(f"unexpected column {name!r}")
+            problems.append(
+                ContractProblem(name, "unexpected", f"unexpected column {name!r}")
+            )
     return problems
+
+
+def diff_contract(actual: StructType, declared: StructType) -> list[str]:
+    """Human-readable view of ``diff_contract_structured``."""
+    return [p.detail for p in diff_contract_structured(actual, declared)]
 
 
 def enforce_contract(actual: StructType, declared: StructType, model_name: str = "?") -> None:

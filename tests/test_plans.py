@@ -195,16 +195,22 @@ def test_training_shuffle_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg reuse
 
 
-def test_tfidf_no_self_join_three_exchanges(spark):
-    """df is a window count over the per-doc term table — the plan must
-    contain no term self-join (which would tokenize the corpus twice)
-    and at most three hash partitionings: (doc,term) partial-combined
-    agg, term window, doc window. The scalar N crossJoin broadcasts
-    (1 row)."""
+def test_tfidf_no_hot_term_window(spark):
+    """Document frequency must be groupBy(tok) + join back on a
+    checkpointed tf — NOT count().over(Window.partitionBy(tok)): a
+    Zipf-hot term would put every (doc, term) row for that term in one
+    window partition (one O(n_docs) task at 100×). The only Window
+    left is the per-doc top-k, and tf's checkpoint means the corpus is
+    tokenized exactly once (no self-join of the explode subtree)."""
     plan = _plan(spark, "tfidf_topk")
-    assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 3
-    assert "partial_count" in plan  # map-side combine before the exchange
+    # no window partitioned on the term — doc_id top-k only
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "doc_id" in line and "tok" not in line.split("windowspecdefinition")[1].split(",")[0], line
+    assert "partial_count" in plan  # df groupBy map-side combine
+    # checkpointed tf: the explode/tokenize subtree appears zero times
+    # downstream (both df and the join read the materialized RDD)
+    assert plan.count("Generate explode") == 0
 
 
 def test_paragraph_dedup_hash_only_shuffles_no_join(spark):

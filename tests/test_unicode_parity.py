@@ -11,6 +11,10 @@ Two divergence classes this guards (both found in round 4):
   bytes, so the media oracles must extract BYTES (via to_hex hex
   slicing), not characters — ascii(substr(text, i, 1)) only coincides
   on pure-ASCII corpora.
+- Whitespace-class divergence (round 5): Java regex \\s includes \\x0b
+  (vertical tab) but DuckDB's RE2 \\s does not, so the tokenizer twins
+  use the explicit class [ \\t\\n\\x0b\\f\\r]+ — pinned here by a
+  chr(11)-bearing document.
 """
 
 from __future__ import annotations
@@ -34,6 +38,10 @@ _UNI = [
     "combining é vs precomposed é",
     "ß STRASSE straße",
     "मिश्रित देवनागरी पाठ",
+    # \x0b (vertical tab): in Java-regex \s but NOT in RE2 \s — must
+    # tokenize identically via the explicit whitespace class
+    "vertical\x0btab\x0b\x0bsplit mixed \x0b ws",
+    "tab\tnewline\nformfeed\fcarriage\rmix",
 ]
 
 _CHECK = [
@@ -54,6 +62,8 @@ _CHECK = [
     "text_stats",
     "text_clean",
     "chunk_documents",
+    # whitespace-class sensitive (\x0b)
+    "token_count",
 ]
 
 
