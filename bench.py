@@ -105,6 +105,14 @@ def main() -> int:
         .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
         .config("spark.sql.streaming.minBatchesToRetain", "2")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Hadoop's default local FS is ChecksumFileSystem: every WAL /
+        # offset / commit / state-store / parquet file ALSO writes (and
+        # re-reads) a .crc sidecar. A streaming drain touches ~20 small
+        # checkpoint files, so the sidecars double its metadata IO —
+        # measured ~12% off the streaming block with the raw FS. CRC
+        # adds nothing on tmpfs scratch; cluster deployments talk to
+        # HDFS/S3 which carry their own integrity layer.
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
         # benchmark hygiene: no web UI / console progress churn in the
         # driver event loop while timing
         .config("spark.ui.enabled", "false")
