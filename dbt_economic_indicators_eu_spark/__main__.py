@@ -33,6 +33,24 @@ import sys
 RAW_SOURCES = ("raw_gdp", "raw_unemployment", "raw_inflation", "raw_population")
 
 
+def _parse_vars(spec: str | None) -> dict:
+    """dbt-style ``--vars``: a JSON/YAML-ish mapping string, e.g.
+    ``--vars '{"start_year": 2015, "focus_countries": ["DE", "FR"]}'``.
+    JSON is the accepted subset (the reference's vars are all
+    JSON-expressible; a YAML parser is not available in-container)."""
+    import json
+
+    if not spec:
+        return {}
+    try:
+        out = json.loads(spec)
+    except json.JSONDecodeError as exc:
+        raise SystemExit(f"--vars must be a JSON mapping: {exc}") from None
+    if not isinstance(out, dict):
+        raise SystemExit("--vars must be a JSON mapping, e.g. '{\"start_year\": 2015}'")
+    return out
+
+
 def _registry(raw_dir: str | None):
     from .models.econ import build_registry
 
@@ -106,6 +124,8 @@ def cmd_run(args, *, materializations=None, exclude=("snapshot",)) -> int:
         now=now,
         target=args.target,
         schema=args.schema,
+        threads=args.threads,
+        vars=_parse_vars(args.vars),
     )
     for name in built:
         print(f"ran {name}  [{reg.get(name).materialization}]")
@@ -202,7 +222,7 @@ def cmd_compile(args) -> int:
     execute)."""
     reg = _registry(args.raw_dir)
     spark = _spark(args)
-    ctx = reg.context(spark)
+    ctx = reg.context(spark, vars=_parse_vars(args.vars))
     names = _model_names(reg, args, spark, exclude=())
     for name in names:
         df = ctx.ref(name)
@@ -266,6 +286,20 @@ def main(argv: list[str] | None = None) -> int:
             type=dt.datetime.fromisoformat,
             default=None,
             help="injectable clock for snapshots (ISO timestamp)",
+        )
+        sp.add_argument(
+            "--threads",
+            type=int,
+            default=4,
+            help="node-level materialization concurrency "
+            "(reference profiles.yml:11 dev threads: 4); 1 = serial",
+        )
+        sp.add_argument(
+            "--vars",
+            default=None,
+            help="run-level project variables as a JSON mapping "
+            "(reference dbt_project.yml:20-26: start_year, end_year, "
+            "focus_countries)",
         )
     args = p.parse_args(argv)
     return {

@@ -53,6 +53,60 @@ def log_observed(name: str, obs: Observation) -> int:
     return n
 
 
+def _materialize_one(
+    ctx: Context,
+    spark: SparkSession,
+    name: str,
+    base: str,
+    watermark_col,
+    now,
+    build_lock,
+) -> DataFrame:
+    """Build + write one model. Plan construction and cache updates run
+    under ``build_lock`` (Context memoization is not thread-safe); the
+    WRITE — the expensive Spark action — runs outside it, so
+    independent models' jobs overlap."""
+    model = ctx.registry.get(name)
+    with build_lock:
+        df = ctx.ref(name)  # builds upstream chain lazily, checks contracts
+    path = os.path.join(base, name)
+    if model.materialization == "view":
+        with build_lock:
+            df.createOrReplaceTempView(name)
+        return df
+    if model.materialization == "table":
+        observed, obs = observe_row_count(df, name)
+        observed.write.mode("overwrite").parquet(path)
+        log_observed(name, obs)
+    elif model.materialization == "incremental":
+        assert model.unique_key, f"incremental model {name} needs unique_key"
+        # per-model watermark (the reference's is_incremental()
+        # predicate); the run-level param is a global override
+        run_incremental(
+            spark, path, df, model.unique_key,
+            watermark_col if watermark_col is not None else model.watermark_col,
+            partition_by=model.partition_by,
+        )
+    elif model.materialization == "snapshot":
+        assert model.unique_key and model.check_cols
+        run_snapshot(spark, path, df, model.unique_key, list(model.check_cols), now)
+    # a rowless materialization (e.g. project vars scoping the run to an
+    # empty slice) writes no parquet footers — read back with the
+    # plan's schema so downstream refs see an empty, correctly-typed
+    # relation instead of UNABLE_TO_INFER_SCHEMA
+    has_files = any(
+        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+    )
+    fresh = (
+        spark.read.parquet(path)
+        if has_files
+        else spark.read.schema(df.schema).parquet(path)
+    )
+    with build_lock:
+        ctx.set_relation(name, fresh)
+    return fresh
+
+
 def run_models(
     registry: Registry,
     spark: SparkSession,
@@ -64,6 +118,8 @@ def run_models(
     mocks: dict[str, DataFrame] | None = None,
     target: str = "prod",
     schema: str | None = None,
+    threads: int = 1,
+    vars: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Materialize ``select`` (default: all) models. Returns the final
     DataFrame per model (for views: the lazy plan; for written models:
@@ -72,41 +128,74 @@ def run_models(
     ``target``/``schema`` apply the ``schema_name`` namespace policy:
     with a schema, written models land under
     ``<warehouse>/<schema_name(target, schema)>/`` — so a dev/CI run
-    can never overwrite prod tables in a shared warehouse."""
+    can never overwrite prod tables in a shared warehouse.
+
+    ``threads`` mirrors dbt's node-level concurrency (reference
+    ``profiles.yml:11,14`` — ``threads: 4`` dev / ``8`` prod): models
+    whose upstreams have finished materialize concurrently from a
+    thread pool. Spark supports concurrent job submission from multiple
+    driver threads; the scheduler interleaves their stages. Semantics
+    are identical to the serial run — a model's plan is built only
+    after every upstream it refs has materialized (so ``ref`` resolves
+    to the STORED relation, dbt's contract), which the dependency-
+    ordered scheduler guarantees at any thread count.
+
+    ``vars`` are run-level project variables (reference
+    ``dbt_project.yml:20-26``), resolved by models via ``ctx.var``."""
     base = warehouse if schema is None else os.path.join(
         warehouse, schema_name(target, schema)
     )
     os.makedirs(base, exist_ok=True)
-    ctx: Context = registry.context(spark, mocks=mocks)
+    ctx: Context = registry.context(spark, mocks=mocks, vars=vars)
     names = select if select is not None else list(registry.models)
     out: dict[str, DataFrame] = {}
-    for name in names:
-        model = registry.get(name)
-        df = ctx.ref(name)  # builds upstream chain lazily, checks contracts
-        path = os.path.join(base, name)
-        if model.materialization == "view":
-            df.createOrReplaceTempView(name)
-            out[name] = df
-        elif model.materialization == "table":
-            observed, obs = observe_row_count(df, name)
-            observed.write.mode("overwrite").parquet(path)
-            log_observed(name, obs)
-            out[name] = spark.read.parquet(path)
-            ctx.set_relation(name, out[name])
-        elif model.materialization == "incremental":
-            assert model.unique_key, f"incremental model {name} needs unique_key"
-            # per-model watermark (the reference's is_incremental()
-            # predicate); the run-level param is a global override
-            run_incremental(
-                spark, path, df, model.unique_key,
-                watermark_col if watermark_col is not None else model.watermark_col,
-                partition_by=model.partition_by,
+
+    if threads <= 1:
+        import threading
+
+        lock = threading.Lock()  # uncontended in the serial path
+        for name in names:
+            out[name] = _materialize_one(
+                ctx, spark, name, base, watermark_col, now, lock
             )
-            out[name] = spark.read.parquet(path)
-            ctx.set_relation(name, out[name])
-        elif model.materialization == "snapshot":
-            assert model.unique_key and model.check_cols
-            run_snapshot(spark, path, df, model.unique_key, list(model.check_cols), now)
-            out[name] = spark.read.parquet(path)
-            ctx.set_relation(name, out[name])
-    return out
+        return out
+
+    # -- concurrent DAG execution ------------------------------------
+    # Upstream edges come from a THROWAWAY context: plans are built
+    # once purely to harvest refs (lazy, driver-side, no jobs), then
+    # discarded — the REAL context builds each model's plan only after
+    # its upstreams materialized, preserving stored-relation semantics.
+    import threading
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+    probe = registry.context(spark, mocks=mocks, vars=vars)
+    for name in names:
+        probe.ref(name)
+    selected = set(names)
+    upstream = {n: set(probe.deps.get(n, ())) & selected for n in names}
+
+    build_lock = threading.Lock()
+    done: set[str] = set()
+    pending = list(names)  # registry order = stable tie-break
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        running: dict = {}
+        while pending or running:
+            ready = [n for n in pending if upstream[n] <= done]
+            for n in ready:
+                pending.remove(n)
+                running[
+                    pool.submit(
+                        _materialize_one,
+                        ctx, spark, n, base, watermark_col, now, build_lock,
+                    )
+                ] = n
+            if not running:
+                # only reachable on a cycle, which ctx.ref would also
+                # have raised on — defensive
+                raise RuntimeError(f"unschedulable models: {pending}")
+            finished, _ = wait(running, return_when=FIRST_COMPLETED)
+            for fut in finished:
+                n = running.pop(fut)
+                out[n] = fut.result()  # re-raises model failures
+                done.add(n)
+    return {n: out[n] for n in names}

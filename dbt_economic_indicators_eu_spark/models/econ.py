@@ -72,6 +72,30 @@ def _staging_monthly(src: DataFrame, key_name: str, measure_name: str, extra: li
     )
 
 
+def _apply_project_vars(ctx: Context, df: DataFrame) -> DataFrame:
+    """Project-vars filter (reference ``dbt_project.yml:20-26`` —
+    ``start_year: 2010``, ``end_year: 2024``, ``focus_countries``).
+
+    The reference DECLARES these vars but no model consumes them via
+    ``var()`` (grep-verified), so default behavior must match the
+    reference byte-for-byte: with no run-level vars set, no filter is
+    applied. When a run passes ``--vars`` (CLI) / ``vars=`` (API), the
+    staging layer scopes every downstream model to the requested year
+    range and country set — the filter lands at the staging SELECT, so
+    Catalyst pushes it into the raw-source scan (partition/row-group
+    pruning at 100 TB, not a post-join filter)."""
+    start = ctx.var("start_year")
+    end = ctx.var("end_year")
+    focus = ctx.var("focus_countries")
+    if start is not None:
+        df = df.filter(F.col("reference_year") >= int(start))
+    if end is not None:
+        df = df.filter(F.col("reference_year") <= int(end))
+    if focus is not None:
+        df = df.filter(F.col("country_code").isin(list(focus)))
+    return df
+
+
 def build_registry() -> Registry:
     reg = Registry()
 
@@ -106,7 +130,7 @@ def build_registry() -> Registry:
         """stg_eurostat__gdp.sql:19-50 — rename/cast/filter/key."""
         src = ctx.source("raw_gdp")
         year = F.col("time_code").cast("int")
-        return src.filter(
+        return _apply_project_vars(ctx, src.filter(
             F.col("value").isNotNull() & F.col("time_code").isNotNull() & F.col("geo_code").isNotNull()
         ).select(
             surrogate_key(F.col("geo_code"), F.col("time_code")).alias("gdp_key"),
@@ -122,7 +146,7 @@ def build_registry() -> Registry:
             F.col("na_item_label").alias("national_accounts_item"),
             F.col("dataset_code").alias("source_dataset"),
             F.col("extracted_at").alias("_extracted_at"),
-        )
+        ))
 
     @reg.model(
         "stg_eurostat__unemployment",
@@ -138,9 +162,9 @@ def build_registry() -> Registry:
     )
     def stg_unemployment(ctx: Context) -> DataFrame:
         """stg_eurostat__unemployment.sql:22-61."""
-        return _staging_monthly(
+        return _apply_project_vars(ctx, _staging_monthly(
             ctx.source("raw_unemployment"), "unemployment_key", "unemployment_rate_pct", []
-        )
+        ))
 
     @reg.model(
         "stg_eurostat__inflation",
@@ -155,9 +179,9 @@ def build_registry() -> Registry:
     )
     def stg_inflation(ctx: Context) -> DataFrame:
         """stg_eurostat__inflation.sql:22-54."""
-        return _staging_monthly(
+        return _apply_project_vars(ctx, _staging_monthly(
             ctx.source("raw_inflation"), "inflation_key", "inflation_rate_mom_pct", []
-        )
+        ))
 
     @reg.model(
         "stg_eurostat__population",
@@ -175,7 +199,7 @@ def build_registry() -> Registry:
         """stg_eurostat__population.sql:22-50 — annual grain."""
         src = ctx.source("raw_population")
         year = F.col("time_code").cast("int")
-        return src.filter(
+        return _apply_project_vars(ctx, src.filter(
             F.col("value").isNotNull() & F.col("time_code").isNotNull() & F.col("geo_code").isNotNull()
         ).select(
             surrogate_key(F.col("geo_code"), F.col("time_code")).alias("population_key"),
@@ -187,7 +211,7 @@ def build_registry() -> Registry:
             F.col("value").alias("population_count"),
             F.col("dataset_code").alias("source_dataset"),
             F.col("extracted_at").alias("_extracted_at"),
-        )
+        ))
 
     # ---- seed -------------------------------------------------------
     @reg.model("country_metadata")

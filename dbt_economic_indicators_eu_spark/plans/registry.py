@@ -176,8 +176,9 @@ class Registry:
         spark: SparkSession,
         *,
         mocks: dict[str, DataFrame] | None = None,
+        vars: dict | None = None,
     ) -> "Context":
-        return Context(self, spark, mocks=dict(mocks or {}))
+        return Context(self, spark, mocks=dict(mocks or {}), vars=dict(vars or {}))
 
     def dependency_graph(self, spark: SparkSession) -> dict[str, set]:
         """model → direct upstreams (models and sources), harvested by
@@ -247,6 +248,10 @@ class Context:
     registry: Registry
     spark: SparkSession
     mocks: dict[str, DataFrame] = field(default_factory=dict)
+    # run-level project variables (the reference's dbt_project.yml vars:
+    # start_year / end_year / focus_countries, :20-26), overridable per
+    # run via the CLI --vars — dbt's ``var()`` surface
+    vars: dict = field(default_factory=dict)
     _cache: dict[str, DataFrame] = field(default_factory=dict)
     _building: list[str] = field(default_factory=list)
     # model → direct upstream models/sources, harvested as plans build
@@ -257,6 +262,12 @@ class Context:
     def _record_edge(self, name: str) -> None:
         if self._building:
             self.deps.setdefault(self._building[-1], set()).add(name)
+
+    def var(self, name: str, default=None):
+        """dbt ``var()``: run-level override wins, else the project
+        default the model passes in, else None. Models treat a missing
+        var exactly like dbt does — ``var('x', project_default)``."""
+        return self.vars.get(name, default)
 
     def ref(self, name: str) -> DataFrame:
         self._record_edge(name)
