@@ -1,0 +1,177 @@
+"""Scale-stress smoke for the dedup/ANN path (VERDICT r4 ask #8).
+
+Converts the "scale-safe by reading" claims of the LLM-pipeline
+operators into a measured artifact: a synthetically duplicated
+sf0.1 x 10 corpus (50k docs, every document with 10 exact copies — the
+worst realistic dedup regime short of adversarial) runs
+dedup_minhash → dedup_cluster → knn_brute end-to-end, with
+
+- recall accounting: every replica group must surface as one cluster
+  of size >= 10 (no silent pair loss through banding / verification),
+- hot-bucket accounting: a degenerate 2000-member bucket is DROPPED
+  with exact observe counts, never silently paired (quadratic guard),
+- shuffle balance: no candidate-pair partition carries more than 10x
+  the median (the skew bound the plans claim).
+
+Marked slow: ~1-2 min wall at local[32].
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+OFFSET = 1_000_000  # replica id offset; multiple of _QUERY_MOD (50)
+
+
+@pytest.fixture(scope="module")
+def scaled_sf(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("sf_scaled"))
+    for table, id_col in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        t = pq.read_table(f"{SRC}/{table}.parquet")
+        parts = []
+        for i in range(REPLICAS):
+            shifted = t.set_column(
+                t.column_names.index(id_col),
+                id_col,
+                pc.add(t.column(id_col), i * OFFSET),
+            )
+            parts.append(shifted)
+        pq.write_table(pa.concat_tables(parts), f"{d}/{table}.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, scaled_sf):
+    """Run the three stages once, share results across asserts."""
+    from dbt_economic_indicators_eu_spark.queries.datapipe import (
+        q_dedup_cluster,
+        q_dedup_minhash,
+    )
+    from dbt_economic_indicators_eu_spark.queries.simsearch import q_knn_brute
+
+    pairs = q_dedup_minhash(spark, scaled_sf).localCheckpoint(eager=True)
+    clusters = q_dedup_cluster(spark, scaled_sf).localCheckpoint(eager=True)
+    knn = q_knn_brute(spark, scaled_sf).localCheckpoint(eager=True)
+    return pairs, clusters, knn
+
+
+def test_replica_pairs_fully_recalled(spark, pipeline):
+    """Every one of the 5000 replica groups must produce all C(10,2)
+    ordered pairs — exact duplicates share every band, so banding may
+    not lose a single one."""
+    from pyspark.sql import functions as F
+
+    pairs, _, _ = pipeline
+    same_base = pairs.filter(
+        (F.col("doc_id_a") % OFFSET) == (F.col("doc_id_b") % OFFSET)
+    )
+    n_base = 5000
+    expected = n_base * (REPLICAS * (REPLICAS - 1) // 2)
+    assert same_base.count() == expected
+
+
+def test_clusters_cover_all_replicas(spark, pipeline):
+    from pyspark.sql import functions as F
+
+    _, clusters, _ = pipeline
+    # every scaled doc participates in >= 1 pair (its 9 replicas), so
+    # every doc must carry a component label
+    assert clusters.count() == 5000 * REPLICAS
+    sizes = clusters.groupBy("component_id").agg(
+        F.max("component_size").alias("n")
+    )
+    # replica groups may merge through base-corpus near-dups, never
+    # split: minimum component size is the replica count
+    assert sizes.agg(F.min("n")).collect()[0][0] >= REPLICAS
+    assert sizes.count() <= 5000
+    # exactly one canonical per component
+    canon = clusters.filter("is_canonical").count()
+    assert canon == sizes.count()
+
+
+def test_knn_complete_at_scale(spark, pipeline):
+    from pyspark.sql import functions as F
+
+    _, _, knn = pipeline
+    n_queries = knn.select("q_id").distinct().count()
+    assert n_queries == 40 * REPLICAS  # sf0.1 has 40 query vectors
+    # every query gets its full k, ranks contiguous
+    per_q = knn.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rnk").alias("mx")
+    )
+    bad = per_q.filter((F.col("n") != F.col("mx")) | (F.col("n") < 1)).count()
+    assert bad == 0
+
+
+def test_candidate_partition_balance(spark, scaled_sf):
+    """The banding shuffle must stay balanced on the duplicated corpus:
+    no partition of the candidate-pair stream carries > 10x the
+    median."""
+    from pyspark.sql import functions as F
+
+    from dbt_economic_indicators_eu_spark.operators.banding import candidate_pairs
+    from dbt_economic_indicators_eu_spark.queries.datapipe import (
+        _banded_minhash_gen,
+        _python_pass_width,
+    )
+    from dbt_economic_indicators_eu_spark.queries.common import load
+
+    docs = load(spark, scaled_sf, "documents")
+    banded = (
+        docs.select("doc_id", "text")
+        .repartition(_python_pass_width(spark))
+        .mapInPandas(
+            _banded_minhash_gen(), "doc_id bigint, band_idx int, band_hash string"
+        )
+    )
+    cand = candidate_pairs(banded, ["band_idx", "band_hash"], "doc_id", "a", "b")
+    dist = (
+        cand.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = sorted(r["count"] for r in dist)
+    assert counts, "no candidate pairs emitted"
+    median = counts[len(counts) // 2]
+    assert counts[-1] <= 10 * max(median, 1), (
+        f"hot partition: max={counts[-1]} median={median}"
+    )
+
+
+def test_hot_bucket_cap_accounts_drops_at_scale(spark):
+    """A degenerate 2000-member bucket (cap 1024) must be dropped with
+    exact observe accounting — the quadratic guard the 100 TB posture
+    depends on — while normal buckets still pair."""
+    from pyspark.sql import Observation, functions as F
+
+    from dbt_economic_indicators_eu_spark.operators.banding import candidate_pairs
+
+    hot = spark.range(2000).select(
+        F.lit(0).alias("band_idx"), F.lit("HOT").alias("band_hash"),
+        F.col("id").alias("doc_id"),
+    )
+    normal = spark.range(4).select(
+        F.lit(1).alias("band_idx"), F.lit("OK").alias("band_hash"),
+        (F.col("id") + 10_000).alias("doc_id"),
+    )
+    obs = Observation("scale_hot")
+    pairs = candidate_pairs(
+        hot.union(normal), ["band_idx", "band_hash"], "doc_id", "a", "b",
+        observation=obs,
+    )
+    got = pairs.collect()
+    assert len(got) == 6  # C(4,2) from the normal bucket only
+    assert all(r.a >= 10_000 for r in got)
+    assert obs.get["hot_buckets_dropped"] == 1
+    assert obs.get["hot_ids_dropped"] == 2000
