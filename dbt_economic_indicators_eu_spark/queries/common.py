@@ -217,67 +217,84 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
 
 
 # Verification-priority ordering. The correctness harness records
-# verdicts for a prefix of dict order (50 rows in r2/r3), so queries
-# are rotated each round to keep every verdict fresh. Round-4 rotation:
-# the 26 queries whose last oracle verdict dates from r2, ordered so
-# the paths round 3 modified (minhash hot-bucket cap, media-chain
-# fusion, shared tokenization, scan/plan caches) verify first; the
-# r3-verified queries follow and re-verify within the same 50-prefix.
+# verdicts for a ~50-query prefix of dict order, so queries rotate each
+# round to keep every verdict fresh (two-round freshness invariant).
+# Round-5 rotation: (a) every query round 5 touched — the explicit
+# whitespace-class tokenizer twins, the tfidf df-join / lang_id
+# re-idiom, targeted-delete NULL-pred semantics, the structured
+# contract check, and the run_models/incremental materialization
+# refactor; then (b) the stalest verdicts (the r3 batch), oldest
+# first. The post-50 block is the round-6 rotation lead.
 _VERIFY_FIRST = (
-    # r3-modified code paths carrying stale r2 verdicts
-    "dedup_minhash",
-    "media_pipeline",
-    "media_features",
-    "frame_sample",
-    "dedup_cluster",
+    # -- round-5-touched paths (verify first) -------------------------
+    "targeted_delete",
+    "stream_incremental",
+    "incremental_upsert",
+    "registry_pipeline",
+    "scd2_snapshot",
+    "contract_check",
+    "tfidf_topk",
+    "lang_id",
+    "token_count",
+    "text_stats",
+    "text_clean",
+    "length_buckets",
+    "pack_sequences",
+    "corpus_curation",
+    "pii_redact",
+    "vocab_topk",
     "fingerprint",
     "simhash",
-    "text_stats",
-    "token_count",
-    # remaining r2-only verdicts (engine / ingest / sampling set)
-    "avail_agg",
-    "contract_check",
-    "dedup_exact",
-    "freshness_check",
-    "hash_split",
-    "incremental_upsert",
-    "jsonstat_decode",
-    "knn_brute",
-    "lang_id",
-    "notnull_violations",
-    "registry_pipeline",
-    "rest_ingest",
-    "sample_stratified",
-    "scd2_snapshot",
-    "seed_eu_status",
-    "unit_test_mock",
-    "vocab_topk",
-    # new in r4 — verify on first appearance
-    "schema_test_suite",
-    "unigram_logprob",
-    "chunk_documents",
-    "knn_quantized",
-    "stream_join",
-    "tfidf_topk",
+    "dedup_minhash",
     "paragraph_dedup",
+    "unigram_logprob",
+    "dedup_cluster",
+    "decontaminate",
     "bloom_decontaminate",
-    "temperature_resample",
-    "kmeans_refine",
-    "funnel_steps",
-    "event_transitions",
-    "zorder_layout",
-    "embedding_normalize",
-    "text_clean",
-    "targeted_delete",
-    "compact_files",
-    "schema_evolve_read",
-    "salted_join",
-    "table_profile",
-    "stream_enrich",
-    # r4-touched paths from the r3-verified set (broadcast-hint fix
-    # lands on dedup_embedding this round; flagship stays exercised)
-    "dedup_embedding",
-    "annual_summary",
+    "chunk_documents",
+    "repetition_stats",
+    "wordlist_ratio",
+    # -- stalest verdicts (r3) up to the ~50-slot budget --------------
+    "annual_agg",
+    "left_join_enrich",
+    "region_share",
+    "monthly_lag",
+    "rolling_avg",
+    "rank_in_year",
+    "latest_per_entity",
+    "case_bands",
+    "distinct_spine",
+    "union_append",
+    "test_unique",
+    "test_relationships",
+    "test_range_nofuture",
+    "singular_consistency",
+    "completeness",
+    "watermark_filter",
+    "sessionize",
+    "salted_agg",
+    "anomaly_zscore",
+    "quality_scorecard",
+    "forecast_ols",
+    "forecast_ensemble",
+    "label_centroids",
+    # -- past the 50-prefix: remaining r3 verdicts, round-6 lead ------
+    "knn_ivf",
+    "lsh_buckets",
+    "knn_lsh",
+    "stream_window_counts",
+    "stream_stateful_totals",
+    "stream_sessionize",
+    "stream_dedup",
+    "bucketed_join",
+    "partition_pruned",
+    "asof_join",
+    "range_join_agg",
+    "rollup_time",
+    "sketch_agg",
+    "pivot_events",
+    "training_shuffle",
+    "source_mix_weights",
 )
 
 
