@@ -152,6 +152,45 @@ def shuffle_partitions(spark: SparkSession, n: int):
         spark.conf.set(key, prev)
 
 
+def widen_narrow_scan(df: DataFrame, width: int | None = None) -> DataFrame:
+    """Fan a CPU-heavy stage out of an unsplittable scan.
+
+    Parquet scans parallelize across files and row groups; every
+    tiny-SF test table is ONE file with ONE row group, so any
+    compute-dense stage fused onto the scan (multi-distinct
+    aggregation buffers, regex batteries, explode+partial-agg) runs on
+    a single core. When the scan cannot fan out (fewer input files
+    than cores), redistribute once — the exchange ships the scan's
+    pruned columns, megabytes here — and the stage uses the machine.
+
+    At cluster scale real tables ship thousands of splits, the
+    condition is false, and NO exchange is inserted — same contract as
+    ``_python_pass_width`` for Arrow passes: width tracks COMPUTE when
+    and only when the data cannot provide it."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    master = spark.sparkContext.master or ""
+    if master.startswith("local"):
+        # local mode: defaultParallelism may be conf-pinned to the
+        # shuffle width (tiny-data sizing); the COMPUTE width is the
+        # executor slot count from local[N]
+        import re as _re
+
+        m = _re.match(r"local\[(\*|\d+)\]", master)
+        if m:
+            import os as _os
+
+            slots = _os.cpu_count() or 1 if m.group(1) == "*" else int(m.group(1))
+            cores = max(cores, slots)
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # multi-source/derived frames: leave untouched
+        return df
+    if n_files >= cores:
+        return df
+    return df.repartition(width or cores)
+
+
 def r2(c: Column) -> Column:
     return F.round(c, 2)
 

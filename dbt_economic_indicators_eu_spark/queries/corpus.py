@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import QueryDef, load
+from .common import QueryDef, load, widen_narrow_scan
 from .datapipe import (
     ORACLE_WORDS_EXPR,
     _ORACLE_SHINGLES,
@@ -53,7 +53,7 @@ _TFIDF_K = 3
 
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     # tf via explode + groupBy(doc, tok): the map-side partial count
     # collapses token INSTANCES to (doc, term) rows before the
     # exchange, and the whole stage is codegen'd. (A "row-local" HOF
@@ -426,7 +426,7 @@ _PAT_CTRL = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
 
 
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     text = F.coalesce(F.col("text"), F.lit(""))
     cleaned = F.trim(
         F.regexp_replace(

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import QueryDef, load
+from .common import QueryDef, load, widen_narrow_scan
 from .datapipe import (
     _ORACLE_SHINGLES,
     ORACLE_WORDS_EXPR,
@@ -90,7 +90,7 @@ _PAT_LONGNUM = r"\b\d{4,}\b"
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     text = F.col("text")
     redacted = F.regexp_replace(
         F.regexp_replace(
@@ -272,7 +272,7 @@ GROUP BY lang
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     words = normalized_words()
     # The size >= 2 guard is load-bearing: Spark's sequence(1, 0) is a
     # DESCENDING [1, 0], so an unguarded transform would index past a
@@ -330,7 +330,7 @@ _WORDLIST = ("the", "a", "of", "key", "value", "table", "row")
 
 
 def q_wordlist_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     words = normalized_words()
     lst = ", ".join(f"'{w}'" for w in _WORDLIST)
     staged = docs.select("doc_id", "lang", words.alias("_words"))
@@ -432,23 +432,28 @@ _MICRO = 1_000_000
 
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(normalized_words()).alias("tok")
-    ).filter(F.length("tok") > 0)
-    # Corpus-wide term frequency as a window count over the token
-    # instances — a groupBy+join-back puts `toks` on both sides of a
-    # join, and Spark plans are trees, so the corpus would tokenize
-    # twice and the instance stream would shuffle twice. The scalar
-    # corpus size rides a broadcast crossJoin (second tokenize pass of
-    # a count-only branch — cheaper than a full-width exchange).
-    tf = F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
+    # Checkpoint the token instances so they feed the tf aggregate, the
+    # corpus total, AND the join without re-tokenizing (tree-shaped
+    # plans recompute a frame used on multiple join sides). Corpus-wide
+    # term frequency is groupBy(tok) + join back — NOT a
+    # count().over(Window.partitionBy(tok)): under Zipf a stop-word's
+    # instances all land in ONE window partition (an O(corpus) task at
+    # 100×; same fix as q_tfidf_topk). The groupBy is map-side
+    # combinable and vocab-sized; no broadcast hint — AQE broadcasts
+    # the tf table when it fits, else skew-splits the shuffle join.
+    toks = (
+        docs.select("doc_id", F.explode(normalized_words()).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .localCheckpoint(eager=False)
+    )
+    tf_tab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     term_micro = F.round(
         F.log(F.col("tf").cast("double") / F.col("n_total").cast("double")) * _MICRO
     ).cast("long")
     scored = (
-        toks.withColumn("tf", tf)
+        toks.join(tf_tab, "tok")
         .crossJoin(F.broadcast(total))
         .select("doc_id", term_micro.alias("ti"))
         .groupBy("doc_id")

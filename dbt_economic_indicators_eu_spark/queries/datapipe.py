@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import QueryDef, load, r4
+from .common import QueryDef, load, r4, widen_narrow_scan
 from ..operators.banding import HOT_BUCKET_CAP, candidate_pairs
 
 # --------------------------------------------------------------------------
@@ -37,7 +37,7 @@ def _python_pass_width(spark) -> int:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     # explicit non-whitespace class: Java \S excludes \x0b, RE2 \S keeps it
     tokens = F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0b\f\r]+"), 0)
     n_tokens = F.size(tokens)
@@ -576,7 +576,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode (normalized_words yields [''] for empty/NULL text) and
     the stopword join is a LEFT join, so zero-hit docs keep their row.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     sw_rows = [(w, lang) for lang, ws in _STOPWORDS.items() for w in ws]
     sw = docs.sparkSession.createDataFrame(sw_rows, "tok string, sw_lang string")
     toks = docs.select(
@@ -647,7 +647,7 @@ _NON_WS_RE = r"[^ \t\n\x0b\f\r]+"
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     ws_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_NON_WS_RE), 0))
     bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
     return docs.select(

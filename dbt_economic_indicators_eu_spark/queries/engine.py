@@ -488,6 +488,12 @@ _REST_FIXTURES = {"nama_10_gdp": _JS_PAYLOAD, "une_rt_m": _JS2_PAYLOAD}
 
 
 _REST_SCRATCH: str | None = None
+# (appId, session identity) → per-dataset decoded extract frames. The
+# extract chain is a PURE plan over static fixture payloads (~50 py4j
+# Column constructions through the JSON-stat decoder, built twice per
+# ingest run) — only the LOAD below is effectful and must re-run per
+# call. Same liveness argument as common._PLAN_CACHE.
+_EXTRACT_CACHE: dict[tuple[str, int], dict[str, DataFrame]] = {}
 
 
 def q_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,7 +506,13 @@ def q_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         code = url.rsplit("?", 1)[0].rsplit("/", 1)[-1]
         return _REST_FIXTURES[code]
 
+    skey = (spark.sparkContext.applicationId, id(spark))
+    extracts = _EXTRACT_CACHE.setdefault(skey, {})
+
     def extract(code: str) -> DataFrame:
+        cached = extracts.get(code)
+        if cached is not None:
+            return cached
         payloads = fetch_datasets(
             spark, [code], params={"format": "JSON", "geo": ["DE", "FR"]},
             fetch_fn=fixture_transport,
@@ -508,12 +520,14 @@ def q_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         decoded = decode_jsonstat(payloads.select("dataset_code", "payload"))
         # decode_jsonstat preserves no extra cols; re-attach via literal
         # (one dataset per extract call, as the reference's per-dataset loop)
-        return decoded.select(
+        out = decoded.select(
             F.lit(code).alias("dataset_code"),
             F.col("codes")["geo"].alias("geo_code"),
             F.col("codes")["time"].alias("time_code"),
             F.col("value"),
         )
+        extracts[code] = out
+        return out
 
     # one scratch dir per process, reused across invocations
     # (full_refresh=True overwrites in place): an effectful query that
@@ -690,7 +704,10 @@ QUERIES = [
     QueryDef("notnull_violations", q_notnull_violations, ORACLE_NOTNULL_VIOLATIONS, ("OP-TEST-NOTNULL",)),
     QueryDef("jsonstat_decode", q_jsonstat_decode, ORACLE_JSONSTAT_DECODE, ("OP-SRC-JSONSTAT",)),
     QueryDef("rest_ingest", q_rest_ingest, ORACLE_REST_INGEST, ("OP-SRC-REST", "OP-SINK-RAWLOAD"), effectful=True),
-    QueryDef("unit_test_mock", q_unit_test_mock, ORACLE_UNIT_TEST_MOCK, ("OP-TEST-UNIT",), effectful=True),
+    # pure: the builder only constructs the mock-injected plan (the
+    # given-rows live in LocalRelations; no writes, no driver actions),
+    # so the plan caches like any declarative query
+    QueryDef("unit_test_mock", q_unit_test_mock, ORACLE_UNIT_TEST_MOCK, ("OP-TEST-UNIT",)),
     QueryDef(
         "schema_test_suite",
         q_schema_test_suite,

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import rank_within_group, safe_divide, surrogate_key
-from .common import QueryDef, epoch_micros, load, r2, r4
+from .common import QueryDef, epoch_micros, load, r2, r4, widen_narrow_scan
 
 # --------------------------------------------------------------------------
 # q_staging_projection — OP-SRC-TABLE, OP-PROJ-RENAME, OP-PROJ-CAST,
@@ -1019,7 +1019,7 @@ _PROFILE_STR = ("o_orderstatus", "o_orderpriority")
 
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
+    orders = widen_narrow_scan(load(spark, sf_dir, "orders"))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_NUM + _PROFILE_STR:
         aggs += [

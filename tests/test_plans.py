@@ -182,10 +182,14 @@ def test_corpus_curation_single_window_no_self_join(spark):
 
 
 def test_pii_redact_is_pure_projection(spark):
-    """Detection + redaction is a scan-stage projection: no Exchange at
-    all before the final result."""
+    """Detection + redaction is a projection — no shuffle on any KEY.
+    The only Exchange permitted is the round-robin compute widener
+    (common.widen_narrow_scan), which fires solely when the scan has
+    fewer input files than cores (the tiny-SF single-file artifact)
+    and is a no-op on real multi-split tables."""
     plan = _plan(spark, "pii_redact")
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_training_shuffle_single_exchange(spark):
