@@ -241,7 +241,13 @@ def main() -> int:
     oracle_best: dict[str, float] = {}
     per_query: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    for _pass in range(2):
+    # Min-of-3 by default: with two samples, a multi-second JVM event
+    # (C2 backlog, full GC, streaming teardown of a neighbor) that
+    # lands in both leaves no clean sample; a third, minutes apart,
+    # caps that tail. Both engines sample in the same windows, so the
+    # extra pass is symmetric on the ratio.
+    n_passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
+    for _pass in range(n_passes):
         jvm_quiesce()
         for name, builder in qs.items():
             elapsed = time_one(name, builder)
@@ -263,7 +269,7 @@ def main() -> int:
     retry = [
         n
         for n, ss in samples.items()
-        if len([s for s in ss if s >= 0]) == 2
+        if len([s for s in ss if s >= 0]) == n_passes
         and min(s for s in ss if s >= 0) > 0.15
         and max(ss) / max(min(s for s in ss if s >= 0), 1e-9) > 1.3
     ]
