@@ -107,12 +107,15 @@ HEADLINERS = [
     ),
     (
         "unigram_logprob",
-        "Unigram LM quality scoring: token stream -> vocabulary "
-        "(partial_count before the exchange) -> token x vocab join -> "
-        "per-doc integer micro-nat sums. No hint on the vocab side: "
-        "the planner broadcasts it while its size estimate is small "
-        "and degrades to a shuffle join when the vocabulary outgrows "
-        "the threshold (a TB-corpus vocabulary is GBs).",
+        "Unigram LM quality scoring: the token stream is checkpointed "
+        "once (Scan ExistingRDD below — the corpus tokenizes exactly "
+        "once for the tf table, the corpus total, and the join), then "
+        "term frequency is a map-side-combinable groupBy(tok) joined "
+        "back — NOT a window over tok, which would put every instance "
+        "of a Zipf-hot stop-word in one partition. No hint on the "
+        "vocab side: AQE broadcasts it while small and degrades to a "
+        "skew-split shuffle join when a TB-corpus vocabulary outgrows "
+        "the threshold.",
     ),
     (
         "schema_test_suite",
@@ -123,11 +126,12 @@ HEADLINERS = [
     ),
     (
         "tfidf_topk",
-        "Document frequency is a window count over the per-doc term "
-        "table — the corpus tokenizes ONCE (no term self-join, which "
-        "would duplicate the explode subtree in a tree-shaped plan); "
-        "three hash partitionings total: (doc,term) agg with "
-        "partial_count, term window, per-doc top-k window.",
+        "Document frequency is groupBy(tok) + join back over a "
+        "checkpointed tf table (Scan ExistingRDD): the corpus "
+        "tokenizes ONCE, the df aggregate is map-side combinable, and "
+        "no window partitions on the term — a Zipf-hot stop-word "
+        "would otherwise serialize one O(n_docs) task. The only "
+        "remaining window is the per-doc top-k.",
     ),
     (
         "paragraph_dedup",
