@@ -190,23 +190,25 @@ def main() -> int:
 
     defs = _aq()
     for name, builder in qs.items():
-        if name in defs and defs[name].effectful:
+        if name in defs and (defs[name].effectful or not defs[name].cache_plan):
+            # effectful: calling it RUNS the pipeline; cache_plan=False:
+            # the timed pass rebuilds anyway, priming is pure waste
             continue
         try:
             builder(spark, sf_dir)
         except Exception as exc:
             print(f"bench: plan-prime {name} failed: {exc}", file=sys.stderr)
 
-    # Two whole-suite passes, per-query min: a single sample is
-    # polluted by cross-query interference (C2 compile backlog from
-    # the warmup, driver full-GC after dozens of queries) — measured a
-    # 20.6s outlier on a metadata-only query whose warm steady state
-    # is 0.7s, and a 9.9s one on a window query. The two samples of a
-    # query are minutes apart, so a multi-second JVM event lands in at
-    # most one of them (back-to-back reps shared the event and BOTH
-    # read slow). The codegen cache is sized above so pass 2 reuses
-    # every generated class instead of re-Janino-compiling. Min-of-N
-    # is the standard steady-state methodology.
+    # Whole-suite passes (3 by default, SPARK_GRAFT_PASSES), per-query
+    # min: a single sample is polluted by cross-query interference (C2
+    # compile backlog from the warmup, driver full-GC after dozens of
+    # queries) — measured a 20.6s outlier on a metadata-only query
+    # whose warm steady state is 0.7s, and a 9.9s one on a window
+    # query. Samples of a query are minutes apart, so a multi-second
+    # JVM event lands in a strict subset of them. The codegen cache is
+    # sized above so later passes reuse every generated class instead
+    # of re-Janino-compiling. Min-of-N is the standard steady-state
+    # methodology.
     def time_one(name: str, builder) -> float:
         t0 = time.perf_counter()
         try:
@@ -260,12 +262,11 @@ def main() -> int:
             except Exception as exc:
                 print(f"bench: oracle pass failed: {exc}", file=sys.stderr)
 
-    # Adaptive third sample: when a query's two samples disagree by
-    # >1.5x, at least one was polluted by a JVM event (C2 backlog,
-    # full GC, streaming-engine teardown of a neighbor) — and a
-    # multi-second event can span BOTH if they were close in time.
-    # One more sample after a quiesce resolves it; bounded to the
-    # disagreeing queries so the extra wall time stays small.
+    # Adaptive extra sample: when a query's samples disagree by >1.3x,
+    # at least one was polluted by a JVM event (C2 backlog, full GC,
+    # streaming-engine teardown of a neighbor). One more sample after
+    # a quiesce resolves it; bounded to the disagreeing queries so the
+    # extra wall time stays small.
     retry = [
         n
         for n, ss in samples.items()

@@ -150,6 +150,11 @@ def cmd_test(args) -> int:
         if args.schema is None
         else os.path.join(args.warehouse, schema_name(args.target, args.schema))
     )
+    # same vars as the run that built the warehouse: views/unbuilt
+    # models ref-recompute through this context, and mixing an
+    # unscoped recompute with vars-scoped artifacts would test
+    # different relations than the run materialized
+    ctx = reg.context(spark, vars=_parse_vars(args.vars))
 
     def resolve(name):
         """dbt test checks the MATERIALIZED relation: prefer the
@@ -157,13 +162,21 @@ def cmd_test(args) -> int:
         accumulated there must fail the test even though a fresh
         recompute would pass); views/unbuilt models fall back to
         ref-recompute, which is also dbt's behavior for views. The
-        path mirrors cmd_run's target/schema namespace policy."""
+        path mirrors cmd_run's target/schema namespace policy.
+        A rowless artifact (e.g. a vars-scoped run over an empty
+        slice) has no parquet footers — read it with the model's
+        plan schema instead of crashing schema inference."""
         path = os.path.join(base, name)
-        if os.path.isdir(path):
+        if not os.path.isdir(path):
+            return None
+        has_files = any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+        )
+        if has_files:
             return spark.read.parquet(path)
-        return None
+        return spark.read.schema(ctx.ref(name).schema).parquet(path)
 
-    ok, rows = run_schema_tests(reg, reg.context(spark), select, resolve)
+    ok, rows = run_schema_tests(reg, ctx, select, resolve)
     for r in rows:
         status = "PASS" if r["violations"] == 0 else f"FAIL ({r['violations']} violations)"
         print(f"{status}  {r['model']}.{r['column']} {r['test']}")

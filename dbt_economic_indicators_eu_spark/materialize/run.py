@@ -161,18 +161,18 @@ def run_models(
         return out
 
     # -- concurrent DAG execution ------------------------------------
-    # Upstream edges come from a THROWAWAY context: plans are built
-    # once purely to harvest refs (lazy, driver-side, no jobs), then
-    # discarded — the REAL context builds each model's plan only after
-    # its upstreams materialized, preserving stored-relation semantics.
+    # Upstream edges come from Registry.dependency_graph's THROWAWAY
+    # context (plans built once purely to harvest refs — lazy,
+    # driver-side, no jobs — then discarded). The REAL context builds
+    # each model's plan only after its upstreams materialized,
+    # preserving stored-relation semantics; the probe build is the
+    # price of not having a static manifest to read edges from.
     import threading
     from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
-    probe = registry.context(spark, mocks=mocks, vars=vars)
-    for name in names:
-        probe.ref(name)
+    deps = registry.dependency_graph(spark, mocks=mocks, vars=vars, select=names)
     selected = set(names)
-    upstream = {n: set(probe.deps.get(n, ())) & selected for n in names}
+    upstream = {n: deps.get(n, set()) & selected for n in names}
 
     build_lock = threading.Lock()
     done: set[str] = set()

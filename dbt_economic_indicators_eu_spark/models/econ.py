@@ -92,6 +92,16 @@ def _apply_project_vars(ctx: Context, df: DataFrame) -> DataFrame:
     if end is not None:
         df = df.filter(F.col("reference_year") <= int(end))
     if focus is not None:
+        # a lone country string is a plausible hand-typed form;
+        # list('DE') would silently explode it into ['D', 'E'] and
+        # filter the whole DAG to nothing — accept it, reject other
+        # non-list shapes loudly
+        if isinstance(focus, str):
+            focus = [focus]
+        if not isinstance(focus, (list, tuple, set)):
+            raise TypeError(
+                f"focus_countries must be a list of country codes, got {focus!r}"
+            )
         df = df.filter(F.col("country_code").isin(list(focus)))
     return df
 

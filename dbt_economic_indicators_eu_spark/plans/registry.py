@@ -180,14 +180,25 @@ class Registry:
     ) -> "Context":
         return Context(self, spark, mocks=dict(mocks or {}), vars=dict(vars or {}))
 
-    def dependency_graph(self, spark: SparkSession) -> dict[str, set]:
+    def dependency_graph(
+        self,
+        spark: SparkSession,
+        *,
+        mocks: dict[str, DataFrame] | None = None,
+        vars: dict | None = None,
+        select: Iterable[str] | None = None,
+    ) -> dict[str, set]:
         """model → direct upstreams (models and sources), harvested by
         building every model's LAZY plan in a scratch context — no
-        execution, just py4j plan construction. Needs bound sources."""
-        ctx = self.context(spark)
-        for name in self._models:
+        execution, just py4j plan construction. Needs bound sources
+        (or mocks covering them). ``mocks``/``vars`` mirror the run
+        configuration so conditional refs resolve the same way the
+        real run will; ``select`` limits the harvest."""
+        ctx = self.context(spark, mocks=mocks, vars=vars)
+        names = list(select) if select is not None else list(self._models)
+        for name in names:
             ctx.ref(name)
-        return {name: set(ctx.deps.get(name, set())) for name in self._models}
+        return {name: set(ctx.deps.get(name, set())) for name in names}
 
     def expand_selection(self, spark: SparkSession, tokens: list[str]) -> list[str]:
         """dbt graph selectors: ``name``, ``+name`` (with ancestors),

@@ -465,7 +465,10 @@ FROM c
 
 
 QUERIES = [
-    QueryDef("tfidf_topk", q_tfidf_topk, ORACLE_TFIDF_TOPK, ("EXT-TEXT-TFIDF",)),
+    # cache_plan=False: the plan embeds a lazy localCheckpoint (the tf
+    # table feeding both the df aggregate and the join) — a cached
+    # frame would serve later actions from persisted blocks
+    QueryDef("tfidf_topk", q_tfidf_topk, ORACLE_TFIDF_TOPK, ("EXT-TEXT-TFIDF",), cache_plan=False),
     QueryDef(
         "paragraph_dedup", q_paragraph_dedup, ORACLE_PARAGRAPH_DEDUP, ("EXT-DEDUP-PARA",)
     ),

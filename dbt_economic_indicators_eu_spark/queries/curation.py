@@ -497,6 +497,8 @@ QUERIES = [
         q_unigram_logprob,
         ORACLE_UNIGRAM_LOGPROB,
         ("EXT-QUALITY-LM",),
+        # lazy localCheckpoint in the plan — see tfidf_topk's note
+        cache_plan=False,
     ),
     QueryDef("pii_redact", q_pii_redact, ORACLE_PII_REDACT, ("EXT-PII-REDACT",)),
     QueryDef(

@@ -165,3 +165,29 @@ def test_cli_vars_scope_the_run(spark, tmp_path):
         os.path.join(wh_empty, "fct_economic_indicators")
     )
     assert fct.count() == 0
+
+    # `test` over the rowless vars-scoped warehouse must run (schema
+    # fallback for footer-less artifacts), with the SAME vars scoping
+    # the ref-recomputed views — not crash on schema inference
+    rc = main(
+        [
+            "test", "--warehouse", wh_empty, "--raw-dir", raw,
+            "--vars", '{"start_year": 2030}',
+        ]
+    )
+    assert rc == 0
+
+    # a lone focus country string must behave as a one-element list,
+    # not explode into per-character codes
+    wh_str = str(tmp_path / "wh_str")
+    assert (
+        main(
+            [
+                "run", "--warehouse", wh_str, "--raw-dir", raw,
+                "--vars", '{"focus_countries": "DE"}',
+            ]
+        )
+        == 0
+    )
+    fct = spark.read.parquet(os.path.join(wh_str, "fct_economic_indicators"))
+    assert fct.count() == 12
