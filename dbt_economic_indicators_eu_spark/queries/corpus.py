@@ -63,16 +63,15 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(normalized_words()).alias("tok")).filter(
         F.length("tok") > 0
     )
-    # Checkpoint tf so it feeds BOTH the df aggregate and the join
-    # without duplicating the tokenize/explode subtree (Spark plans are
-    # trees — a frame used on both sides of a join is otherwise
-    # computed twice). Lazy: materializes on first action, both
-    # consumers read the persisted partitions.
-    tf = (
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    # tf feeds BOTH the df aggregate and the join. The subtree appears
+    # twice in the logical tree (Spark plans are trees), but physical
+    # planning's ReuseExchange dedupes the identical (doc_id, tok)
+    # shuffle — the corpus tokenizes ONCE per execution, engine-native
+    # (pinned by tests/test_plans.py; no localCheckpoint, which would
+    # spill the whole (doc, term) table to local disk at 100 TB and
+    # whose persisted blocks would also leak warm-cache reads into
+    # later actions on a cached plan).
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     # Document frequency as groupBy(tok).count() + join back — NOT a
     # count().over(Window.partitionBy(tok)): under Zipf a stop-word
     # appearing in ~every doc puts all its (doc, term) rows in ONE
@@ -465,10 +464,7 @@ FROM c
 
 
 QUERIES = [
-    # cache_plan=False: the plan embeds a lazy localCheckpoint (the tf
-    # table feeding both the df aggregate and the join) — a cached
-    # frame would serve later actions from persisted blocks
-    QueryDef("tfidf_topk", q_tfidf_topk, ORACLE_TFIDF_TOPK, ("EXT-TEXT-TFIDF",), cache_plan=False),
+    QueryDef("tfidf_topk", q_tfidf_topk, ORACLE_TFIDF_TOPK, ("EXT-TEXT-TFIDF",)),
     QueryDef(
         "paragraph_dedup", q_paragraph_dedup, ORACLE_PARAGRAPH_DEDUP, ("EXT-DEDUP-PARA",)
     ),

@@ -433,31 +433,39 @@ _MICRO = 1_000_000
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
-    # Checkpoint the token instances so they feed the tf aggregate, the
-    # corpus total, AND the join without re-tokenizing (tree-shaped
-    # plans recompute a frame used on multiple join sides). Corpus-wide
-    # term frequency is groupBy(tok) + join back — NOT a
+    # Everything derives from the (doc, tok) PARTIAL-AGGREGATED table:
+    # token instances collapse map-side to per-doc counts before the
+    # one exchange, and that identical subtree feeds the corpus tf
+    # aggregate, the corpus total, AND the join — physical planning's
+    # ReuseExchange dedupes the three occurrences, so the corpus
+    # tokenizes ONCE per execution, engine-native (no localCheckpoint,
+    # which would spill the instance stream to local disk at 100 TB
+    # and leak warm-cache reads into later actions of a cached plan).
+    # Corpus-wide term frequency is groupBy(tok) + join back — NOT a
     # count().over(Window.partitionBy(tok)): under Zipf a stop-word's
     # instances all land in ONE window partition (an O(corpus) task at
-    # 100×; same fix as q_tfidf_topk). The groupBy is map-side
-    # combinable and vocab-sized; no broadcast hint — AQE broadcasts
-    # the tf table when it fits, else skew-splits the shuffle join.
-    toks = (
-        docs.select("doc_id", F.explode(normalized_words()).alias("tok"))
-        .filter(F.length("tok") > 0)
-        .localCheckpoint(eager=False)
-    )
-    tf_tab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # 100×; same fix as q_tfidf_topk). Per-doc sums weight each
+    # (doc, tok) row by its count — identical to the instance-level
+    # sum, with far fewer rows in flight. No broadcast hint on the tf
+    # side — AQE broadcasts it when it fits, else skew-splits.
+    toks = docs.select(
+        "doc_id", F.explode(normalized_words()).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tf_doc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tf_tab = tf_doc.groupBy("tok").agg(F.sum("cnt").alias("tf"))
+    total = tf_doc.agg(F.sum("cnt").alias("n_total"))
     term_micro = F.round(
         F.log(F.col("tf").cast("double") / F.col("n_total").cast("double")) * _MICRO
     ).cast("long")
     scored = (
-        toks.join(tf_tab, "tok")
+        tf_doc.join(tf_tab, "tok")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", term_micro.alias("ti"))
+        .select("doc_id", "cnt", term_micro.alias("ti"))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("ti").alias("s"))
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("ti")).alias("s"),
+        )
     )
     nll = -F.col("s").cast("double") / _MICRO
     return scored.select(
@@ -497,8 +505,6 @@ QUERIES = [
         q_unigram_logprob,
         ORACLE_UNIGRAM_LOGPROB,
         ("EXT-QUALITY-LM",),
-        # lazy localCheckpoint in the plan — see tfidf_topk's note
-        cache_plan=False,
     ),
     QueryDef("pii_redact", q_pii_redact, ORACLE_PII_REDACT, ("EXT-PII-REDACT",)),
     QueryDef(

@@ -200,21 +200,53 @@ def test_training_shuffle_single_exchange(spark):
 
 
 def test_tfidf_no_hot_term_window(spark):
-    """Document frequency must be groupBy(tok) + join back on a
-    checkpointed tf — NOT count().over(Window.partitionBy(tok)): a
-    Zipf-hot term would put every (doc, term) row for that term in one
-    window partition (one O(n_docs) task at 100×). The only Window
-    left is the per-doc top-k, and tf's checkpoint means the corpus is
-    tokenized exactly once (no self-join of the explode subtree)."""
+    """Document frequency must be groupBy(tok) + join back — NOT
+    count().over(Window.partitionBy(tok)): a Zipf-hot term would put
+    every (doc, term) row for that term in one window partition (one
+    O(n_docs) task at 100×). The only Window left is the per-doc
+    top-k, and the tf subtree's two occurrences (df aggregate + join
+    side) share ONE exchange via ReuseExchange — the corpus tokenizes
+    once per execution with no checkpoint/persist."""
     plan = _plan(spark, "tfidf_topk")
     # no window partitioned on the term — doc_id top-k only
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "doc_id" in line and "tok" not in line.split("windowspecdefinition")[1].split(",")[0], line
     assert "partial_count" in plan  # df groupBy map-side combine
-    # checkpointed tf: the explode/tokenize subtree appears zero times
-    # downstream (both df and the join read the materialized RDD)
-    assert plan.count("Generate explode") == 0
+    assert _reuses_exchange(spark, "tfidf_topk")  # tf subtree deduped
+
+
+def _reuses_exchange(spark, name: str) -> bool:
+    """Static-planner view of exchange reuse: under AQE the pre-run
+    plan string hides it (isFinalPlan=false; reuse happens per query
+    stage at runtime), so plan the query once with AQE off — same
+    Catalyst tree, explicit ReusedExchange nodes. Raw builder, not the
+    plan cache: the cached frame was planned under the session conf."""
+    raw = {}
+    from dbt_economic_indicators_eu_spark.queries import corpus, curation
+
+    for mod in (corpus, curation):
+        for q in mod.QUERIES:
+            raw[q.name] = q.builder
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = raw[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return "ReusedExchange" in plan
+
+
+def test_unigram_shares_one_tokenize_exchange(spark):
+    """All three consumers of the (doc, tok) partial-agg table (corpus
+    tf, corpus total, join side) must resolve to a reused exchange —
+    and no window partitioned on the term (the Zipf-hot-term trap)."""
+    plan = _plan(spark, "unigram_logprob")
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            raise AssertionError(f"unexpected window in unigram plan: {line}")
+    assert _reuses_exchange(spark, "unigram_logprob")
 
 
 def test_paragraph_dedup_hash_only_shuffles_no_join(spark):

@@ -107,10 +107,12 @@ HEADLINERS = [
     ),
     (
         "unigram_logprob",
-        "Unigram LM quality scoring: the token stream is checkpointed "
-        "once (Scan ExistingRDD below — the corpus tokenizes exactly "
-        "once for the tf table, the corpus total, and the join), then "
-        "term frequency is a map-side-combinable groupBy(tok) joined "
+        "Unigram LM quality scoring: token instances collapse map-side "
+        "to a (doc, tok) count table whose identical subtree feeds the "
+        "corpus tf aggregate, the corpus total, and the join — "
+        "physical planning reuses that one exchange (ReusedExchange "
+        "under AQE's runtime stage reuse), so the corpus tokenizes "
+        "once per execution. Term frequency is groupBy(tok) joined "
         "back — NOT a window over tok, which would put every instance "
         "of a Zipf-hot stop-word in one partition. No hint on the "
         "vocab side: AQE broadcasts it while small and degrades to a "
@@ -126,12 +128,14 @@ HEADLINERS = [
     ),
     (
         "tfidf_topk",
-        "Document frequency is groupBy(tok) + join back over a "
-        "checkpointed tf table (Scan ExistingRDD): the corpus "
-        "tokenizes ONCE, the df aggregate is map-side combinable, and "
-        "no window partitions on the term — a Zipf-hot stop-word "
-        "would otherwise serialize one O(n_docs) task. The only "
-        "remaining window is the per-doc top-k.",
+        "Document frequency is groupBy(tok) + join back over the tf "
+        "table, whose two occurrences (df aggregate + join side) "
+        "share ONE exchange via ReuseExchange — the corpus tokenizes "
+        "once per execution, engine-native, no checkpoint. The df "
+        "aggregate is map-side combinable, and no window partitions "
+        "on the term — a Zipf-hot stop-word would otherwise serialize "
+        "one O(n_docs) task. The only remaining window is the per-doc "
+        "top-k.",
     ),
     (
         "paragraph_dedup",
