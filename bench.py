@@ -190,9 +190,7 @@ def main() -> int:
 
     defs = _aq()
     for name, builder in qs.items():
-        if name in defs and (defs[name].effectful or not defs[name].cache_plan):
-            # effectful: calling it RUNS the pipeline; cache_plan=False:
-            # the timed pass rebuilds anyway, priming is pure waste
+        if name in defs and defs[name].effectful:
             continue
         try:
             builder(spark, sf_dir)
@@ -255,7 +253,13 @@ def main() -> int:
             elapsed = time_one(name, builder)
             samples.setdefault(name, []).append(elapsed)
             prev = per_query.get(name)
-            per_query[name] = elapsed if prev is None or prev < 0 else min(prev, elapsed)
+            # never let the -1 failure sentinel clobber a valid
+            # sample: a transient flake on a later pass must not drop
+            # a query (and its oracle time) from the coverage/ratio
+            if prev is None:
+                per_query[name] = elapsed
+            elif elapsed >= 0 and (prev < 0 or elapsed < prev):
+                per_query[name] = elapsed
         if oracle_on:
             try:
                 _oracle_pass(sf_dir, set(qs), oracle_best)

@@ -166,13 +166,12 @@ def cmd_test(args) -> int:
         A rowless artifact (e.g. a vars-scoped run over an empty
         slice) has no parquet footers — read it with the model's
         plan schema instead of crashing schema inference."""
+        from .materialize.incremental import has_parquet_files
+
         path = os.path.join(base, name)
         if not os.path.isdir(path):
             return None
-        has_files = any(
-            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-        )
-        if has_files:
+        if has_parquet_files(path):
             return spark.read.parquet(path)
         return spark.read.schema(ctx.ref(name).schema).parquet(path)
 

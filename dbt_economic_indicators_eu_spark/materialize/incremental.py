@@ -31,6 +31,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def has_parquet_files(path: str) -> bool:
+    """True when ``path`` holds at least one parquet data file. The
+    shared probe for the rowless-target condition: a partitioned write
+    of zero rows leaves a directory with no footers, which
+    ``spark.read.parquet`` cannot infer a schema from — callers fall
+    back to first-run semantics or an explicit schema."""
+    return any(
+        f.endswith(".parquet") for _, _, files in os.walk(path) for f in files
+    )
+
+
 def _past_watermark(existing: DataFrame, incoming: DataFrame, wc: str) -> DataFrame:
     """Keep incoming rows strictly past ``max(existing[wc])``, as a
     broadcast scalar-agg crossJoin (no driver collect). A NULL
@@ -108,12 +119,7 @@ def run_incremental(
         # overwrite it with only the incoming batch — silent loss of
         # the full accumulated history. Probe for data files first so
         # the no-footers case never reaches the reader at all.
-        has_data_files = any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(target_path)
-            for f in files
-        )
-        if has_data_files:
+        if has_parquet_files(target_path):
             existing = spark.read.parquet(target_path)
     if existing is None or partition_by is None:
         merged = merge_upsert(

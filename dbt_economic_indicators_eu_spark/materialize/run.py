@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import Context, Registry
-from .incremental import run_incremental
+from .incremental import has_parquet_files, run_incremental
 from .snapshot import run_snapshot
 
 logger = logging.getLogger(__name__)
@@ -94,12 +94,9 @@ def _materialize_one(
     # empty slice) writes no parquet footers — read back with the
     # plan's schema so downstream refs see an empty, correctly-typed
     # relation instead of UNABLE_TO_INFER_SCHEMA
-    has_files = any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    )
     fresh = (
         spark.read.parquet(path)
-        if has_files
+        if has_parquet_files(path)
         else spark.read.schema(df.schema).parquet(path)
     )
     with build_lock:
@@ -172,7 +169,27 @@ def run_models(
 
     deps = registry.dependency_graph(spark, mocks=mocks, vars=vars, select=names)
     selected = set(names)
-    upstream = {n: deps.get(n, set()) & selected for n in names}
+
+    def _selected_upstreams(n: str) -> set[str]:
+        # transitive closure THROUGH unselected nodes: with
+        # A(selected) -> B(unselected view) -> C(selected), A must wait
+        # for C — A's build recomputes B, whose ref(C) must resolve to
+        # C's stored relation (the serial path guarantees this via
+        # registry order)
+        out: set[str] = set()
+        stack, seen = list(deps.get(n, ())), set()
+        while stack:
+            d = stack.pop()
+            if d in seen:
+                continue
+            seen.add(d)
+            if d in selected:
+                out.add(d)
+            else:
+                stack.extend(deps.get(d, ()))
+        return out
+
+    upstream = {n: _selected_upstreams(n) for n in names}
 
     build_lock = threading.Lock()
     done: set[str] = set()
@@ -196,6 +213,17 @@ def run_models(
             finished, _ = wait(running, return_when=FIRST_COMPLETED)
             for fut in finished:
                 n = running.pop(fut)
-                out[n] = fut.result()  # re-raises model failures
+                try:
+                    out[n] = fut.result()
+                except BaseException:
+                    # stop-at-first-failure like the serial path:
+                    # cancel everything queued (in-flight writes — at
+                    # most threads-1 — drain; threads cannot be killed)
+                    # so no NEW model materializes downstream of a
+                    # failure
+                    for f in running:
+                        f.cancel()
+                    pool.shutdown(wait=True, cancel_futures=True)
+                    raise
                 done.add(n)
     return {n: out[n] for n in names}

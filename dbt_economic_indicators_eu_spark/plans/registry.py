@@ -198,7 +198,14 @@ class Registry:
         names = list(select) if select is not None else list(self._models)
         for name in names:
             ctx.ref(name)
-        return {name: set(ctx.deps.get(name, set())) for name in names}
+        # return EVERY harvested edge, not just the selected nodes':
+        # a selected model may depend on another selected model only
+        # THROUGH an unselected intermediate, and schedulers need those
+        # intermediate edges to see the transitive ordering
+        out = {n: set(v) for n, v in ctx.deps.items()}
+        for name in names:
+            out.setdefault(name, set())
+        return out
 
     def expand_selection(self, spark: SparkSession, tokens: list[str]) -> list[str]:
         """dbt graph selectors: ``name``, ``+name`` (with ancestors),

@@ -228,13 +228,6 @@ class QueryDef:
     oracle: str | None
     ops: tuple[str, ...] = ()  # SURVEY.md §2 operator IDs exercised
     effectful: bool = False
-    # False for PURE queries whose plan must still be rebuilt per call:
-    # a plan containing a (lazy) localCheckpoint persists its blocks on
-    # first action, so a CACHED frame's later actions would read warm
-    # cache instead of re-executing — unfair to the interleaved oracle,
-    # which re-runs its SQL every pass, and a violation of the
-    # "every action re-executes" cache invariant below.
-    cache_plan: bool = True
 
 
 # (applicationId, session identity, sf_dir, query name) → built
@@ -248,7 +241,14 @@ _PLAN_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
 def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
-    if q.effectful or not q.cache_plan:
+    # CACHE INVARIANT: every ACTION on a cached frame re-executes the
+    # full scan/shuffle/compute — which is only true while no cached
+    # plan persists state across actions. A plan embedding a (lazy)
+    # localCheckpoint or .cache() would serve later actions from
+    # persisted blocks; such a query must NOT go through this cache
+    # (mark it effectful, or better, restructure for ReuseExchange —
+    # see q_tfidf_topk).
+    if q.effectful:
         return q.builder
 
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:

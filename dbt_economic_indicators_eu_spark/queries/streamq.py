@@ -12,6 +12,7 @@ the batch-SQL answer.
 
 from __future__ import annotations
 
+import atexit
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -207,6 +208,21 @@ _INCR_PREV_SCRATCH: str | None = None
 # keys); re-running the Spark write per call just re-times fixture
 # setup, not the merge under test — write it once, file-copy per call.
 _INCR_SEED_CACHE: dict[tuple[str, int, str], str] = {}
+
+
+@atexit.register
+def _sweep_incr_scratch() -> None:
+    """Reclaim the RAM-backed (/dev/shm) scratch this module caches
+    across calls — the seed copies and the last call's target/ckpt —
+    at process exit. ephemeral_scratch's contract is delete-afterwards;
+    per-call dirs are swept by the next call, but the cached seed and
+    the FINAL call's dir would otherwise outlive the process in tmpfs."""
+    import shutil as _shutil
+
+    for d in list(_INCR_SEED_CACHE.values()) + (
+        [_INCR_PREV_SCRATCH] if _INCR_PREV_SCRATCH else []
+    ):
+        _shutil.rmtree(d, ignore_errors=True)
 
 
 def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

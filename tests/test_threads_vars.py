@@ -111,6 +111,60 @@ def test_threads_writes_overlap(spark, tmp_path):
     assert a1 <= b0 or b1 <= a0, f"serial writes overlapped: {iv}"
 
 
+def test_threads_transitive_dep_through_unselected_view(spark, tmp_path):
+    """A(selected) -> B(unselected view) -> C(selected): the scheduler
+    must order A after C even though A's only DIRECT upstream is the
+    unselected B — A's build recomputes B, whose ref(C) must resolve
+    to C's stored relation."""
+    marker_dir = str(tmp_path / "markers")
+    os.makedirs(marker_dir)
+
+    def mark(name, t0, t1):
+        with open(os.path.join(marker_dir, name), "w") as f:
+            json.dump([t0, t1], f)
+
+    reg = Registry()
+
+    @reg.model("tC", materialization="table")
+    def _c(ctx):
+        def slow(it):
+            import time as _time
+
+            t0 = _time.time()
+            _time.sleep(0.5)
+            rows = list(it)
+            mark("C", t0, _time.time())
+            yield from rows
+
+        return ctx.spark.range(3).coalesce(1).mapInPandas(slow, "id long")
+
+    @reg.model("vB")  # view, NOT selected below
+    def _b(ctx):
+        return ctx.ref("tC")
+
+    @reg.model("tA", materialization="table")
+    def _a(ctx):
+        def fast(it):
+            import time as _time
+
+            t0 = _time.time()
+            rows = list(it)
+            mark("A", t0, _time.time())
+            yield from rows
+
+        return ctx.ref("vB").coalesce(1).mapInPandas(fast, "id long")
+
+    out = run_models(
+        reg, spark, str(tmp_path / "wh"), select=["tC", "tA"], threads=4
+    )
+    assert sorted(map(tuple, out["tA"].collect())) == [(0,), (1,), (2,)]
+    with open(os.path.join(marker_dir, "C")) as f:
+        c0, c1 = json.load(f)
+    with open(os.path.join(marker_dir, "A")) as f:
+        a0, a1 = json.load(f)
+    assert a0 >= c1, f"A started ({a0}) before C finished ({c1})"
+
+
 def test_context_var_resolution(spark):
     reg = Registry()
     ctx = reg.context(spark, vars={"start_year": 2015})
