@@ -66,6 +66,15 @@ TABLES = (
 _SCAN_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
+# Shared integer micro-unit scale for log-score quantization
+# (round(ln(..) * MICRO) snapped to BIGINT): per-document sums become
+# exact integer arithmetic — associative, order-independent,
+# shuffle-safe — so Spark and DuckDB agree bit-for-bit. tfidf_topk
+# (corpus.py) and unigram_logprob (curation.py) must share ONE scale;
+# retuning it in one place must retune both.
+MICRO = 1_000_000
+
+
 # NTZ epoch anchor: timestamp_diff/add against it give tz-free epoch
 # micros regardless of the session time zone (unlike unix_micros, which
 # rejects TIMESTAMP_NTZ, and NTZ<->LTZ casts, which shift by session tz).

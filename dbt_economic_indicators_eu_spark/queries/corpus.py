@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import QueryDef, load, widen_narrow_scan
+from .common import MICRO, QueryDef, load, widen_narrow_scan
 from .datapipe import (
     ORACLE_WORDS_EXPR,
     _ORACLE_SHINGLES,
@@ -30,7 +30,7 @@ from .datapipe import (
     normalized_words,
 )
 
-_MICRO = 1_000_000
+_MICRO = MICRO  # shared scale — see queries/common.py
 
 # --------------------------------------------------------------------------
 # q_tfidf_topk — EXT-TEXT-TFIDF: top-3 TF-IDF terms per document, the

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import QueryDef, load, widen_narrow_scan
+from .common import MICRO, QueryDef, load, widen_narrow_scan
 from .datapipe import (
     _ORACLE_SHINGLES,
     ORACLE_WORDS_EXPR,
@@ -428,7 +428,7 @@ FROM c, t
 # IEEE ops on identical values, emitted raw.
 # --------------------------------------------------------------------------
 
-_MICRO = 1_000_000
+_MICRO = MICRO  # shared scale — see queries/common.py
 
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

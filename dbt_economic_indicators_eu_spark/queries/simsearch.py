@@ -94,25 +94,133 @@ def _sql_array(xs: list[float]) -> str:
 
 
 # --------------------------------------------------------------------------
+# The shared distributed-TopK scaffold of the kNN family (brute /
+# quantized / LSH / IVF). Candidates stream ONCE through a narrow
+# ``mapInPandas`` pass; each Arrow batch scores ALL queries with one
+# GEMM, applies the variant's candidate mask, and emits only its LOCAL
+# top-k per query; a final window over the ≤ k x Q x n_batches
+# survivors picks the global top-k. The local ordering equals the
+# global ordering ((cos DESC, neighbor_id ASC) via stable lexsort), so
+# every global winner survives its batch — the canonical distributed-
+# TopK reduction.
+#
+# vs. the pair-explosion form (broadcast join then pairwise cosine):
+# that ships |candidates| x |queries| embedding PAIRS through Arrow
+# (~1 GB at sf0.1) and shuffles every scored pair into the window;
+# this form transfers each candidate vector once (~2.5 MB) and
+# shuffles k x Q rows per batch. At 100 TB the candidate side
+# partitions freely and the query set — the WORKLOAD, a few hundred
+# vectors, not data — rides the UDF closure like any broadcast dim.
+# --------------------------------------------------------------------------
+
+
+def _query_artifacts(emb: DataFrame, transform=None):
+    """Driver-side query workload: collect + id-sort the query subset,
+    optionally transform (int8 quantization), and apply the zero-norm
+    guard (cosine undefined: mirror the oracle's nrm > 0 filters —
+    without it numpy's 0/0 = NaN rows are silently dropped by the -inf
+    filter while DuckDB keeps + top-sorts its NaNs). Returns
+    (q_ids, q_mat, q_nrm) or None when no live queries remain."""
+    q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
+    q_rows.sort(key=lambda r: r.vec_id)
+    if not q_rows:
+        return None
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)  # Q x dim
+    if transform is not None:
+        q_mat = transform(q_mat)
+    q_nrm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    keep_q = q_nrm > 0
+    q_ids, q_mat, q_nrm = q_ids[keep_q], q_mat[keep_q], q_nrm[keep_q]
+    if not len(q_ids):
+        return None
+    return q_ids, q_mat, q_nrm
+
+
+def _empty_topk(spark: SparkSession, extra_q_cols=(), score_name="cosine") -> DataFrame:
+    extra = "".join(f"{n} {t}, " for n, _, t in extra_q_cols)
+    return spark.createDataFrame(
+        [], f"q_id bigint, {extra}neighbor_id bigint, {score_name} double, rnk int"
+    )
+
+
+def _topk_reduce(
+    emb: DataFrame,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    q_nrm: np.ndarray,
+    k: int,
+    *,
+    transform=None,
+    mask_fn=None,
+    extra_q_cols=(),
+    score_name: str = "cosine",
+    round_out: bool = True,
+) -> DataFrame:
+    """One narrow scan + local top-k + global top-k window (see module
+    scaffold comment). Variant hooks: ``transform(v)`` rewrites the
+    corpus batch matrix (int8 quantization — applied BEFORE the norm /
+    zero-norm guard, matching the oracle's quantized-norm filters);
+    ``mask_fn(ids, v) -> B x Q bool`` marks DISALLOWED (candidate,
+    query) pairs beyond the always-applied self-match and zero-norm
+    guards (LSH bucket mismatch, IVF unprobed cluster); ``extra_q_cols
+    = [(name, per-query ndarray, sql_type)]`` are per-query constants
+    (LSH bucket ids) carried into the output."""
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if transform is not None:
+                v = transform(v)
+            nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+            live = nrm > 0
+            ids, v, nrm = ids[live], v[live], nrm[live]
+            if not len(ids):
+                continue
+            cos = (v @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])  # B x Q
+            if mask_fn is not None:
+                cos[mask_fn(ids, v)] = -np.inf
+            cos[ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
+            kk = min(k, len(ids))
+            # local top-k per query under the GLOBAL order (cos desc,
+            # neighbor_id asc) — lexsort is stable, keys last-primary
+            order = np.lexsort((ids[:, None] * np.ones_like(cos), -cos), axis=0)[:kk]
+            cols = {"q_id": np.repeat(q_ids, kk)}
+            for name, arr, _t in extra_q_cols:
+                cols[name] = np.repeat(arr, kk)
+            cols["neighbor_id"] = ids[order].T.ravel()
+            cols["cos"] = np.take_along_axis(cos, order, axis=0).T.ravel()
+            out = pd.DataFrame(cols)
+            yield out[out["cos"] > -np.inf]
+
+    extra_schema = "".join(f"{n} {t}, " for n, _, t in extra_q_cols)
+    cand = emb.mapInPandas(score, f"q_id bigint, {extra_schema}neighbor_id bigint, cos double")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    out_score = r6(F.col("cos")) if round_out else F.col("cos")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            *[n for n, _, _ in extra_q_cols],
+            "neighbor_id",
+            out_score.alias(score_name),
+            "rnk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q_knn_brute — EXT-ANN-BRUTE: exact cosine top-k for a query subset.
 # --------------------------------------------------------------------------
 
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed exact top-k: candidates stream once through
-    ``mapInPandas``; each Arrow batch scores ALL queries with one GEMM
-    and emits only its LOCAL top-k per query; a final window over the
-    ≤ k x Q x n_batches survivors picks the global top-k (the local
-    ordering equals the global ordering, so every global winner
-    survives its batch — the canonical distributed-TopK reduction).
-
-    vs. the pair-explosion form (broadcast join then pairwise cosine):
-    that ships |candidates| x |queries| embedding PAIRS through Arrow
-    (~1 GB at sf0.1) and shuffles every scored pair into the window;
-    this form transfers each candidate vector once (~2.5 MB) and
-    shuffles k x Q rows per batch. At 100 TB the candidate side
-    partitions freely and the query set — the WORKLOAD, a few hundred
-    vectors, not data — rides the UDF closure like any broadcast dim.
+    """Distributed exact top-k — the unmasked instance of the module's
+    TopK scaffold (``_topk_reduce``).
 
     Float parity with the oracle's sequential ``list_dot_product``:
     BLAS accumulation differs by ~1e-15; measured margins are 8.3e-13
@@ -122,55 +230,11 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``aggregate(zip_with)`` fold per row measured ~0.6s/query at
     sf0.1 vs ~0.1s for the Arrow GEMM.)"""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
-    q_rows.sort(key=lambda r: r.vec_id)
-    if not q_rows:  # empty corpus/workload: total, returns the empty result
-        return spark.createDataFrame([], "q_id bigint, neighbor_id bigint, cosine double, rnk int")
-    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)  # Q x dim
-    q_nrm_all = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
-    # zero-norm guard (cosine undefined): mirror the oracle's nrm > 0
-    # filters — without it numpy's 0/0 = NaN rows are silently dropped
-    # by the -inf filter while DuckDB keeps + top-sorts its NaNs
-    keep_q = q_nrm_all > 0
-    q_ids, q_mat, q_nrm = q_ids[keep_q], q_mat[keep_q], q_nrm_all[keep_q]
-    if not len(q_ids):
-        return spark.createDataFrame(
-            [], "q_id bigint, neighbor_id bigint, cosine double, rnk int"
-        )
-
-    def score(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
-            live = nrm > 0
-            ids, v, nrm = ids[live], v[live], nrm[live]
-            if not len(ids):
-                continue
-            cos = (v @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])  # B x Q
-            cos[ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
-            k = min(_TOP_K, len(ids))
-            # local top-k per query under the GLOBAL order (cos desc,
-            # neighbor_id asc) — lexsort is stable, keys last-primary
-            order = np.lexsort((ids[:, None] * np.ones_like(cos), -cos), axis=0)[:k]
-            rows = {
-                "q_id": np.repeat(q_ids, k),
-                "neighbor_id": ids[order].T.ravel(),
-                "cos": np.take_along_axis(cos, order, axis=0).T.ravel(),
-            }
-            out = pd.DataFrame(rows)
-            yield out[out["cos"] > -np.inf]
-
-    cand = emb.mapInPandas(score, "q_id bigint, neighbor_id bigint, cos double")
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select("q_id", "neighbor_id", r6(F.col("cos")).alias("cosine"), "rnk")
-    )
+    qa = _query_artifacts(emb)
+    if qa is None:  # empty corpus/workload: total, returns the empty result
+        return _empty_topk(spark)
+    q_ids, q_mat, q_nrm = qa
+    return _topk_reduce(emb, q_ids, q_mat, q_nrm, _TOP_K)
 
 
 ORACLE_KNN_BRUTE = f"""
@@ -223,47 +287,18 @@ def _quantize_i8(v):
 
 
 def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TopK scaffold with both sides int8-quantized (``transform``
+    hook — quantization runs BEFORE the norm/zero-norm guard, matching
+    the oracle's quantized-norm filters). Output is the raw quantized
+    cosine (bit-identical across engines, see block comment)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
-    q_rows.sort(key=lambda r: r.vec_id)
-    if not q_rows:  # empty corpus/workload: total, returns the empty result
-        return spark.createDataFrame([], "q_id bigint, neighbor_id bigint, qcos double, rnk int")
-    q_mat = _quantize_i8(np.array([r.embedding for r in q_rows], dtype=np.float64))
-    q_nrm_all = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
-    keep_q = q_nrm_all > 0
-    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)[keep_q]
-    q_mat, q_nrm = q_mat[keep_q], q_nrm_all[keep_q]
-
-    def score(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            qv = _quantize_i8(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
-            nrm = np.sqrt(np.einsum("ij,ij->i", qv, qv))
-            live = nrm > 0
-            ids, qv, nrm = ids[live], qv[live], nrm[live]
-            if not len(ids):
-                continue
-            cos = (qv @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])
-            cos[ids[:, None] == q_ids[None, :]] = -np.inf
-            k = min(_TOP_K, len(ids))
-            order = np.lexsort((ids[:, None] * np.ones_like(cos), -cos), axis=0)[:k]
-            out = pd.DataFrame(
-                {
-                    "q_id": np.repeat(q_ids, k),
-                    "neighbor_id": ids[order].T.ravel(),
-                    "qcos": np.take_along_axis(cos, order, axis=0).T.ravel(),
-                }
-            )
-            yield out[out["qcos"] > -np.inf]
-
-    cand = emb.mapInPandas(score, "q_id bigint, neighbor_id bigint, qcos double")
-    w = Window.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("neighbor_id"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select("q_id", "neighbor_id", "qcos", "rnk")
+    qa = _query_artifacts(emb, transform=_quantize_i8)
+    if qa is None:  # empty corpus/workload: total, returns the empty result
+        return _empty_topk(spark, score_name="qcos")
+    q_ids, q_mat, q_nrm = qa
+    return _topk_reduce(
+        emb, q_ids, q_mat, q_nrm, _TOP_K,
+        transform=_quantize_i8, score_name="qcos", round_out=False,
     )
 
 
@@ -347,55 +382,15 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _plane_buckets_np(_PLANES, v).astype(np.int64)
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
-    q_rows.sort(key=lambda r: r.vec_id)
-    if not q_rows:  # empty corpus/workload: total, returns the empty result
-        return spark.createDataFrame([], "q_id bigint, bucket_id int, neighbor_id bigint, cosine double, rnk int")
-    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    q_nrm_all = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
-    keep_q = q_nrm_all > 0  # zero-norm guard, mirrored in the oracle
-    q_ids, q_mat, q_nrm = q_ids[keep_q], q_mat[keep_q], q_nrm_all[keep_q]
-    if not len(q_ids):
-        return spark.createDataFrame(
-            [], "q_id bigint, bucket_id int, neighbor_id bigint, cosine double, rnk int"
-        )
+    qa = _query_artifacts(emb)
+    if qa is None:  # empty corpus/workload: total, returns the empty result
+        return _empty_topk(spark, extra_q_cols=[("bucket_id", None, "int")])
+    q_ids, q_mat, q_nrm = qa
     q_buckets = bucket_of(q_mat)
-
-    def score(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
-            live = nrm > 0
-            ids, v, nrm = ids[live], v[live], nrm[live]
-            if not len(ids):
-                continue
-            cos = (v @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])
-            cos[bucket_of(v)[:, None] != q_buckets[None, :]] = -np.inf
-            cos[ids[:, None] == q_ids[None, :]] = -np.inf
-            k = min(_TOP_K_LSH, len(ids))
-            order = np.lexsort((ids[:, None] * np.ones_like(cos), -cos), axis=0)[:k]
-            out = pd.DataFrame(
-                {
-                    "q_id": np.repeat(q_ids, k),
-                    "bucket_id": np.repeat(q_buckets.astype(np.int32), k),
-                    "neighbor_id": ids[order].T.ravel(),
-                    "cos": np.take_along_axis(cos, order, axis=0).T.ravel(),
-                }
-            )
-            yield out[out["cos"] > -np.inf]
-
-    cand = emb.mapInPandas(
-        score, "q_id bigint, bucket_id int, neighbor_id bigint, cos double"
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K_LSH)
-        .select("q_id", "bucket_id", "neighbor_id", r6(F.col("cos")).alias("cosine"), "rnk")
+    return _topk_reduce(
+        emb, q_ids, q_mat, q_nrm, _TOP_K_LSH,
+        mask_fn=lambda ids, v: bucket_of(v)[:, None] != q_buckets[None, :],
+        extra_q_cols=[("bucket_id", q_buckets.astype(np.int32), "int")],
     )
 
 
@@ -504,7 +499,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
         "id_b",
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # try_divide, not `/`: a zero-norm vector buckets to 0 in every
+    # table, so it pairs with every bucket-0 neighbor and the plain
+    # division would crash the whole query under ANSI (0/0). DuckDB
+    # yields NULL for /0, silently failing the >= filter — try_divide
+    # reproduces exactly that drop, keeping banding/cap counts intact.
+    cos = F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= _DEDUP_COS_THRESHOLD)
@@ -628,43 +628,15 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     np.put_along_axis(probe_mask, probe_idx, True, axis=1)
 
     # one narrow pass fuses assignment + probe-masked scoring + local
-    # top-k (the knn_brute reduction with an IVF candidate mask): a
-    # vector is a candidate for query q iff its assigned cluster is
-    # probed by q; everything else scores -inf and never leaves the
-    # batch. No joins, no assignment shuffle — the corpus streams once.
-    def score(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
-            live = nrm > 0
-            ids, v, nrm = ids[live], v[live], nrm[live]
-            if not len(ids):
-                continue
-            cluster_idx = nearest_clusters(v, 1)[:, 0]
-            cos = (v @ q_mat.T) / (nrm[:, None] * q_nrm[None, :])  # B x Q
-            cos[~probe_mask[:, cluster_idx].T] = -np.inf
-            cos[ids[:, None] == q_ids[None, :]] = -np.inf
-            k = min(_TOP_K_IVF, len(ids))
-            order = np.lexsort((ids[:, None] * np.ones_like(cos), -cos), axis=0)[:k]
-            out = pd.DataFrame(
-                {
-                    "q_id": np.repeat(q_ids, k),
-                    "neighbor_id": ids[order].T.ravel(),
-                    "cos": np.take_along_axis(cos, order, axis=0).T.ravel(),
-                }
-            )
-            yield out[out["cos"] > -np.inf]
+    # top-k (the TopK scaffold with an IVF candidate mask): a vector is
+    # a candidate for query q iff its assigned cluster is probed by q;
+    # everything else scores -inf and never leaves the batch. No joins,
+    # no assignment shuffle — the corpus streams once.
+    def ivf_mask(ids, v):
+        cluster_idx = nearest_clusters(v, 1)[:, 0]
+        return ~probe_mask[:, cluster_idx].T
 
-    cand = emb.mapInPandas(score, "q_id bigint, neighbor_id bigint, cos double")
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K_IVF)
-        .select("q_id", "neighbor_id", r6(F.col("cos")).alias("cosine"), "rnk")
-    )
+    return _topk_reduce(emb, q_ids, q_mat, q_nrm, _TOP_K_IVF, mask_fn=ivf_mask)
 
 
 ORACLE_KNN_IVF = f"""

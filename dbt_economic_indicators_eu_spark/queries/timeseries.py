@@ -27,8 +27,10 @@ from .common import EVENTS_NORM_SQL, QueryDef, epoch_micros, load, r2, r6
 # at-or-before 'purchase' of the same user (operators/asof.py: one
 # shuffle, union+window — see module docstring for why not a range
 # join). Right side is pre-aggregated to one row per (user, ts) with
-# max_by so timestamp ties are deterministic in both engines. Oracle:
-# DuckDB's native ASOF LEFT JOIN.
+# max_by so timestamp ties are deterministic in both engines; the
+# winning row's value is carried through even when NULL (the oracle
+# mirrors this with a row_number window — arg_max would skip NULLs).
+# Oracle: DuckDB's native ASOF LEFT JOIN.
 # --------------------------------------------------------------------------
 
 
@@ -73,11 +75,18 @@ v AS (
   FROM ev WHERE event_type = 'view'
 ),
 p AS (
+  -- row_number, NOT arg_max(value, event_id): DuckDB's arg_max skips
+  -- NULL args (a NULL-valued winner would fall back to a lower
+  -- event_id's value), while Spark's max_by carries the winning row's
+  -- value through even when it is NULL. The window form pins "the
+  -- value of the max-event_id row, NULL included" on both engines.
   SELECT user_id, ts AS purchase_ts,
-         max(event_id) AS purchase_event_id,
-         arg_max(value, event_id) AS purchase_value
-  FROM ev WHERE event_type = 'purchase'
-  GROUP BY 1, 2
+         event_id AS purchase_event_id, value AS purchase_value
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase'
+  ) WHERE rn = 1
 )
 SELECT
   v.user_id, v.view_event_id, v.ts, v.value,

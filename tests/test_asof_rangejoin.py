@@ -205,3 +205,29 @@ def test_range_join_rejects_collision(spark, intervals):
     facts = intervals.select(F.col("wid"), F.col("ws").alias("fts"))
     with pytest.raises(ValueError, match="collision"):
         range_join(facts, "fts", intervals, "ws", "we", bin_seconds=86400)
+
+
+def test_asof_query_tie_dedup_carries_null_value(spark, monkeypatch):
+    """Tie-dedup semantics pin for q_asof_join: when the winning row
+    (max event_id) of a (user_id, ts) purchase tie group carries a
+    NULL value, that NULL is the purchase_value — both in Spark's
+    max_by and in the oracle's row_number window (DuckDB's arg_max
+    would skip the NULL and fall back to a lower event_id's value;
+    the oracle deliberately does not use it)."""
+    from dbt_economic_indicators_eu_spark.queries import timeseries
+
+    t = _ts("2024-01-01T10:00:00")
+    ev = spark.createDataFrame(
+        [
+            (8, t, 1, "purchase", 5.0, "{}"),
+            (10, t, 1, "purchase", None, "{}"),  # winner, NULL value
+            (20, _ts("2024-01-01T11:00:00"), 1, "view", 1.0, "{}"),
+        ],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(timeseries, "load", lambda s, d, n: ev)
+    out = timeseries.q_asof_join(spark, "ignored").collect()
+    assert len(out) == 1
+    assert out[0].purchase_event_id == 10
+    assert out[0].purchase_value is None

@@ -421,3 +421,17 @@ def test_knn_family_total_on_zero_norm_vectors(spark, monkeypatch):
         assert 150 not in ids and 5 not in ids, q.__name__
         for r in out:
             assert r.cosine == r.cosine, q.__name__  # no NaN emitted
+    # quantized twin (score column is qcos, guard is in the batch closure)
+    out = simsearch.q_knn_quantized(spark, "ignored").collect()
+    ids = {r.q_id for r in out} | {r.neighbor_id for r in out}
+    assert 150 not in ids and 5 not in ids
+    for r in out:
+        assert r.qcos == r.qcos
+    # dedup: a zero-norm vector buckets to 0 in every LSH table, so it
+    # pairs with every bucket-0 neighbor — the pair must DROP (NULL
+    # cosine via try_divide), not crash the query under ANSI (0/0).
+    out = simsearch.q_dedup_embedding(spark, "ignored").collect()
+    zero_ids = {i for i in range(120) if i % 10 == 5} | {150}
+    for r in out:
+        assert r.id_a not in zero_ids and r.id_b not in zero_ids
+        assert r.cosine == r.cosine
