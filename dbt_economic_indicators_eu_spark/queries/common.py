@@ -75,6 +75,39 @@ _SCAN_CACHE: dict[tuple[str, int, str, str], DataFrame] = {}
 MICRO = 1_000_000
 
 
+def money4_sum_r2(col: Column) -> Column:
+    """2-decimal rounded sum of a 4-decimal money expression (the
+    l_extendedprice * (1 - l_discount) product: 2-dec price x 2-dec
+    factor = 4 decimals), accumulated EXACTLY as integer
+    ten-thousandths. r2 of a raw double sum is unsafe here: true group
+    sums landing exactly on the .xx5 half boundary exist in the
+    shipped testdata at every SF, and a one-ulp difference between
+    Spark's and DuckDB's partial-agg accumulation order would round to
+    opposite sides. Snapping each summand to an integer (exact in
+    doubles — the true value IS an integer, ~1e-6 from the computed
+    one, so round() hits it in both engines) makes the sum
+    associative, order-independent, and bit-identical. The final
+    round-to-cents also happens IN INTEGER SPACE ((si + 50) div 100,
+    half-up — valid for the non-negative money domain; si + 50 must
+    stay under 2^53 for the floor-division to be exact, i.e. group
+    sums below ~9e8 currency units, comfortably above any nation-year
+    revenue): ``round(si / 10000.0, 2)`` would re-enter the trap,
+    because at a true .xx5 sum Spark rounds the double's SHORTEST
+    DECIMAL STRING half-up while DuckDB rounds its binary value —
+    found live at sf0.01 (NATION_22/1999: 17814815.935 → .94 vs .93).
+    Twin: ``money4_sum_sql``."""
+    si = F.sum(F.round(col * 10000).cast("bigint"))
+    cents = F.floor((si + F.lit(50)) / F.lit(100)).cast("bigint")
+    return cents / F.lit(100.0)
+
+
+def money4_sum_sql(expr: str) -> str:
+    """DuckDB twin of ``money4_sum_r2`` (same integer ten-thousandths
+    sum, same integer-space half-up round to cents)."""
+    si = f"CAST(sum(CAST(round(({expr}) * 10000) AS BIGINT)) AS BIGINT)"
+    return f"(CAST(floor(({si} + 50) / 100) AS BIGINT) / 100.0)"
+
+
 # NTZ epoch anchor: timestamp_diff/add against it give tz-free epoch
 # micros regardless of the session time zone (unlike unix_micros, which
 # rejects TIMESTAMP_NTZ, and NTZ<->LTZ casts, which shift by session tz).
@@ -282,6 +315,16 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
 # first. The post-50 block is the round-6 rotation lead.
 _VERIFY_FIRST = (
     # -- round-5-touched paths (verify first) -------------------------
+    # results/semantics changed in the late-r5 review batch: NULL-text
+    # exclusion (dedup_exact), NULL-tie oracle (asof_join), try_divide
+    # drop (dedup_embedding), integer-cents revenue (annual_summary),
+    # shared TopK scaffold (knn_brute/quantized)
+    "dedup_exact",
+    "asof_join",
+    "dedup_embedding",
+    "annual_summary",
+    "knn_brute",
+    "knn_quantized",
     "targeted_delete",
     "stream_incremental",
     "incremental_upsert",
@@ -328,12 +371,12 @@ _VERIFY_FIRST = (
     "watermark_filter",
     "sessionize",
     "salted_agg",
+    # -- past the 50-prefix: remaining r3 verdicts, round-6 lead ------
     "anomaly_zscore",
     "quality_scorecard",
     "forecast_ols",
     "forecast_ensemble",
     "label_centroids",
-    # -- past the 50-prefix: remaining r3 verdicts, round-6 lead ------
     "knn_ivf",
     "lsh_buckets",
     "knn_lsh",
@@ -343,7 +386,6 @@ _VERIFY_FIRST = (
     "stream_dedup",
     "bucketed_join",
     "partition_pruned",
-    "asof_join",
     "range_join_agg",
     "rollup_time",
     "sketch_agg",

@@ -451,7 +451,7 @@ c AS (
            regexp_replace(
              regexp_replace(text, '{_PAT_TAG}', ' ', 'g'),
              '{_PAT_CTRL}', '', 'g'),
-           '[ \t\n\x0b\f\r]+', ' ', 'g')) AS cleaned
+           '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS cleaned
   FROM t
 )
 SELECT doc_id,

@@ -90,8 +90,15 @@ FROM documents
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # NULL text is ABSENT content, not shared content: without the
+    # filter, every NULL-text doc lands in one content_hash=NULL group
+    # and gets reported as an exact copy of an unrelated canonical doc
+    # — a consumer deleting against canonical_doc_id would purge
+    # documents whose text is merely missing. Mirrors dbt's "NULL keys
+    # are never duplicates" rule (test_unique semantics).
     return (
-        docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("content_hash"))
+        docs.filter(F.col("text").isNotNull())
+        .select(F.col("doc_id"), F.md5(F.col("text")).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.min("doc_id").alias("canonical_doc_id"),
@@ -107,6 +114,7 @@ SELECT
   min(doc_id) AS canonical_doc_id,
   count(*) AS n_copies
 FROM documents
+WHERE text IS NOT NULL
 GROUP BY 1
 HAVING count(*) > 1
 """
@@ -145,15 +153,17 @@ def ascii_fold(c: F.Column) -> F.Column:
     return F.translate(c, _ASCII_UP, _ASCII_LO)
 
 
-def _oracle_fold(expr: str) -> str:
-    return f"translate({expr}, '{_ASCII_UP}', '{_ASCII_LO}')"
-
-
 # The whitespace class is written EXPLICITLY ([ \t\n\x0b\f\r]+), never
 # as \s: Java regex \s includes \x0b (vertical tab) but DuckDB's RE2
 # \s does not — text containing \x0b would tokenize differently across
 # engines. The explicit class is identical in Java, RE2, and Python
-# (see _shingles_py). Pinned by tests/test_unicode_parity.py.
+# (see _shingles_py). The TRIM charset is pinned the same way: Spark's
+# trim strips only 0x20, but DuckDB's one-arg trim strips Unicode
+# space-category chars (NBSP, EM SPACE, IDEOGRAPHIC SPACE, ...) and
+# Python's bare .strip() strips the full Unicode isspace set (U+2028,
+# NEL, \x1c-\x1f, ...) — so the oracle twin uses trim(x, ' ') and the
+# Python twin .strip(' '), stripping EXACTLY 0x20 in all three
+# engines. Pinned by tests/test_unicode_parity.py.
 _WS_CLASS = r"[ \t\n\x0b\f\r]+"
 
 
@@ -173,7 +183,7 @@ def normalized_words() -> F.Column:
 ORACLE_WORDS_EXPR = (
     r"string_split(trim(regexp_replace(translate(coalesce(text, ''), "
     r"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
-    r"'[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')"
+    r"'[ \t\n\x0b\f\r]+', ' ', 'g'), ' '), ' ')"
 )
 
 
@@ -261,7 +271,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp: list[str] = []
             n: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                sg = _shingles_py(text if text is not None else "")
+                sg = _shingles_of(text)
                 ids.append(doc_id)
                 fp.append(min(hashlib.md5(s.encode()).hexdigest() for s in sg))
                 n.append(len(sg))
@@ -321,10 +331,14 @@ _MH_B = (1, 7, 13, 31, 61, 127, 251, 509)
 def _shingles_py(text: str, k: int = 3) -> list[str]:
     """Python twin of ``_with_shingles`` — byte-identical on this
     corpus. The whitespace class is Java/RE2 ``\\s`` (ASCII), written
-    explicitly so Python's Unicode-aware ``\\s`` cannot diverge."""
+    explicitly so Python's Unicode-aware ``\\s`` cannot diverge; the
+    trim strips EXACTLY 0x20 (.strip(' ') — a bare .strip() would also
+    strip U+2028/NEL/\\x1c..., which the JVM and DuckDB twins keep)."""
     import re
 
-    words = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.translate(_PY_FOLD)).strip().split(" ")
+    words = (
+        re.sub(r"[ \t\n\x0b\f\r]+", " ", text.translate(_PY_FOLD)).strip(" ").split(" ")
+    )
     if len(words) < k:
         return [" ".join(words)]
     seen: set[str] = set()
@@ -335,6 +349,26 @@ def _shingles_py(text: str, k: int = 3) -> list[str]:
             seen.add(s)
             out.append(s)
     return out
+
+
+def _shingles_of(text) -> list[str]:
+    """Pinned shingle set of a possibly-NULL text (NULL -> '' — the
+    convention every Arrow pass and oracle shares; see tokenizer block
+    comment)."""
+    return _shingles_py(text if text is not None else "")
+
+
+def _shingle_hashes_u32(text) -> "np.ndarray":
+    """THE 32-bit shingle-hash recipe (md5 hexdigest 8-hex-char prefix
+    as uint64), shared by minhash banding and simhash — their DuckDB
+    oracles pin the identical expression, so changing the width or
+    hash here requires changing the SQL twins in lockstep."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in _shingles_of(text)),
+        dtype=np.uint64,
+    )
 
 
 def _banded_minhash_gen():
@@ -356,15 +390,7 @@ def _banded_minhash_gen():
             band_idx: list[int] = []
             band_hash: list[str] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                hv = np.fromiter(
-                    (
-                        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-                        # null text -> null words array -> '' shingle in
-                        # the JVM path; mirror that here
-                        for s in _shingles_py(text if text is not None else "")
-                    ),
-                    dtype=np.uint64,
-                )
+                hv = _shingle_hashes_u32(text)
                 sig = (hv[:, None] * a[None, :] + b[None, :]) % p
                 sig = sig.min(axis=0)
                 for bi in range(_NUM_BANDS):
@@ -515,13 +541,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids: list[int] = []
             out: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                hv = np.fromiter(
-                    (
-                        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-                        for s in _shingles_py(text if text is not None else "")
-                    ),
-                    dtype=np.uint64,
-                )
+                hv = _shingle_hashes_u32(text)
                 bits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)  # n x 16
                 votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
                 ids.append(doc_id)

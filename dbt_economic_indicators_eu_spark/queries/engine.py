@@ -22,7 +22,7 @@ from ..models.econ import load_seed
 from ..plans.registry import Registry
 from ..sources.jsonstat import decode_jsonstat_str
 from ..testing.generic import test_not_null
-from .common import EVENTS_NORM_SQL, QueryDef, load, r2
+from .common import EVENTS_NORM_SQL, QueryDef, load, money4_sum_r2, money4_sum_sql, r2
 
 # --------------------------------------------------------------------------
 # q_incremental_upsert — OP-SINK-INCR (fct_economic_indicators.sql:3-8,28-31):
@@ -170,7 +170,7 @@ def q_registry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             stg_li.join(supp, stg_li.l_suppkey == supp.s_suppkey)
             .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy(F.col("n_name").alias("nation_name"), "ship_year")
-            .agg(r2(F.sum("revenue")).alias("revenue"))
+            .agg(money4_sum_r2(F.col("revenue")).alias("revenue"))
         )
 
     @reg.model("mart_nation_rank")
@@ -182,14 +182,14 @@ def q_registry_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reg.context(spark).ref("mart_nation_rank")
 
 
-ORACLE_REGISTRY_PIPELINE = """
+ORACLE_REGISTRY_PIPELINE = f"""
 WITH stg AS (
   SELECT l_suppkey, year(l_shipdate) AS ship_year,
          l_extendedprice * (1 - l_discount) AS revenue
   FROM lineitem WHERE l_quantity > 0
 ),
 int_rev AS (
-  SELECT n.n_name AS nation_name, stg.ship_year, round(sum(stg.revenue), 2) AS revenue
+  SELECT n.n_name AS nation_name, stg.ship_year, {money4_sum_sql("stg.revenue")} AS revenue
   FROM stg JOIN supplier s ON stg.l_suppkey = s.s_suppkey
            JOIN nation n ON s.s_nationkey = n.n_nationkey
   GROUP BY 1, 2

@@ -19,7 +19,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import rank_within_group, safe_divide, surrogate_key
-from .common import QueryDef, epoch_micros, load, r2, r4, widen_narrow_scan
+from .common import (
+    QueryDef,
+    epoch_micros,
+    load,
+    money4_sum_r2,
+    money4_sum_sql,
+    r2,
+    r4,
+    widen_narrow_scan,
+)
 
 # --------------------------------------------------------------------------
 # q_staging_projection — OP-SRC-TABLE, OP-PROJ-RENAME, OP-PROJ-CAST,
@@ -198,7 +207,7 @@ def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
             F.year("l_shipdate").alias("ship_year"),
         )
-        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(money4_sum_r2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
     w_year = Window.partitionBy("ship_year")
     year_total = r2(F.sum("revenue").over(w_year))
@@ -212,13 +221,13 @@ def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_REGION_SHARE = """
+ORACLE_REGION_SHARE = f"""
 WITH per_nation AS (
   SELECT
     r.r_name AS region_name,
     n.n_name AS nation_name,
     CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
-    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    {money4_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -882,7 +891,7 @@ def q_annual_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("ship_year"),
         )
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            money4_sum_r2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             (r2(F.sum("l_quantity")) / F.count(F.lit(1))).alias("avg_quantity"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
@@ -898,7 +907,10 @@ def q_annual_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_quantity",
         "n_lineitems",
         F.rank().over(w_year.orderBy(F.col("revenue").desc())).alias("revenue_rank_in_year"),
-        r4(F.col("revenue") / F.sum("revenue").over(w_year) * 100.0).alias(
+        # divide by the r2-ROUNDED window total (as q_region_share does):
+        # the raw windowed sum is an order-dependent double accumulation,
+        # and r4 of a quotient over ulp-divergent totals can flip
+        r4(F.col("revenue") / r2(F.sum("revenue").over(w_year)) * 100.0).alias(
             "revenue_share_pct"
         ),
         r4(
@@ -910,13 +922,13 @@ def q_annual_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ANNUAL_SUMMARY = """
+ORACLE_ANNUAL_SUMMARY = f"""
 WITH annual AS (
   SELECT
     r.r_name AS region_name,
     n.n_name AS nation_name,
     CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
-    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    {money4_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
     round(sum(l.l_quantity), 2) / count(*) AS avg_quantity,
     count(*) AS n_lineitems
   FROM lineitem l
@@ -934,7 +946,7 @@ SELECT
   n_lineitems,
   rank() OVER (PARTITION BY ship_year ORDER BY revenue DESC)
     AS revenue_rank_in_year,
-  round(revenue / sum(revenue) OVER (PARTITION BY ship_year) * 100.0, 4)
+  round(revenue / round(sum(revenue) OVER (PARTITION BY ship_year), 2) * 100.0, 4)
     AS revenue_share_pct,
   round(CASE WHEN lag(revenue) OVER w IS NOT NULL AND lag(revenue) OVER w != 0
         THEN (revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 100.0 END, 4)

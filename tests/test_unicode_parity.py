@@ -42,6 +42,15 @@ _UNI = [
     # tokenize identically via the explicit whitespace class
     "vertical\x0btab\x0b\x0bsplit mixed \x0b ws",
     "tab\tnewline\nformfeed\fcarriage\rmix",
+    # trim-charset pins (round 5): the three tokenizer twins strip
+    # EXACTLY 0x20 at the edges (Spark trim / DuckDB trim(x, ' ') /
+    # Python .strip(' ')). NBSP-class chars (DuckDB's ONE-arg trim
+    # strips them) and U+2028 / \x1c (Python's bare .strip() strips
+    # them) must SURVIVE at text edges in all three engines.
+    " nbsp leading and trailing ",
+    " line separator edge ",
+    "\x1cfile separator edge\x1f",
+    "　ideographic space edge　",
 ]
 
 _CHECK = [
@@ -74,7 +83,13 @@ def unicode_sf(tmp_path_factory):
         tbl = pq.read_table(f"{SRC}/{t}.parquet")
         if t == "documents":
             n = tbl.num_rows
-            texts = [_UNI[i % len(_UNI)] + f" doc{i} tail words here" for i in range(n)]
+            # each _UNI entry rotates through BOTH text positions:
+            # leading (edge chars at text START) and trailing (edge
+            # chars at text END) — the trim-charset pins need both
+            texts = [
+                f"{_UNI[i % len(_UNI)]} doc{i} {_UNI[(i + 3) % len(_UNI)]}"
+                for i in range(n)
+            ]
             tbl = tbl.set_column(
                 tbl.column_names.index("text"), "text", pa.array(texts)
             ).set_column(
