@@ -247,11 +247,16 @@ def main() -> int:
     # caps that tail. Both engines sample in the same windows, so the
     # extra pass is symmetric on the ratio.
     n_passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
-    for _pass in range(n_passes):
+    pass_totals: list[float] = []
+
+    def one_full_pass() -> None:
         jvm_quiesce()
+        pt = 0.0
         for name, builder in qs.items():
             elapsed = time_one(name, builder)
             samples.setdefault(name, []).append(elapsed)
+            if elapsed >= 0:
+                pt += elapsed
             prev = per_query.get(name)
             # never let the -1 failure sentinel clobber a valid
             # sample: a transient flake on a later pass must not drop
@@ -260,11 +265,28 @@ def main() -> int:
                 per_query[name] = elapsed
             elif elapsed >= 0 and (prev < 0 or elapsed < prev):
                 per_query[name] = elapsed
+        pass_totals.append(round(pt, 3))
         if oracle_on:
             try:
                 _oracle_pass(sf_dir, set(qs), oracle_best)
             except Exception as exc:
                 print(f"bench: oracle pass failed: {exc}", file=sys.stderr)
+
+    for _pass in range(n_passes):
+        one_full_pass()
+
+    # Adaptive extra FULL pass (both engines — symmetric on the ratio):
+    # when the per-pass Spark totals disagree by >10%, at least one
+    # pass-wide noise window (JIT recompile storm, co-tenant burst,
+    # frequency dip) polluted a whole pass, and the min estimator may
+    # still be sitting on a polluted floor. One more pass, minutes
+    # after the first, samples outside that window. Bounded to +1 so a
+    # persistent slow regime cannot stretch the run unboundedly — and
+    # min-of-N only converges DOWNWARD to the true floor, so the extra
+    # sample can never flatter a genuinely slow build.
+    if len(pass_totals) >= 2 and min(pass_totals) > 0:
+        if max(pass_totals) / min(pass_totals) > 1.10:
+            one_full_pass()
 
     # Adaptive extra sample: when a query's samples disagree by >1.3x,
     # at least one was polluted by a JVM event (C2 backlog, full GC,
@@ -300,7 +322,13 @@ def main() -> int:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        # diagnostic: whole-suite Spark wall per pass — a reader can
+        # see whether a high ratio came from a uniformly slow run
+        # (all passes elevated: host-level regime, not the code)
+        "pass_totals": pass_totals,
     }
+    if os.environ.get("SPARK_GRAFT_SAMPLES") == "1":  # debug: raw per-pass samples
+        payload["samples"] = samples
     steal1, total1 = _cpu_jiffies()
     if total1 > total0:
         payload["host_steal_pct"] = round(
