@@ -22,7 +22,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.expressions import safe_divide, surrogate_key
+from ..functions.expressions import surrogate_key
 from ..plans.registry import Context, Registry
 
 _SEED_DIR = os.path.join(os.path.dirname(__file__), "..", "sources", "seeds")

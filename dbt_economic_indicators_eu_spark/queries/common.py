@@ -325,6 +325,7 @@ _VERIFY_FIRST = (
     "annual_summary",
     "knn_brute",
     "knn_quantized",
+    "freshness_check",
     "targeted_delete",
     "stream_incremental",
     "incremental_upsert",

@@ -45,9 +45,17 @@ def q_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = orders.filter(F.col("order_date") >= F.lit(_CUTOFF)).withColumn(
         "batch_id", F.lit("b2")
     )
+    # integer-space revision (common.py float discipline): price has 2
+    # decimals so price*1.1 terminates at 3 — r2 of that sits exactly on
+    # the .xx5 half boundary, where Spark rounds the double's decimal
+    # string HALF_UP while DuckDB rounds its binary value (verified:
+    # 71995.15*1.1 -> .67 vs .66). Snap to integer thousandths, then
+    # half-up to cents in integer arithmetic — identical on both engines.
+    m = F.round(F.col("total_price") * 1100).cast("bigint")
+    revised_price = F.floor((m + F.lit(5)) / F.lit(10)).cast("bigint") / F.lit(100.0)
     revised = (
         orders.filter((F.col("order_date") < F.lit(_CUTOFF)) & (F.col("order_key") % 97 == 0))
-        .withColumn("total_price", r2(F.col("total_price") * 1.1))
+        .withColumn("total_price", revised_price)
         .withColumn("batch_id", F.lit("b2-rev"))
     )
     incoming = fresh.unionByName(revised)
@@ -65,7 +73,9 @@ incoming AS (
          o_orderdate AS order_date, o_totalprice AS total_price, 'b2' AS batch_id
   FROM orders WHERE o_orderdate >= DATE '{_CUTOFF}'
   UNION ALL
-  SELECT o_orderkey, o_custkey, o_orderdate, round(o_totalprice * 1.1, 2), 'b2-rev'
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(floor((CAST(round(o_totalprice * 1100) AS BIGINT) + 5) / 10) AS BIGINT) / 100.0,
+         'b2-rev'
   FROM orders WHERE o_orderdate < DATE '{_CUTOFF}' AND o_orderkey % 97 = 0
 )
 SELECT e.order_key, e.cust_key, e.order_date, e.total_price,
@@ -287,7 +297,15 @@ def q_freshness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(F.max("ts").alias("max_loaded_at"))
     days = F.datediff(F.lit(_FRESH_NOW).cast("date"), F.to_date("max_loaded_at"))
-    status = F.when(days > 30, "error").when(days > 7, "warn").otherwise("pass")
+    # NULL-first error branch (testing/generic.check_freshness parity):
+    # a group whose ts are all NULL is a DEAD FEED — without the guard
+    # NULL days falls through both thresholds into 'pass'
+    status = (
+        F.when(days.isNull(), "error")
+        .when(days > 30, "error")
+        .when(days > 7, "warn")
+        .otherwise("pass")
+    )
     return agg.select(
         "event_type",
         "max_loaded_at",
@@ -301,7 +319,8 @@ SELECT
   event_type,
   max(ts) AS max_loaded_at,
   date_diff('day', CAST(max(ts) AS DATE), DATE '{_FRESH_NOW}') AS days_stale,
-  CASE WHEN date_diff('day', CAST(max(ts) AS DATE), DATE '{_FRESH_NOW}') > 30 THEN 'error'
+  CASE WHEN date_diff('day', CAST(max(ts) AS DATE), DATE '{_FRESH_NOW}') IS NULL THEN 'error'
+       WHEN date_diff('day', CAST(max(ts) AS DATE), DATE '{_FRESH_NOW}') > 30 THEN 'error'
        WHEN date_diff('day', CAST(max(ts) AS DATE), DATE '{_FRESH_NOW}') > 7 THEN 'warn'
        ELSE 'pass' END AS freshness_status
 FROM {EVENTS_NORM_SQL} e
@@ -696,7 +715,11 @@ QUERIES = [
     # the filesystem), so they plan-cache like any declarative query
     QueryDef("incremental_upsert", q_incremental_upsert, ORACLE_INCREMENTAL_UPSERT, ("OP-SINK-INCR",)),
     QueryDef("scd2_snapshot", q_scd2_snapshot, ORACLE_SCD2_SNAPSHOT, ("OP-SINK-SCD2",)),
-    QueryDef("registry_pipeline", q_registry_pipeline, ORACLE_REGISTRY_PIPELINE, ("OP-SINK-VIEW", "OP-SINK-TABLE"), effectful=True),
+    # registry_pipeline is PURE plan construction (lazy views composed
+    # via ctx.ref — no writes, no actions), so the plan caches like its
+    # siblings; OP-SINK-TABLE's effectful write path is exercised by
+    # tests/test_registry.py + materialize/run.py, not by this builder
+    QueryDef("registry_pipeline", q_registry_pipeline, ORACLE_REGISTRY_PIPELINE, ("OP-SINK-VIEW", "OP-SINK-TABLE")),
     QueryDef("seed_eu_status", q_seed_eu_status, ORACLE_SEED_EU_STATUS, ("OP-SRC-SEED",)),
     QueryDef("avail_agg", q_avail_agg, ORACLE_AVAIL_AGG, ("OP-AGG-AVAIL", "OP-AGG-ROWCOUNT")),
     QueryDef("freshness_check", q_freshness_check, ORACLE_FRESHNESS_CHECK, ("OP-TEST-FRESH",)),

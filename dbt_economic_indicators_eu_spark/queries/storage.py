@@ -12,6 +12,7 @@ pruned scan) — the oracle verifies the answers are layout-invariant.
 
 from __future__ import annotations
 
+import hashlib
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,9 +43,15 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Broadcast is disabled for the join via hint-free bucketing only if
     the dim is large; here the plan test asserts no Exchange, which
     holds for bucketed scans regardless.)"""
-    # table names carry the sf tag so two scale factors in one session
-    # (warmup at sf0.001, timed reps at sf0.1) never alias each other
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    # table names carry the sf tag PLUS a hash of the FULL sf_dir: the
+    # layout cache keys the full path, so two distinct dirs sharing a
+    # basename (e.g. a tmp-dir mutated-fixture copy also named sf0.001)
+    # must not alias each other's catalog tables — a basename-only tag
+    # would let the second dir's saveAsTable(overwrite) rebind the
+    # first dir's cached table to foreign data
+    full = sf_dir.rstrip("/")
+    suffix = hashlib.md5(full.encode()).hexdigest()[:8]
+    tag = "".join(c if c.isalnum() else "_" for c in full.rsplit("/", 1)[-1]) + "_" + suffix
     orders_tbl, cust_tbl = f"orders_bucketed_{tag}", f"customer_bucketed_{tag}"
     key = _layout_key(spark, "bucketed", sf_dir)
     if key not in _LAYOUT_CACHE:
