@@ -71,7 +71,9 @@ def _spark(args):
 def _model_names(reg, args, spark, *, materializations=None, exclude=("snapshot",)):
     if args.select:
         # dbt graph selectors: name, +name (ancestors), name+ (descendants)
-        names = reg.expand_selection(spark, list(args.select))
+        names = reg.expand_selection(
+            spark, list(args.select), vars=_parse_vars(getattr(args, "vars", None))
+        )
     else:
         names = list(reg.models)
     out = []
@@ -141,7 +143,11 @@ def cmd_test(args) -> int:
 
     reg = _registry(args.raw_dir)
     spark = _spark(args)
-    select = reg.expand_selection(spark, list(args.select)) if args.select else None
+    select = (
+        reg.expand_selection(spark, list(args.select), vars=_parse_vars(args.vars))
+        if args.select
+        else None
+    )
 
     from .materialize.run import schema_name
 

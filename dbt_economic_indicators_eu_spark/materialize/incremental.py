@@ -147,6 +147,13 @@ def run_incremental(
         # global watermark over the FULL table — a column-pruned scan
         # of one column, not a data rewrite
         incoming = _past_watermark(existing, incoming, watermark_col)
+    # materialize the (possibly expensive multi-join) incoming plan
+    # ONCE: both the partition listing below and the merged write
+    # consume it — without the checkpoint each would re-run the full
+    # plan (including the watermark scan of the existing table),
+    # roughly doubling merge cost per batch. Sized to the batch, like
+    # the merged checkpoint below.
+    incoming = incoming.localCheckpoint(eager=True)
     # affected partitions: bounded by nature (a batch touches few
     # partitions), so the driver-side list is safe
     parts = [r[0] for r in incoming.select(partition_by).distinct().collect()]

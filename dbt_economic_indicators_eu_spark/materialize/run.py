@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import Context, Registry
 from .incremental import has_parquet_files, run_incremental
-from .snapshot import run_snapshot
+from .snapshot import run_snapshot, scd2_merge
 
 logger = logging.getLogger(__name__)
 
@@ -92,16 +92,49 @@ def _materialize_one(
         run_snapshot(spark, path, df, model.unique_key, list(model.check_cols), now)
     # a rowless materialization (e.g. project vars scoping the run to an
     # empty slice) writes no parquet footers — read back with the
-    # plan's schema so downstream refs see an empty, correctly-typed
-    # relation instead of UNABLE_TO_INFER_SCHEMA
-    fresh = (
-        spark.read.parquet(path)
-        if has_parquet_files(path)
-        else spark.read.schema(df.schema).parquet(path)
-    )
+    # STORED-RELATION schema so downstream refs see an empty,
+    # correctly-typed relation instead of UNABLE_TO_INFER_SCHEMA. For a
+    # snapshot that schema is NOT the build plan's: scd2_merge appends
+    # valid_from/valid_to/is_current, which downstream refs and schema
+    # tests select — derive it from the merge itself on an empty slice
+    # (lazy plan construction, no job).
+    if has_parquet_files(path):
+        fresh = spark.read.parquet(path)
+    else:
+        stored_schema = df.schema
+        if model.materialization == "snapshot":
+            stored_schema = scd2_merge(
+                None, df.limit(0), model.unique_key, list(model.check_cols), now
+            ).schema
+        fresh = spark.read.schema(stored_schema).parquet(path)
     with build_lock:
         ctx.set_relation(name, fresh)
     return fresh
+
+
+def _selected_upstream_map(registry, spark, names, mocks, vars):
+    """For each selected model, its SELECTED upstreams — transitively
+    THROUGH unselected nodes: with A(selected) -> B(unselected view) ->
+    C(selected), A must wait for C, because A's build recomputes B,
+    whose ref(C) must resolve to C's stored relation."""
+    deps = registry.dependency_graph(spark, mocks=mocks, vars=vars, select=names)
+    selected = set(names)
+
+    def sel_ups(n: str) -> set[str]:
+        out: set[str] = set()
+        stack, seen = list(deps.get(n, ())), set()
+        while stack:
+            d = stack.pop()
+            if d in seen:
+                continue
+            seen.add(d)
+            if d in selected:
+                out.add(d)
+            else:
+                stack.extend(deps.get(d, ()))
+        return out
+
+    return {n: sel_ups(n) for n in names}
 
 
 def run_models(
@@ -151,6 +184,28 @@ def run_models(
         import threading
 
         lock = threading.Lock()  # uncontended in the serial path
+        # dependency-order an explicit selection before running: the
+        # caller's ``select`` list need not be topological, and running
+        # a mart before its incremental upstream would silently build
+        # the mart from a fresh single-batch recompute instead of the
+        # stored relation (the same contract the threaded scheduler
+        # enforces). The default all-models path keeps registry
+        # declaration order (already topological) without paying the
+        # probe-build edge harvest.
+        if select is not None and len(names) > 1:
+            upstream = _selected_upstream_map(registry, spark, names, mocks, vars)
+            ordered: list[str] = []
+            done_names: set[str] = set()
+            pending_names = list(names)  # given order = stable tie-break
+            while pending_names:
+                ready = [n for n in pending_names if upstream[n] <= done_names]
+                if not ready:  # cycle — ctx.ref would also raise
+                    raise RuntimeError(f"unschedulable models: {pending_names}")
+                for n in ready:
+                    pending_names.remove(n)
+                    ordered.append(n)
+                    done_names.add(n)
+            names = ordered
         for name in names:
             out[name] = _materialize_one(
                 ctx, spark, name, base, watermark_col, now, lock
@@ -167,29 +222,7 @@ def run_models(
     import threading
     from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
-    deps = registry.dependency_graph(spark, mocks=mocks, vars=vars, select=names)
-    selected = set(names)
-
-    def _selected_upstreams(n: str) -> set[str]:
-        # transitive closure THROUGH unselected nodes: with
-        # A(selected) -> B(unselected view) -> C(selected), A must wait
-        # for C — A's build recomputes B, whose ref(C) must resolve to
-        # C's stored relation (the serial path guarantees this via
-        # registry order)
-        out: set[str] = set()
-        stack, seen = list(deps.get(n, ())), set()
-        while stack:
-            d = stack.pop()
-            if d in seen:
-                continue
-            seen.add(d)
-            if d in selected:
-                out.add(d)
-            else:
-                stack.extend(deps.get(d, ()))
-        return out
-
-    upstream = {n: _selected_upstreams(n) for n in names}
+    upstream = _selected_upstream_map(registry, spark, names, mocks, vars)
 
     build_lock = threading.Lock()
     done: set[str] = set()

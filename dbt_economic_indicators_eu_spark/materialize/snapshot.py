@@ -33,6 +33,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .incremental import has_parquet_files
+
 
 def _any_check_changed(check_cols: tuple[str, ...] | list[str]) -> Column:
     diffs = [~F.col(f"snap.{c}").eqNullSafe(F.col(f"cur.{c}")) for c in check_cols]
@@ -114,7 +116,14 @@ def run_snapshot(
     check_cols: list[str],
     now,
 ) -> None:
-    prev = spark.read.parquet(snapshot_path) if os.path.exists(snapshot_path) else None
+    # footer probe, not a bare exists(): a rowless prior snapshot (an
+    # empty source slice wrote a directory with no parquet data files)
+    # must read as first-run, not crash UNABLE_TO_INFER_SCHEMA forever
+    prev = (
+        spark.read.parquet(snapshot_path)
+        if has_parquet_files(snapshot_path)
+        else None
+    )
     nxt = scd2_merge(prev, current, unique_key, check_cols, now)
     tmp = snapshot_path.rstrip("/") + ".tmp"
     nxt.write.mode("overwrite").parquet(tmp)

@@ -56,9 +56,19 @@ def asof_join(
     ``direction='backward'`` matches the greatest ``right_ts <=
     left_ts``; ``'forward'`` the smallest ``right_ts >= left_ts``.
     Value column names must not collide with left column names.
+
+    NULL timestamps follow pandas ``merge_asof`` / DuckDB ``ASOF``
+    semantics: a NULL ``right_ts`` row never matches anything (without
+    the filter below it would sort NULLS-FIRST ahead of every real row
+    and ``last(ignorenulls)`` would propagate its payload to every
+    otherwise-unmatched left row in the key group), and a NULL
+    ``left_ts`` row matches nothing (guarded explicitly — under the
+    forward scan's DESC order NULLs sort LAST and would otherwise
+    inherit the smallest ``right_ts`` payload).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right = right.filter(F.col(right_ts).isNotNull())
     on = list(on)
     values = list(values)
     clash = set(values) & set(left.columns)
@@ -94,8 +104,12 @@ def asof_join(
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(*frame)
 
     filled = u.withColumn(_VAL, F.last(_VAL, ignorenulls=True).over(w))
+    no_match_guard = F.col(_TS).isNotNull()  # NULL left_ts: no match
     return filled.filter(F.col(_SIDE) == 1).select(
         *on,
         *left_payload,
-        *[F.col(f"{_VAL}.{c}").alias(c) for c in values],
+        *[
+            F.when(no_match_guard, F.col(f"{_VAL}.{c}")).alias(c)
+            for c in values
+        ],
     )

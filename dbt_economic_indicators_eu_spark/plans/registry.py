@@ -177,8 +177,11 @@ class Registry:
         *,
         mocks: dict[str, DataFrame] | None = None,
         vars: dict | None = None,
+        probe: bool = False,
     ) -> "Context":
-        return Context(self, spark, mocks=dict(mocks or {}), vars=dict(vars or {}))
+        return Context(
+            self, spark, mocks=dict(mocks or {}), vars=dict(vars or {}), _probe=probe
+        )
 
     def dependency_graph(
         self,
@@ -194,7 +197,7 @@ class Registry:
         (or mocks covering them). ``mocks``/``vars`` mirror the run
         configuration so conditional refs resolve the same way the
         real run will; ``select`` limits the harvest."""
-        ctx = self.context(spark, mocks=mocks, vars=vars)
+        ctx = self.context(spark, mocks=mocks, vars=vars, probe=True)
         names = list(select) if select is not None else list(self._models)
         for name in names:
             ctx.ref(name)
@@ -207,14 +210,24 @@ class Registry:
             out.setdefault(name, set())
         return out
 
-    def expand_selection(self, spark: SparkSession, tokens: list[str]) -> list[str]:
+    def expand_selection(
+        self,
+        spark: SparkSession,
+        tokens: list[str],
+        *,
+        mocks: dict[str, DataFrame] | None = None,
+        vars: dict | None = None,
+    ) -> list[str]:
         """dbt graph selectors: ``name``, ``+name`` (with ancestors),
         ``name+`` (with descendants), ``+name+``, and ``tag:<tag>``
         (every model carrying the tag — dbt_project.yml layer tags).
         Names may be models or sources. Returns matching models in
         registry declaration order (already topological), then matching
-        sources."""
-        deps = self.dependency_graph(spark)
+        sources. ``mocks``/``vars`` must mirror the run configuration:
+        a ref gated on ``ctx.var(...)`` resolves during the edge
+        harvest exactly as the real run will, so ancestor selection
+        and the run agree on the graph."""
+        deps = self.dependency_graph(spark, mocks=mocks, vars=vars)
         children: dict[str, set] = {}
         for m, ups in deps.items():
             for u in ups:
@@ -276,6 +289,9 @@ class Context:
     # (plan construction is lazy and cheap, so walking every ref gives
     # the dbt dep graph without executing anything)
     deps: dict[str, set] = field(default_factory=dict)
+    # probe contexts (dependency_graph edge harvest) adjust snapshot
+    # refs to the stored-relation schema — see ref()
+    _probe: bool = False
 
     def _record_edge(self, name: str) -> None:
         if self._building:
@@ -309,6 +325,20 @@ class Context:
             from ..testing.contracts import enforce_contract
 
             enforce_contract(df.schema, model.contract, model_name=name)
+        if self._probe and model.materialization == "snapshot":
+            # PROBE contexts (dependency_graph's throwaway edge
+            # harvest) must present refs the way the REAL run will:
+            # downstream models ref a snapshot's STORED relation, which
+            # carries valid_from/valid_to/is_current that the raw build
+            # frame lacks — a downstream plan selecting them would
+            # fail analysis during the harvest. Lazy empty merge (no
+            # job) yields exactly the stored schema.
+            from ..materialize.snapshot import scd2_merge
+
+            df = scd2_merge(
+                None, df.limit(0), model.unique_key,
+                list(model.check_cols), "1970-01-01 00:00:00",
+            )
         self._cache[f"m:{name}"] = df
         return df
 

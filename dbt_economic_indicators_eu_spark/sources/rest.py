@@ -137,9 +137,13 @@ def load_raw(
     a shard that is ALREADY a single partition (one payload decoded
     from a local relation) the repartition would be a pure extra
     stage."""
-    exists = os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+    # recursive footer probe (shared helper): a raw table whose data
+    # files live under partition subdirectories has no direct-child
+    # *.parquet entries — a flat listdir would misread it as absent
+    # and silently OVERWRITE an intended append
+    from ..materialize.incremental import has_parquet_files
+
+    exists = has_parquet_files(path)
     mode = "overwrite" if (full_refresh or not exists) else "append"
     if files_per_shard is not None:
         df = df.repartition(files_per_shard)

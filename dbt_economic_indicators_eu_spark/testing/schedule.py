@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.registry import Context, Registry, RegistryError
@@ -56,6 +56,11 @@ def _violations_frame(
             stored = resolve(name)
             if stored is not None:
                 return stored
+        # a relationships parent may be a SOURCE, not a model (dbt
+        # supports `to: source(...)`): resolve through the source
+        # binding before ref() raises unknown-model
+        if name in ctx.registry.sources and name not in ctx.registry.models:
+            return ctx.source(name)
         return ctx.ref(name)
 
     if df is None:
@@ -135,7 +140,7 @@ def source_freshness_report(registry: Registry, ctx: Context, now) -> DataFrame:
     declared policy (_sources.yml warn_after/error_after) — again one
     unioned plan, one job."""
     rows: list[DataFrame] = []
-    now_col = now if hasattr(now, "_jc") else F.lit(now).cast("timestamp")
+    now_col = now if isinstance(now, Column) else F.lit(now).cast("timestamp")
     for name, src in registry.sources.items():
         if src.loader is None or src.loaded_at_field is None:
             continue

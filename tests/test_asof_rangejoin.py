@@ -231,3 +231,38 @@ def test_asof_query_tie_dedup_carries_null_value(spark, monkeypatch):
     assert len(out) == 1
     assert out[0].purchase_event_id == 10
     assert out[0].purchase_value is None
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """pandas merge_asof / DuckDB ASOF semantics: a NULL right_ts row
+    matches nothing (it must not sort NULLS-FIRST and propagate its
+    payload to unmatched left rows), and a NULL left_ts row gets a
+    NULL payload in BOTH directions (under the forward scan's DESC
+    order it would otherwise inherit the smallest right_ts payload)."""
+    quotes = spark.createDataFrame(
+        [
+            (1, None, 99.0, "poison"),
+            (1, _ts("2024-01-01T10:00:00"), 5.0, "real"),
+        ],
+        "key bigint, qts timestamp, px double, tag string",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), "before-all"),
+            (1, _ts("2024-01-01T11:00:00"), "after"),
+            (1, None, "null-left"),
+        ],
+        "key bigint, tts timestamp, tid string",
+    )
+    for direction, expect in (
+        ("backward", {"before-all": None, "after": 5.0, "null-left": None}),
+        ("forward", {"before-all": 5.0, "after": None, "null-left": None}),
+    ):
+        out = {
+            r.tid: r.px
+            for r in asof_join(
+                trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+                values=["px"], direction=direction,
+            ).collect()
+        }
+        assert out == expect, (direction, out)

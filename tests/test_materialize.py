@@ -335,3 +335,44 @@ def test_partition_scoped_merge_keeps_null_partition_rows(spark, tmp_path):
     }
     assert set(got) == {"k1", "k2", "k3"}  # k1 survived the NULL-partition merge
     assert got["k1"] == (None, 1.0) and got["k3"] == (None, 3.0)
+
+
+def test_snapshot_rowless_prior_recovers(spark, tmp_path):
+    """A first snapshot run over an EMPTY source slice writes a
+    directory with no parquet footers; the next run must treat it as
+    first-run (footer probe) instead of crashing UNABLE_TO_INFER_SCHEMA
+    forever — and the rowless read-back must carry the SCD2 columns so
+    downstream refs can select is_current/valid_from."""
+    from dbt_economic_indicators_eu_spark.materialize.run import run_models
+    from dbt_economic_indicators_eu_spark.plans.registry import Registry
+
+    wh = str(tmp_path / "wh")
+
+    def build(n_rows):
+        reg = Registry()
+
+        @reg.model(
+            "snap", materialization="snapshot",
+            unique_key="id", check_cols=("v",),
+        )
+        def _s(ctx):
+            return (
+                ctx.spark.range(n_rows)
+                .select("id", (F.col("id") * 10).alias("v"))
+            )
+
+        return reg
+
+    out1 = run_models(
+        build(0), spark, wh, now="2024-01-01 00:00:00", select=["snap"]
+    )
+    # rowless read-back still exposes the stored-relation schema
+    assert {"valid_from", "valid_to", "is_current"} <= set(out1["snap"].columns)
+    assert out1["snap"].count() == 0
+    # second run over real rows: footer probe reads the rowless prior
+    # as first-run instead of crashing
+    out2 = run_models(
+        build(3), spark, wh, now="2024-02-01 00:00:00", select=["snap"]
+    )
+    rows = out2["snap"].collect()
+    assert len(rows) == 3 and all(r.is_current for r in rows)

@@ -245,3 +245,62 @@ def test_cli_vars_scope_the_run(spark, tmp_path):
     )
     fct = spark.read.parquet(os.path.join(wh_str, "fct_economic_indicators"))
     assert fct.count() == 12
+
+
+def test_serial_select_is_dependency_ordered(spark, tmp_path):
+    """threads=1 with a NON-topological explicit selection: the mart
+    must still materialize AFTER its incremental upstream, reading the
+    stored relation — running the caller's order verbatim would build
+    the mart from a fresh recompute missing accumulated history."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    reg = Registry()
+
+    @reg.model("fct_incr", materialization="incremental", unique_key="id")
+    def _f(ctx):
+        return ctx.spark.range(3).select("id", F.lit("b2").alias("batch"))
+
+    @reg.model("mart", materialization="table")
+    def _m(ctx):
+        return ctx.ref("fct_incr").groupBy().count()
+
+    # seed history the fresh recompute would NOT contain
+    run_models(reg, spark, wh, select=["fct_incr"], threads=1)
+    import pyarrow.parquet as pq  # noqa: F401  (warehouse sanity)
+
+    reg2 = Registry()
+
+    @reg2.model("fct_incr", materialization="incremental", unique_key="id")
+    def _f2(ctx):
+        return ctx.spark.range(3, 5).select("id", F.lit("b3").alias("batch"))
+
+    @reg2.model("mart", materialization="table")
+    def _m2(ctx):
+        return ctx.ref("fct_incr").groupBy().count()
+
+    # mart listed FIRST — serial path must reorder it after fct_incr
+    out = run_models(reg2, spark, wh, select=["mart", "fct_incr"], threads=1)
+    assert out["mart"].collect()[0][0] == 5  # 3 history + 2 new
+
+
+def test_vars_aware_selection_expansion(spark):
+    """+mart ancestor expansion resolves conditional refs with the SAME
+    vars the run will use: a var-gated upstream is selected when the
+    var enables it and omitted when it doesn't."""
+    reg = Registry()
+
+    @reg.model("extra", materialization="table")
+    def _e(ctx):
+        return ctx.spark.range(1)
+
+    @reg.model("mart")
+    def _m(ctx):
+        if ctx.var("include_extra", False):
+            return ctx.ref("extra")
+        return ctx.spark.range(2)
+
+    with_var = reg.expand_selection(spark, ["+mart"], vars={"include_extra": True})
+    without = reg.expand_selection(spark, ["+mart"])
+    assert "extra" in with_var
+    assert "extra" not in without
