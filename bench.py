@@ -249,14 +249,19 @@ def main() -> int:
     n_passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
     pass_totals: list[float] = []
 
+    pass_clean: list[bool] = []  # no -1 sentinel in the pass
+
     def one_full_pass() -> None:
         jvm_quiesce()
         pt = 0.0
+        clean = True
         for name, builder in qs.items():
             elapsed = time_one(name, builder)
             samples.setdefault(name, []).append(elapsed)
             if elapsed >= 0:
                 pt += elapsed
+            else:
+                clean = False
             prev = per_query.get(name)
             # never let the -1 failure sentinel clobber a valid
             # sample: a transient flake on a later pass must not drop
@@ -266,6 +271,7 @@ def main() -> int:
             elif elapsed >= 0 and (prev < 0 or elapsed < prev):
                 per_query[name] = elapsed
         pass_totals.append(round(pt, 3))
+        pass_clean.append(clean)
         if oracle_on:
             try:
                 _oracle_pass(sf_dir, set(qs), oracle_best)
@@ -287,9 +293,13 @@ def main() -> int:
     # DOWNWARD to the true floor, so extra samples can never flatter a
     # genuinely slow build.
     for _extra in range(2):
-        if len(pass_totals) < 2 or min(pass_totals) <= 0:
+        # spread over FAILURE-FREE passes only: a query failing in one
+        # pass shrinks that pass's total, which would fake a >10%
+        # spread (and extra minutes of wall) with zero actual noise
+        clean_totals = [t for t, ok in zip(pass_totals, pass_clean) if ok]
+        if len(clean_totals) < 2 or min(clean_totals) <= 0:
             break
-        if max(pass_totals) / min(pass_totals) <= 1.10:
+        if max(clean_totals) / min(clean_totals) <= 1.10:
             break
         one_full_pass()
 
@@ -301,9 +311,9 @@ def main() -> int:
     retry = [
         n
         for n, ss in samples.items()
-        if len([s for s in ss if s >= 0]) == n_passes
-        and min(s for s in ss if s >= 0) > 0.15
-        and max(ss) / max(min(s for s in ss if s >= 0), 1e-9) > 1.3
+        if all(s >= 0 for s in ss)
+        and min(ss) > 0.15
+        and max(ss) / max(min(ss), 1e-9) > 1.3
     ]
     if retry:
         jvm_quiesce()

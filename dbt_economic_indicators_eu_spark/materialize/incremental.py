@@ -32,14 +32,27 @@ from pyspark.sql import functions as F
 
 
 def has_parquet_files(path: str) -> bool:
-    """True when ``path`` holds at least one parquet data file. The
-    shared probe for the rowless-target condition: a partitioned write
-    of zero rows leaves a directory with no footers, which
-    ``spark.read.parquet`` cannot infer a schema from — callers fall
-    back to first-run semantics or an explicit schema."""
-    return any(
-        f.endswith(".parquet") for _, _, files in os.walk(path) for f in files
-    )
+    """True when ``path`` holds at least one parquet data file THAT
+    SPARK WILL READ. The shared probe for the rowless-target
+    condition: a partitioned write of zero rows leaves a directory
+    with no footers, which ``spark.read.parquet`` cannot infer a
+    schema from — callers fall back to first-run semantics or an
+    explicit schema.
+
+    Spark-hidden entries (``_``/``.`` prefixes — ``_temporary`` from
+    an interrupted write, ``.staging``, ``_SUCCESS``) are skipped like
+    Spark's own file index skips them: counting a killed job's
+    ``_temporary`` part files would flip the probe to True while the
+    reader still sees zero data files — resurrecting exactly the
+    persistent UNABLE_TO_INFER_SCHEMA crash this probe prevents."""
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in files
+        ):
+            return True
+    return False
 
 
 def _past_watermark(existing: DataFrame, incoming: DataFrame, wc: str) -> DataFrame:

@@ -112,12 +112,31 @@ def _materialize_one(
     return fresh
 
 
-def _selected_upstream_map(registry, spark, names, mocks, vars):
+def _selected_upstream_map(registry, spark, names, mocks, vars, base):
     """For each selected model, its SELECTED upstreams — transitively
     THROUGH unselected nodes: with A(selected) -> B(unselected view) ->
     C(selected), A must wait for C, because A's build recomputes B,
-    whose ref(C) must resolve to C's stored relation."""
-    deps = registry.dependency_graph(spark, mocks=mocks, vars=vars, select=names)
+    whose ref(C) must resolve to C's stored relation.
+
+    The probe resolves refs of already-materialized models to their
+    STORED relations under ``base`` (the same resolution the real run
+    will use): a downstream plan may select columns that exist only in
+    the stored relation (snapshot SCD2 columns; incremental
+    append_new_columns from earlier batches) and would otherwise fail
+    analysis during the edge harvest."""
+
+    def stored_resolver(name):
+        model = registry.get(name)
+        if model.materialization == "view":
+            return None
+        path = os.path.join(base, name)
+        if has_parquet_files(path):
+            return spark.read.parquet(path)
+        return None
+
+    deps = registry.dependency_graph(
+        spark, mocks=mocks, vars=vars, select=names, stored_resolver=stored_resolver
+    )
     selected = set(names)
 
     def sel_ups(n: str) -> set[str]:
@@ -184,16 +203,20 @@ def run_models(
         import threading
 
         lock = threading.Lock()  # uncontended in the serial path
-        # dependency-order an explicit selection before running: the
-        # caller's ``select`` list need not be topological, and running
-        # a mart before its incremental upstream would silently build
-        # the mart from a fresh single-batch recompute instead of the
+        # dependency-order a non-topological selection before running:
+        # a mart listed before its incremental upstream would silently
+        # build from a fresh single-batch recompute instead of the
         # stored relation (the same contract the threaded scheduler
-        # enforces). The default all-models path keeps registry
-        # declaration order (already topological) without paying the
-        # probe-build edge harvest.
-        if select is not None and len(names) > 1:
-            upstream = _selected_upstream_map(registry, spark, names, mocks, vars)
+        # enforces). A selection already in registry DECLARATION order
+        # (any subsequence of it is topological — this covers both the
+        # default all-models run and the CLI, which always passes an
+        # explicit list) skips the probe-build edge harvest.
+        decl = {n: i for i, n in enumerate(registry.models)}
+        in_decl_order = all(
+            decl[a] < decl[b] for a, b in zip(names, names[1:]) if a in decl and b in decl
+        )
+        if not in_decl_order and len(names) > 1:
+            upstream = _selected_upstream_map(registry, spark, names, mocks, vars, base)
             ordered: list[str] = []
             done_names: set[str] = set()
             pending_names = list(names)  # given order = stable tie-break
@@ -222,7 +245,7 @@ def run_models(
     import threading
     from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
-    upstream = _selected_upstream_map(registry, spark, names, mocks, vars)
+    upstream = _selected_upstream_map(registry, spark, names, mocks, vars, base)
 
     build_lock = threading.Lock()
     done: set[str] = set()

@@ -178,9 +178,15 @@ class Registry:
         mocks: dict[str, DataFrame] | None = None,
         vars: dict | None = None,
         probe: bool = False,
+        stored_resolver=None,
     ) -> "Context":
         return Context(
-            self, spark, mocks=dict(mocks or {}), vars=dict(vars or {}), _probe=probe
+            self,
+            spark,
+            mocks=dict(mocks or {}),
+            vars=dict(vars or {}),
+            _probe=probe,
+            _stored_resolver=stored_resolver,
         )
 
     def dependency_graph(
@@ -190,6 +196,7 @@ class Registry:
         mocks: dict[str, DataFrame] | None = None,
         vars: dict | None = None,
         select: Iterable[str] | None = None,
+        stored_resolver=None,
     ) -> dict[str, set]:
         """model → direct upstreams (models and sources), harvested by
         building every model's LAZY plan in a scratch context — no
@@ -197,7 +204,9 @@ class Registry:
         (or mocks covering them). ``mocks``/``vars`` mirror the run
         configuration so conditional refs resolve the same way the
         real run will; ``select`` limits the harvest."""
-        ctx = self.context(spark, mocks=mocks, vars=vars, probe=True)
+        ctx = self.context(
+            spark, mocks=mocks, vars=vars, probe=True, stored_resolver=stored_resolver
+        )
         names = list(select) if select is not None else list(self._models)
         for name in names:
             ctx.ref(name)
@@ -289,9 +298,12 @@ class Context:
     # (plan construction is lazy and cheap, so walking every ref gives
     # the dbt dep graph without executing anything)
     deps: dict[str, set] = field(default_factory=dict)
-    # probe contexts (dependency_graph edge harvest) adjust snapshot
-    # refs to the stored-relation schema — see ref()
+    # probe contexts (dependency_graph edge harvest) adjust refs to
+    # the stored-relation schema — see ref()
     _probe: bool = False
+    # optional name -> stored DataFrame | None hook for probe contexts
+    # (run_models passes a warehouse reader)
+    _stored_resolver: "Callable[[str], DataFrame | None] | None" = None
 
     def _record_edge(self, name: str) -> None:
         if self._building:
@@ -325,20 +337,32 @@ class Context:
             from ..testing.contracts import enforce_contract
 
             enforce_contract(df.schema, model.contract, model_name=name)
-        if self._probe and model.materialization == "snapshot":
+        if self._probe:
             # PROBE contexts (dependency_graph's throwaway edge
             # harvest) must present refs the way the REAL run will:
-            # downstream models ref a snapshot's STORED relation, which
-            # carries valid_from/valid_to/is_current that the raw build
-            # frame lacks — a downstream plan selecting them would
-            # fail analysis during the harvest. Lazy empty merge (no
-            # job) yields exactly the stored schema.
-            from ..materialize.snapshot import scd2_merge
-
-            df = scd2_merge(
-                None, df.limit(0), model.unique_key,
-                list(model.check_cols), "1970-01-01 00:00:00",
+            # downstream models ref the STORED relation, whose schema
+            # can differ from the raw build frame — a snapshot carries
+            # valid_from/valid_to/is_current, and an incremental
+            # accumulates append_new_columns from earlier batches — so
+            # a downstream plan selecting those columns would fail
+            # analysis during the harvest. Edges were already recorded
+            # by the build above; swap in the stored relation (or, for
+            # a not-yet-materialized snapshot, a lazy empty merge with
+            # exactly the stored schema — no job either way).
+            stored = (
+                self._stored_resolver(name)
+                if self._stored_resolver is not None
+                else None
             )
+            if stored is not None:
+                df = stored
+            elif model.materialization == "snapshot":
+                from ..materialize.snapshot import scd2_merge
+
+                df = scd2_merge(
+                    None, df.limit(0), model.unique_key,
+                    list(model.check_cols), "1970-01-01 00:00:00",
+                )
         self._cache[f"m:{name}"] = df
         return df
 

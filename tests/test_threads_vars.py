@@ -267,7 +267,6 @@ def test_serial_select_is_dependency_ordered(spark, tmp_path):
 
     # seed history the fresh recompute would NOT contain
     run_models(reg, spark, wh, select=["fct_incr"], threads=1)
-    import pyarrow.parquet as pq  # noqa: F401  (warehouse sanity)
 
     reg2 = Registry()
 
@@ -304,3 +303,37 @@ def test_vars_aware_selection_expansion(spark):
     without = reg.expand_selection(spark, ["+mart"])
     assert "extra" in with_var
     assert "extra" not in without
+
+
+def test_probe_resolves_stored_incremental_schema(spark, tmp_path):
+    """A later batch's build plan may lack a column the STORED
+    incremental relation keeps (append_new_columns): the dependency
+    probe must analyze downstream plans against the stored relation,
+    not the raw batch frame — otherwise a threads>=1 run with a
+    non-topological selection fails analysis before running anything."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+
+    reg1 = Registry()
+
+    @reg1.model("fct", materialization="incremental", unique_key="id")
+    def _f1(ctx):
+        return ctx.spark.range(2).select("id", F.lit("x").alias("extra_col"))
+
+    run_models(reg1, spark, wh, select=["fct"], threads=1)
+
+    reg2 = Registry()
+
+    @reg2.model("fct", materialization="incremental", unique_key="id")
+    def _f2(ctx):  # batch 2 no longer emits extra_col
+        return ctx.spark.range(2, 4).select("id")
+
+    @reg2.model("mart", materialization="table")
+    def _m2(ctx):
+        return ctx.ref("fct").select("id", "extra_col")  # stored-only column
+
+    # non-topological selection forces the probe on the serial path too
+    out = run_models(reg2, spark, wh, select=["mart", "fct"], threads=2)
+    got = {(r.id, r.extra_col) for r in out["mart"].collect()}
+    assert got == {(0, "x"), (1, "x"), (2, None), (3, None)}
