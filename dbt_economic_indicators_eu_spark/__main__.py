@@ -68,7 +68,9 @@ def _spark(args):
     return get_spark(master=args.master)
 
 
-def _model_names(reg, args, spark, *, materializations=None, exclude=("snapshot",)):
+def _model_names(
+    reg, args, spark, *, materializations=None, exclude=("snapshot",), exclude_always=()
+):
     if args.select:
         # dbt graph selectors: name, +name (ancestors), name+ (descendants)
         names = reg.expand_selection(
@@ -84,6 +86,11 @@ def _model_names(reg, args, spark, *, materializations=None, exclude=("snapshot"
         if materializations is not None and m.materialization not in materializations:
             continue
         if args.select is None and m.materialization in exclude:
+            continue
+        # build's run stage: snapshots run in the dedicated snapshot
+        # stage that follows — materializing them here too would merge
+        # twice with two different auto-filled clocks
+        if m.materialization in exclude_always:
             continue
         out.append(n)
     return out
@@ -107,12 +114,16 @@ def cmd_seed(args) -> int:
     return 0
 
 
-def cmd_run(args, *, materializations=None, exclude=("snapshot",)) -> int:
+def cmd_run(args, *, materializations=None, exclude=("snapshot",), exclude_always=()) -> int:
     from .materialize.run import run_models
 
     reg = _registry(args.raw_dir)
     spark = _spark(args)
-    names = _model_names(reg, args, spark, materializations=materializations, exclude=exclude)
+    names = _model_names(
+        reg, args, spark,
+        materializations=materializations, exclude=exclude,
+        exclude_always=exclude_always,
+    )
     now = args.now
     if now is None and any(reg.get(n).materialization == "snapshot" for n in names):
         # snapshots need a concrete clock for valid_from/valid_to;
@@ -143,24 +154,21 @@ def cmd_test(args) -> int:
 
     reg = _registry(args.raw_dir)
     spark = _spark(args)
+    run_vars = _parse_vars(args.vars)
     select = (
-        reg.expand_selection(spark, list(args.select), vars=_parse_vars(args.vars))
+        reg.expand_selection(spark, list(args.select), vars=run_vars)
         if args.select
         else None
     )
 
-    from .materialize.run import schema_name
+    from .materialize.run import warehouse_base
 
-    base = (
-        args.warehouse
-        if args.schema is None
-        else os.path.join(args.warehouse, schema_name(args.target, args.schema))
-    )
+    base = warehouse_base(args.warehouse, args.target, args.schema)
     # same vars as the run that built the warehouse: views/unbuilt
     # models ref-recompute through this context, and mixing an
     # unscoped recompute with vars-scoped artifacts would test
     # different relations than the run materialized
-    ctx = reg.context(spark, vars=_parse_vars(args.vars))
+    ctx = reg.context(spark, vars=run_vars)
 
     def resolve(name):
         """dbt test checks the MATERIALIZED relation: prefer the
@@ -170,8 +178,11 @@ def cmd_test(args) -> int:
         ref-recompute, which is also dbt's behavior for views. The
         path mirrors cmd_run's target/schema namespace policy.
         A rowless artifact (e.g. a vars-scoped run over an empty
-        slice) has no parquet footers — read it with the model's
-        plan schema instead of crashing schema inference."""
+        slice) has no parquet footers — read it with the STORED
+        relation's schema instead of crashing schema inference. For a
+        snapshot that schema is NOT the build plan's: scd2_merge
+        appends valid_from/valid_to/is_current (same derivation as
+        materialize/run's rowless read-back)."""
         from .materialize.incremental import has_parquet_files
 
         path = os.path.join(base, name)
@@ -179,7 +190,16 @@ def cmd_test(args) -> int:
             return None
         if has_parquet_files(path):
             return spark.read.parquet(path)
-        return spark.read.schema(ctx.ref(name).schema).parquet(path)
+        stored_schema = ctx.ref(name).schema
+        model = reg.get(name)
+        if model.materialization == "snapshot":
+            from .materialize.snapshot import scd2_merge
+
+            stored_schema = scd2_merge(
+                None, ctx.ref(name).limit(0), model.unique_key,
+                list(model.check_cols), "1970-01-01 00:00:00",
+            ).schema
+        return spark.read.schema(stored_schema).parquet(path)
 
     ok, rows = run_schema_tests(reg, ctx, select, resolve)
     for r in rows:
@@ -256,6 +276,12 @@ def cmd_source_freshness(args) -> int:
     spark = _spark(args)
     now = args.now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     rows = source_freshness_report(reg, reg.context(spark), now).collect()
+    if not rows:
+        # dbt errors when no source declares freshness; exiting 0 with
+        # empty output would let a CI gate pass while monitoring
+        # nothing (e.g. --raw-dir forgotten, so no loaders are bound)
+        print("ERROR  no sources with freshness configured (missing --raw-dir?)")
+        return 1
     any_error = False
     for r in rows:
         print(
@@ -276,7 +302,7 @@ def cmd_build(args) -> int:
     rc = cmd_seed(args)
     if rc:
         return rc
-    rc = cmd_run(args)
+    rc = cmd_run(args, exclude_always=("snapshot",))
     if rc:
         return rc
     rc = cmd_snapshot(args)

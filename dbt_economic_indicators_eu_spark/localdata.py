@@ -49,6 +49,14 @@ def local_df(
     if rows and isinstance(rows[0], Mapping):
         data = {n: [r.get(n) for r in rows] for n in names}
     else:
+        # match the classic createDataFrame path, which raises on a
+        # length mismatch — silently dropping trailing tuple elements
+        # would lose fixture data instead of failing loudly
+        for r in rows:
+            if len(r) != len(names):
+                raise ValueError(
+                    f"row length {len(r)} != schema width {len(names)}: {r!r}"
+                )
         data = {n: [r[i] for r in rows] for i, n in enumerate(names)}
     # object dtype keeps None as None (a float64 column would coerce it
     # to NaN, which Arrow ships as NaN, not NULL).

@@ -36,6 +36,16 @@ def schema_name(target: str, custom_schema: str) -> str:
     return custom_schema if target == "prod" else f"{target}_{custom_schema}"
 
 
+def warehouse_base(warehouse: str, target: str, schema: str | None) -> str:
+    """The on-disk root written models land under — THE single source
+    of the namespace policy (run_models and the CLI test verb must
+    resolve artifacts identically, or tests silently recompute via ref
+    instead of checking the stored relations)."""
+    if schema is None:
+        return warehouse
+    return os.path.join(warehouse, schema_name(target, schema))
+
+
 def observe_row_count(df: DataFrame, name: str) -> tuple[DataFrame, Observation]:
     """Row-count monitoring (reference ``macros/data_quality.sql:49-63``
     log_row_count) the Spark-first way: ``df.observe`` piggybacks an
@@ -191,9 +201,7 @@ def run_models(
 
     ``vars`` are run-level project variables (reference
     ``dbt_project.yml:20-26``), resolved by models via ``ctx.var``."""
-    base = warehouse if schema is None else os.path.join(
-        warehouse, schema_name(target, schema)
-    )
+    base = warehouse_base(warehouse, target, schema)
     os.makedirs(base, exist_ok=True)
     ctx: Context = registry.context(spark, mocks=mocks, vars=vars)
     names = select if select is not None else list(registry.models)

@@ -537,10 +537,12 @@ def q_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             fetch_fn=fixture_transport,
         )
         decoded = decode_jsonstat(payloads.select("dataset_code", "payload"))
-        # decode_jsonstat preserves no extra cols; re-attach via literal
-        # (one dataset per extract call, as the reference's per-dataset loop)
+        # dataset_code passes through the decoder (non-payload columns
+        # are preserved), so a many-dataset frame could decode in one
+        # pass; the per-dataset loop here mirrors the reference's
+        # extract loop shape
         out = decoded.select(
-            F.lit(code).alias("dataset_code"),
+            "dataset_code",
             F.col("codes")["geo"].alias("geo_code"),
             F.col("codes")["time"].alias("time_code"),
             F.col("value"),

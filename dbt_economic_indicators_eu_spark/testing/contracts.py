@@ -43,6 +43,20 @@ def diff_contract_structured(
     not-null columns that are nullable in the plan.
     """
     problems: list[ContractProblem] = []
+    # a plan CAN legally carry the same output name twice (e.g. the
+    # same column selected from both sides of a join); the dict below
+    # would silently keep only the last — surface it as a violation
+    # here, where the model name is known, instead of the opaque
+    # duplicate-column error the parquet writer raises later
+    seen: set[str] = set()
+    for f in actual.fields:
+        if f.name in seen:
+            problems.append(
+                ContractProblem(
+                    f.name, "duplicate", f"duplicate output column {f.name!r}"
+                )
+            )
+        seen.add(f.name)
     actual_by_name = {f.name: f for f in actual.fields}
     declared_by_name = {f.name: f for f in declared.fields}
     for name, decl in declared_by_name.items():

@@ -61,6 +61,19 @@ def run_unit_test(
     if compare_cols:
         actual = actual.select(*compare_cols)
         expect = expect.select(*compare_cols)
+    else:
+        # exceptAll binds columns by POSITION; dbt's unit-test compare
+        # aligns by NAME. Reorder the expect frame to the model's
+        # column order (and fail loudly on a column-set mismatch)
+        # before comparing — otherwise an expect frame authored in a
+        # different column order is compared against the wrong columns.
+        if sorted(actual.columns) != sorted(expect.columns):
+            raise UnitTestFailure(
+                f"unit test for {model!r}: expect columns "
+                f"{sorted(expect.columns)} != model columns "
+                f"{sorted(actual.columns)}"
+            )
+        expect = expect.select(*actual.columns)
 
     digits = max(0, round(-1 * __import__("math").log10(float_tol)))
 
