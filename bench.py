@@ -404,10 +404,9 @@ def _oracle_pass(sf_dir: str, names: set[str], best: dict[str, float]) -> None:
         _ORACLE_CON.execute(
             f"SET threads={int(os.environ.get('SPARK_GRAFT_CPUS', '32'))}"
         )
-        for t in (
-            "region", "nation", "customer", "supplier", "part",
-            "orders", "lineitem", "events", "documents", "embeddings",
-        ):
+        from dbt_economic_indicators_eu_spark.queries.common import TABLES
+
+        for t in TABLES:
             _ORACLE_CON.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )

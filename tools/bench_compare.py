@@ -5,8 +5,11 @@ round-over-round analysis.
     python tools/bench_compare.py OLD.json NEW.json [threshold]
 
 Accepts either a raw one-line bench payload or a driver BENCH_r*.json
-wrapper (uses its "parsed" field). Prints queries whose time moved more
-than ``threshold`` (default 1.3x) in either direction, plus totals.
+wrapper (its "parsed" field when present; otherwise the payload JSON
+is recovered from the wrapper's truncated "tail" capture when the
+queries dict survived the cut). Prints queries whose time moved more
+than ``threshold`` (default 1.3x) in either direction, newly FAILED /
+newly recovered queries, plus totals.
 Exit code 0 always — this is a report, not a gate (host noise at this
 scale is +-15%; see README "Bench methodology").
 """
@@ -20,11 +23,46 @@ import sys
 def load(path: str) -> dict:
     with open(path) as f:
         doc = json.load(f)
-    if "parsed" in doc and isinstance(doc["parsed"], dict):
-        doc = doc["parsed"]
+    if "parsed" in doc:
+        if isinstance(doc["parsed"], dict):
+            doc = doc["parsed"]
+        elif isinstance(doc.get("tail"), str):
+            # the driver's tail capture truncates long payload lines,
+            # leaving parsed=null — recover the JSON object if the
+            # payload survives inside the tail, else salvage the
+            # per-query dict alone
+            tail = doc["tail"]
+            start = tail.find('{"metric"')
+            if start >= 0:
+                try:
+                    doc = json.loads(tail[start:].strip().splitlines()[0])
+                except Exception:
+                    doc = _salvage_queries(tail) or doc
+            else:
+                doc = _salvage_queries(tail) or doc
     if "queries" not in doc:
-        raise SystemExit(f"{path}: no 'queries' field (not a bench payload?)")
+        raise SystemExit(
+            f"{path}: no 'queries' field (driver wrapper with truncated "
+            "payload, or not a bench payload)"
+        )
     return doc
+
+
+def _salvage_queries(tail: str) -> dict | None:
+    """Best-effort: extract the (possibly cut) per-query dict from a
+    truncated driver tail so round-over-round per-query diffs still
+    work. Drops the final, possibly half-captured entry."""
+    import re
+
+    qs = dict(
+        (m.group(1), float(m.group(2)))
+        for m in re.finditer(r'"([a-z0-9_]+)":\s*(-?[0-9.]+)[,}]', tail)
+        if m.group(1)
+        not in ("n", "rc", "cpus", "sf", "value", "oracle_value",
+                "ratio_vs_oracle", "host_steal_pct", "oracle_coverage",
+                "spark_covered_value")
+    )
+    return {"queries": qs, "_salvaged": True} if qs else None
 
 
 def main() -> int:
@@ -32,6 +70,13 @@ def main() -> int:
         print(__doc__)
         return 2
     old, new = load(sys.argv[1]), load(sys.argv[2])
+    for label, d in (("OLD", old), ("NEW", new)):
+        if d.get("_salvaged"):
+            print(
+                f"note: {label} payload salvaged from a truncated driver "
+                f"tail ({len(d['queries'])} queries survived the cut) — "
+                "ADDED/REMOVED rows may be truncation artifacts"
+            )
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     oq, nq = old["queries"], new["queries"]
 
@@ -41,7 +86,14 @@ def main() -> int:
         if a is None or b is None:
             moved.append((name, a, b, None))
             continue
+        # the -1.0 sentinel means the query RAISED in that run — a
+        # working->broken transition is the regression this tool
+        # exists to catch; never skip it silently
         if a <= 0 or b <= 0:
+            if b <= 0 < a:
+                moved.append((name, a, b, "FAILED"))
+            elif a <= 0 < b:
+                moved.append((name, a, b, "fixed"))
             continue
         ratio = b / a
         if ratio > thresh or ratio < 1 / thresh:
@@ -53,6 +105,8 @@ def main() -> int:
             tag = "ADDED" if a is None else "REMOVED"
             print(f"{name:26s} {a if a is not None else '-':>8} "
                   f"{b if b is not None else '-':>8} {tag:>7s}")
+        elif isinstance(r, str):
+            print(f"{name:26s} {a:8.3f} {b:8.3f} {r:>7s}")
         else:
             arrow = "SLOWER" if r > 1 else "faster"
             print(f"{name:26s} {a:8.3f} {b:8.3f} {r:6.2f}x {arrow}")

@@ -24,11 +24,7 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from __spark_entry__ import oracle_sql  # noqa: E402
-
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+from dbt_economic_indicators_eu_spark.queries.common import TABLES  # noqa: E402
 
 
 def main() -> int:
@@ -40,17 +36,35 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    per_query: dict[str, float] = {}
-    for name, sql in oracle_sql().items():
-        t0 = time.perf_counter()
+    # min-of-N with a warmup pass, mirroring bench.py's Spark-side
+    # methodology: a single cold sample pays first-touch parquet /
+    # page-cache costs the Spark side's warmed min never pays, which
+    # would inflate the oracle denominator and flatter the 2x gate
+    n_passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
+    sqls = oracle_sql()
+    for sql in sqls.values():  # warmup
         try:
             con.execute(sql).arrow()
-            per_query[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:
-            print(f"oracle bench: {name} FAILED: {exc}", file=sys.stderr)
-            per_query[name] = -1.0
+        except Exception:
+            pass
+    per_query: dict[str, float] = {}
+    for _ in range(n_passes):
+        for name, sql in sqls.items():
+            t0 = time.perf_counter()
+            try:
+                dt_s = None
+                con.execute(sql).arrow()
+                dt_s = round(time.perf_counter() - t0, 3)
+            except Exception as exc:
+                print(f"oracle bench: {name} FAILED: {exc}", file=sys.stderr)
+            prev = per_query.get(name)
+            if dt_s is None:
+                per_query.setdefault(name, -1.0)
+            elif prev is None or prev < 0 or dt_s < prev:
+                per_query[name] = dt_s
 
-    total = round(sum(t for t in per_query.values() if t >= 0), 3)
+    covered = [n for n, t in per_query.items() if t >= 0]
+    total = round(sum(per_query[n] for n in covered), 3)
     sf = None
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):
@@ -64,9 +78,13 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        # coverage ships so a partial-oracle total is visible as such
+        # (bench.py's ratio must divide MATCHED query sets)
+        "coverage": len(covered),
+        "n_failed": len(per_query) - len(covered),
         "sf": sf,
     }))
-    return 0
+    return 1 if len(covered) < len(per_query) else 0
 
 
 if __name__ == "__main__":

@@ -15,17 +15,15 @@ import sys
 import time
 import traceback
 
+import os
+
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
-
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+from dbt_economic_indicators_eu_spark.queries.common import TABLES  # noqa: E402
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -40,7 +38,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].round(9)
         elif str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]").astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # sort floats at a COARSER grain (6dp) than the 1e-9 compare
+    # tolerance: sorting on the compared values directly would let
+    # within-tolerance engine noise reorder rows and diff row A
+    # against row B (non-float columns sort exactly, floats only
+    # break remaining ties)
+    sort_frame = df.copy()
+    for c in sort_frame.columns:
+        if str(sort_frame[c].dtype).startswith("float"):
+            sort_frame[c] = sort_frame[c].round(6)
+    order = sort_frame.sort_values(by=list(sort_frame.columns)).index
+    return df.loc[order].reset_index(drop=True)
 
 
 def main() -> int:
@@ -67,6 +75,12 @@ def main() -> int:
 
     qs = queries()
     oracles = oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter would otherwise run ZERO queries and exit 0 —
+        # a green gate that compared nothing
+        print(f"ERROR unknown query names: {sorted(unknown)}")
+        return 2
     n_pass = n_fail = n_rows_only = 0
     for name, builder in qs.items():
         if only and name not in only:
@@ -124,6 +138,8 @@ def main() -> int:
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     spark.stop()
+    if n_pass + n_rows_only == 0:
+        return 2  # nothing verified is not a pass
     return 1 if n_fail else 0
 
 

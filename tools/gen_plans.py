@@ -241,11 +241,31 @@ def main() -> int:
     for name, note in HEADLINERS + STORAGE:
         df = qs[name].builder(spark, sf_dir)
         plan = _explain(spark, df)
-        # the operator tree + scan details; drop the (verbose) per-node
-        # field dumps after the first blank-line-separated sections if huge
+        # the operator tree + node details, capped — but NEVER cut the
+        # scan-evidence lines (PushedFilters / PartitionFilters /
+        # SelectedBucketsCount / ReadSchema): those are the properties
+        # the per-plan notes tell a reviewer to verify, and in
+        # formatted explain output they come AFTER the tree, exactly
+        # where a blunt prefix cut would land
         lines = plan.rstrip().splitlines()
-        if len(lines) > 120:
-            lines = lines[:120] + [f"... ({len(lines) - 120} more lines)"]
+        cap = 200
+        if len(lines) > cap:
+            evidence = [
+                ln
+                for ln in lines[cap:]
+                if any(
+                    k in ln
+                    for k in (
+                        "PushedFilters", "PartitionFilters",
+                        "SelectedBucketsCount", "ReadSchema",
+                    )
+                )
+            ]
+            lines = (
+                lines[:cap]
+                + [f"... ({len(lines) - cap} more lines; scan evidence kept below)"]
+                + evidence
+            )
         out += [f"## {name}", "", note, "", "```", *lines, "```", ""]
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
