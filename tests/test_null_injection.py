@@ -69,9 +69,10 @@ def null_sf(tmp_path_factory):
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from check_oracle import normalize
 
     return normalize(df)

@@ -45,10 +45,11 @@ def _t(minutes):
 
 # right side: unique (key, ts) rows — tie discipline on the right is the
 # caller's pre-aggregation job, so the property holds on the operator's
-# declared input domain. NULL ts allowed on both sides.
+# declared input domain. NULL ts allowed on both sides (a NULL right_ts
+# row must match NOTHING — the poison-row guard).
 ts_strategy = st.one_of(st.none(), st.integers(0, 30))
 right_strategy = st.dictionaries(
-    st.tuples(st.integers(0, 2), st.integers(0, 30)),  # (key, minute)
+    st.tuples(st.integers(0, 2), st.one_of(st.none(), st.integers(0, 30))),
     st.floats(0, 100, allow_nan=False, width=32),
     max_size=8,
 ).map(lambda d: [(k, m, round(v, 2)) for (k, m), v in d.items()])
@@ -70,16 +71,19 @@ def test_asof_matches_pandas_merge_asof(spark, left, right, forward):
     if not rrows:
         rdf = rdf.filter(F.lit(False))
     direction = "forward" if forward else "backward"
-    got = {
-        r.lid: r.px
-        for r in asof_join(
-            ldf, rdf, on=["key"], left_ts="lts", right_ts="rts",
-            values=["px"], direction=direction,
-        ).collect()
-    }
+    out_rows = asof_join(
+        ldf, rdf, on=["key"], left_ts="lts", right_ts="rts",
+        values=["px"], direction=direction,
+    ).collect()
+    # cardinality contract FIRST: exactly one output row per left row
+    # (a dict alone would silently collapse duplicate emissions)
+    assert len(out_rows) == len(lrows)
+    assert len({r.lid for r in out_rows}) == len(lrows)
+    got = {r.lid: r.px for r in out_rows}
 
     lpd = pd.DataFrame(lrows, columns=["key", "lts", "lid"]).sort_values("lts")
     rpd = pd.DataFrame(rrows, columns=["key", "rts", "px"]).sort_values("rts")
+    rpd = rpd[rpd.rts.notna()]  # NULL right_ts never matches (reference side)
     # pandas merge_asof rejects NULL ts on the left — match them to no
     # result manually (the semantics asof_join pins)
     null_left = lpd[lpd.lts.isna()]
@@ -120,19 +124,22 @@ def test_range_join_equals_brute_force(spark, intervals, facts, bin_minutes):
     )
     if not frows:
         fdf = fdf.filter(F.lit(False))
-    got = {
+    got = sorted(
         (r.fid, r.wid)
         for r in range_join(
             fdf, "fts", idf, "ws", "we", bin_seconds=bin_minutes * 60
         ).collect()
-    }
-    # brute force: half-open [ws, we)
-    want = {
+    )
+    # brute force: half-open [ws, we). Compare as sorted LISTS, not
+    # sets — the operator's documented invariant is "a pair meets in
+    # exactly one bin, no post-join dedup", and a multi-bin duplicate
+    # emission regression must fail here, not be collapsed away.
+    want = sorted(
         (fid, wid)
         for fid, fm in enumerate(facts)
         for wid, (s, ln) in enumerate(intervals)
         if s <= fm < s + ln
-    }
+    )
     assert got == want
 
 

@@ -81,7 +81,10 @@ def test_anomaly_zscore_single_fact_shuffle(spark):
     # appear exactly twice (once per branch) but hashpartitioning on
     # user_id must be the only full-row distribution
     assert plan.count("Exchange hashpartitioning(user_id") <= 2
-    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    # the stats join must be broadcast, full stop: an or-clause here
+    # would let a sort-merge regression pass whenever ANY broadcast
+    # join exists elsewhere in the plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_bucketed_join_no_exchange(spark):

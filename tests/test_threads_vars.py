@@ -74,19 +74,36 @@ def test_threads_writes_overlap(spark, tmp_path):
     marker_dir = str(tmp_path / "markers")
     os.makedirs(marker_dir)
 
-    def build_reg():
+    def build_reg(barrier: bool):
+        # barrier=True (concurrent run): each write task waits for BOTH
+        # start markers before finishing, so overlap is DETERMINISTIC
+        # when the scheduler truly runs the writes concurrently — a
+        # fixed-sleep overlap assert is flaky on a loaded machine. A
+        # wrongly-serial scheduler makes the first task exhaust the
+        # wait cap, and the timing assert below fails loudly.
         reg = Registry()
         for name in ("a", "b"):
             @reg.model(name, materialization="table")
-            def _m(ctx, _n=name):
+            def _m(ctx, _n=name, _barrier=barrier):
                 def slow(it):
                     import json as _json
+                    import os as _os
                     import time as _time
 
                     t0 = _time.time()
-                    _time.sleep(0.6)
+                    with open(_os.path.join(marker_dir, f"start_{_n}"), "w") as f:
+                        f.write("")
+                    if _barrier:
+                        deadline = _time.time() + 20
+                        while _time.time() < deadline and not all(
+                            _os.path.exists(_os.path.join(marker_dir, f"start_{x}"))
+                            for x in ("a", "b")
+                        ):
+                            _time.sleep(0.05)
+                    else:
+                        _time.sleep(0.6)
                     rows = list(it)
-                    with open(os.path.join(marker_dir, _n), "w") as f:
+                    with open(_os.path.join(marker_dir, _n), "w") as f:
                         _json.dump([t0, _time.time()], f)
                     yield from rows
 
@@ -95,7 +112,9 @@ def test_threads_writes_overlap(spark, tmp_path):
         return reg
 
     def intervals(wh, threads):
-        run_models(build_reg(), spark, str(wh), threads=threads)
+        for f in os.listdir(marker_dir):
+            os.remove(os.path.join(marker_dir, f))
+        run_models(build_reg(barrier=threads > 1), spark, str(wh), threads=threads)
         out = {}
         for name in ("a", "b"):
             with open(os.path.join(marker_dir, name)) as f:

@@ -123,6 +123,9 @@ def test_tokenizer_three_twins_nasty_charset(spark, duck, tmp_path):
         for r in duck.execute(sql).fetchall()
     }
     duck.unregister("documents")
-    py = {i: sorted(set(_shingles_of(t))) for i, t in rows}
+    # NO set() here: all three twins dedup internally (seen-set /
+    # array_distinct / list_distinct), so compare WITH multiplicity —
+    # a dedup-removal edit to any single twin must fail this test
+    py = {i: sorted(_shingles_of(t)) for i, t in rows}
     for i, _t in rows:
         assert jvm[i] == ddb[i] == py[i], (i, repr(_t), jvm[i], ddb[i], py[i])
