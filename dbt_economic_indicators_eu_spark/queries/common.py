@@ -307,72 +307,17 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
 # Verification-priority ordering. The correctness harness records
 # verdicts for a ~50-query prefix of dict order, so queries rotate each
 # round to keep every verdict fresh (two-round freshness invariant).
-# Round-5 rotation: (a) every query round 5 touched — the explicit
-# whitespace-class tokenizer twins, the tfidf df-join / lang_id
-# re-idiom, targeted-delete NULL-pred semantics, the structured
-# contract check, and the run_models/incremental materialization
-# refactor; then (b) the stalest verdicts (the r3 batch), oldest
-# first. The post-50 block is the round-6 rotation lead.
+# Round-6 rotation: (a) the two queries round 6 changed — dedup_exact
+# (deterministic self-union de-vacuousing) and dedup_embedding
+# (threshold 0.5 → 0.35, nonzero verified pairs); then (b) ALL 47
+# queries whose last driver verdict predates round 5 (computed from
+# CORRECTNESS_r05.json keys), r3-stale block first. 2 + 47 = 49 ≤ 50,
+# so after this round every query carries an r5-or-r6 verdict.
 _VERIFY_FIRST = (
-    # -- round-5-touched paths (verify first) -------------------------
-    # results/semantics changed in the late-r5 review batch: NULL-text
-    # exclusion (dedup_exact), NULL-tie oracle (asof_join), try_divide
-    # drop (dedup_embedding), integer-cents revenue (annual_summary),
-    # shared TopK scaffold (knn_brute/quantized)
+    # -- round-6-touched paths (verify first) -------------------------
     "dedup_exact",
-    "asof_join",
     "dedup_embedding",
-    "annual_summary",
-    "knn_brute",
-    "knn_quantized",
-    "freshness_check",
-    "targeted_delete",
-    "stream_incremental",
-    "incremental_upsert",
-    "registry_pipeline",
-    "scd2_snapshot",
-    "contract_check",
-    "tfidf_topk",
-    "lang_id",
-    "token_count",
-    "text_stats",
-    "text_clean",
-    "length_buckets",
-    "pack_sequences",
-    "corpus_curation",
-    "pii_redact",
-    "vocab_topk",
-    "fingerprint",
-    "simhash",
-    "dedup_minhash",
-    "paragraph_dedup",
-    "unigram_logprob",
-    "dedup_cluster",
-    "decontaminate",
-    "bloom_decontaminate",
-    "chunk_documents",
-    "repetition_stats",
-    "wordlist_ratio",
-    # -- stalest verdicts (r3) up to the ~50-slot budget --------------
-    "annual_agg",
-    "left_join_enrich",
-    "region_share",
-    "monthly_lag",
-    "rolling_avg",
-    "rank_in_year",
-    "latest_per_entity",
-    "case_bands",
-    "distinct_spine",
-    "union_append",
-    "test_unique",
-    "test_relationships",
-    "test_range_nofuture",
-    "singular_consistency",
-    "completeness",
-    "watermark_filter",
-    "sessionize",
-    "salted_agg",
-    # -- past the 50-prefix: remaining r3 verdicts, round-6 lead ------
+    # -- stalest verdicts (r3) ----------------------------------------
     "anomaly_zscore",
     "quality_scorecard",
     "forecast_ols",
@@ -385,6 +330,8 @@ _VERIFY_FIRST = (
     "stream_stateful_totals",
     "stream_sessionize",
     "stream_dedup",
+    "stream_join",
+    "stream_enrich",
     "bucketed_join",
     "partition_pruned",
     "range_join_agg",
@@ -393,6 +340,32 @@ _VERIFY_FIRST = (
     "pivot_events",
     "training_shuffle",
     "source_mix_weights",
+    "sessionize",
+    "salted_agg",
+    # -- r4-stale verdicts --------------------------------------------
+    "temperature_resample",
+    "hash_split",
+    "media_features",
+    "media_pipeline",
+    "frame_sample",
+    "sample_stratified",
+    "seed_eu_status",
+    "avail_agg",
+    "notnull_violations",
+    "jsonstat_decode",
+    "rest_ingest",
+    "unit_test_mock",
+    "schema_test_suite",
+    "staging_projection",
+    "funnel_steps",
+    "event_transitions",
+    "salted_join",
+    "table_profile",
+    "kmeans_refine",
+    "embedding_normalize",
+    "zorder_layout",
+    "compact_files",
+    "schema_evolve_read",
 )
 
 

@@ -432,14 +432,23 @@ WHERE rnk <= {_TOP_K_LSH}
 # of all-pairs. (Coarser buckets, e.g. 3 planes, collide 1/8 of all
 # pairs — millions of candidates on a 5k random corpus; that is the
 # failure mode this geometry avoids.) Candidates are exact-verified, so
-# precision is 1.0. The synthetic corpus is random (max pair cosine
-# ≈ 0.5-0.6), so at the 0.5 threshold the verified output is tiny or
-# empty — the machinery, not the hit count, is what the oracle checks.
+# precision is 1.0.
+#
+# Threshold: a production near-dup run would set >= 0.9, the regime the
+# LSH geometry's recall math above targets. The synthetic corpus is
+# RANDOM (max pair cosine 0.513 at sf0.01, and that one pair does not
+# survive the LSH bucketing), so 0.5 verified zero pairs
+# and the driver gate compared empty-vs-empty (vacuous — VERDICT r5
+# finding #1). 0.35 keeps the exact-verify join + threshold filter
+# exercised on a nonzero deterministic pair set at every SF (28 pairs
+# at sf0.001, 22 at sf0.01, 375 at sf0.1); recall at such low cosine is
+# intentionally NOT claimed — identical-vector recall is what
+# tests/test_scale_smoke.py measures.
 # --------------------------------------------------------------------------
 
 _DEDUP_TABLES = 4
 _DEDUP_PLANES_PER_TABLE = 8
-_DEDUP_COS_THRESHOLD = 0.5
+_DEDUP_COS_THRESHOLD = 0.35
 # fresh planes (offset 100) — independent of the knn_lsh table
 _DEDUP_PLANES = [
     [_hyperplane(100 + t * _DEDUP_PLANES_PER_TABLE + i) for i in range(_DEDUP_PLANES_PER_TABLE)]
