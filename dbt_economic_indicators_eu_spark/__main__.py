@@ -167,8 +167,22 @@ def cmd_test(args) -> int:
     # same vars as the run that built the warehouse: views/unbuilt
     # models ref-recompute through this context, and mixing an
     # unscoped recompute with vars-scoped artifacts would test
-    # different relations than the run materialized
-    ctx = reg.context(spark, vars=run_vars)
+    # different relations than the run materialized. The context also
+    # resolves refs to WRITTEN upstreams from the warehouse (dbt ref
+    # semantics): a view under test that refs an incremental must see
+    # its accumulated stored relation, not a single-batch recompute.
+    from .materialize.incremental import has_parquet_files
+
+    def _ctx_stored_resolver(name: str):
+        model = reg.get(name)
+        if model.materialization == "view":
+            return None
+        path = os.path.join(base, name)
+        if has_parquet_files(path):
+            return spark.read.parquet(path)
+        return None
+
+    ctx = reg.context(spark, vars=run_vars, stored_resolver=_ctx_stored_resolver)
 
     def resolve(name):
         """dbt test checks the MATERIALIZED relation: prefer the

@@ -203,8 +203,32 @@ def run_models(
     ``dbt_project.yml:20-26``), resolved by models via ``ctx.var``."""
     base = warehouse_base(warehouse, target, schema)
     os.makedirs(base, exist_ok=True)
-    ctx: Context = registry.context(spark, mocks=mocks, vars=vars)
     names = select if select is not None else list(registry.models)
+
+    # dbt ref semantics for UNSELECTED written upstreams: an explicit
+    # --select run must resolve refs to the already-materialized
+    # warehouse relation (an incremental's fresh recompute would see
+    # only the current batch, not its accumulated history). Selected
+    # names return None — they materialize in-run and land in the
+    # context via set_relation; views recompute (that IS a stored
+    # view's read semantics); a never-materialized upstream falls back
+    # to a fresh build rather than failing the run.
+    selected_set = set(names)
+
+    def _run_stored_resolver(name: str):
+        if name in selected_set:
+            return None
+        model = registry.get(name)
+        if model.materialization == "view":
+            return None
+        path = os.path.join(base, name)
+        if has_parquet_files(path):
+            return spark.read.parquet(path)
+        return None
+
+    ctx: Context = registry.context(
+        spark, mocks=mocks, vars=vars, stored_resolver=_run_stored_resolver
+    )
     out: dict[str, DataFrame] = {}
 
     if threads <= 1:

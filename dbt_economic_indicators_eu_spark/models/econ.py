@@ -78,12 +78,18 @@ def _apply_project_vars(ctx: Context, df: DataFrame) -> DataFrame:
 
     The reference DECLARES these vars but no model consumes them via
     ``var()`` (grep-verified), so default behavior must match the
-    reference byte-for-byte: with no run-level vars set, no filter is
-    applied. When a run passes ``--vars`` (CLI) / ``vars=`` (API), the
-    staging layer scopes every downstream model to the requested year
-    range and country set — the filter lands at the staging SELECT, so
-    Catalyst pushes it into the raw-source scan (partition/row-group
-    pruning at 100 TB, not a post-join filter)."""
+    reference byte-for-byte: with no run-level vars set at all, no
+    filter is applied (the declared defaults are as inert here as they
+    are in the reference). When a run passes ANY ``--vars`` (CLI) /
+    ``vars=`` (API), the filter activates and unspecified vars fall
+    back to the project-declared defaults via dbt's var() layering
+    (run override > dbt_project.yml default) — so a partial
+    ``--vars '{"focus_countries": ["DE"]}'`` run gets the declared
+    2010–2024 year range, not an unbounded one. The filter lands at
+    the staging SELECT, so Catalyst pushes it into the raw-source scan
+    (partition/row-group pruning at 100 TB, not a post-join filter)."""
+    if not ctx.vars:
+        return df
     start = ctx.var("start_year")
     end = ctx.var("end_year")
     focus = ctx.var("focus_countries")
@@ -108,6 +114,17 @@ def _apply_project_vars(ctx: Context, df: DataFrame) -> DataFrame:
 
 def build_registry() -> Registry:
     reg = Registry()
+
+    # project-declared var defaults (reference dbt_project.yml:20-26);
+    # consumed by _apply_project_vars only when a run passes vars —
+    # see its docstring for the inert-by-default parity rationale
+    reg.declare_vars(
+        {
+            "start_year": 2010,
+            "end_year": 2024,
+            "focus_countries": ["DE", "FR", "IT", "ES", "NL", "BE", "AT", "PL"],
+        }
+    )
 
     # ---- source declarations (reference _sources.yml) ---------------
     # column tests (geo_code/time_code not_null on every raw table,

@@ -76,6 +76,15 @@ class Registry:
     def __init__(self) -> None:
         self._models: dict[str, ModelDef] = {}
         self._sources: dict[str, SourceDef] = {}
+        # project-declared var defaults (the reference's
+        # dbt_project.yml ``vars:`` block, :20-26) — the middle layer
+        # of dbt's var() resolution: run override > project default >
+        # call-site default. Declared via declare_vars().
+        self.project_vars: dict = {}
+
+    def declare_vars(self, defaults: dict) -> None:
+        """Declare project-level var defaults (dbt_project.yml vars)."""
+        self.project_vars.update(defaults)
 
     # -- declaration -------------------------------------------------
     def model(
@@ -310,10 +319,13 @@ class Context:
             self.deps.setdefault(self._building[-1], set()).add(name)
 
     def var(self, name: str, default=None):
-        """dbt ``var()``: run-level override wins, else the project
-        default the model passes in, else None. Models treat a missing
-        var exactly like dbt does — ``var('x', project_default)``."""
-        return self.vars.get(name, default)
+        """dbt ``var()`` resolution order: run-level override (CLI
+        ``--vars`` / API ``vars=``) > project-declared default
+        (``Registry.declare_vars``, mirroring dbt_project.yml) >
+        call-site default — exactly dbt's layering."""
+        if name in self.vars:
+            return self.vars[name]
+        return self.registry.project_vars.get(name, default)
 
     def ref(self, name: str) -> DataFrame:
         self._record_edge(name)
@@ -328,6 +340,22 @@ class Context:
             cycle = " -> ".join(self._building + [name])
             raise RegistryError(f"ref cycle: {cycle}")
         model = self.registry.get(name)
+        # REAL-run stored fallback (dbt ref semantics): an UNSELECTED
+        # table/incremental/snapshot upstream resolves to its already-
+        # materialized warehouse relation, never a fresh recompute —
+        # for an incremental that recompute would see only the current
+        # batch, silently dropping the accumulated history dbt's ref()
+        # reads. run_models passes a resolver that returns None for
+        # selected names (those materialize in-run and arrive via
+        # set_relation) and for views (a stored view is a stored QUERY;
+        # recomputing the plan IS its read semantics). Probe contexts
+        # instead build first (edge harvest needs the refs) and swap
+        # below.
+        if not self._probe and self._stored_resolver is not None:
+            stored = self._stored_resolver(name)
+            if stored is not None:
+                self._cache[f"m:{name}"] = stored
+                return stored
         self._building.append(name)
         try:
             df = model.build(self)

@@ -188,8 +188,66 @@ def test_context_var_resolution(spark):
     reg = Registry()
     ctx = reg.context(spark, vars={"start_year": 2015})
     assert ctx.var("start_year", 2010) == 2015  # run-level override wins
-    assert ctx.var("end_year", 2024) == 2024  # project default
+    assert ctx.var("end_year", 2024) == 2024  # call-site default
     assert ctx.var("missing") is None
+
+    # dbt's three-layer resolution: run override > project-declared
+    # default (dbt_project.yml vars) > call-site default
+    reg.declare_vars({"start_year": 2010, "end_year": 2024})
+    ctx = reg.context(spark, vars={"start_year": 2015})
+    assert ctx.var("start_year", 1999) == 2015  # override beats both
+    assert ctx.var("end_year", 1999) == 2024  # project default beats call-site
+    assert ctx.var("missing", "cs") == "cs"  # call-site is last resort
+
+    # None as an EXPLICIT run override must win (dict membership, not
+    # truthiness): dbt lets --vars null-out a project default
+    ctx = reg.context(spark, vars={"end_year": None})
+    assert ctx.var("end_year", 1999) is None
+
+
+def test_partial_vars_fall_back_to_project_defaults(spark, tmp_path):
+    """A partial --vars run gets the declared project defaults for the
+    unspecified vars (ADVICE r5): focus-only vars must still apply the
+    dbt_project.yml 2010-2024 year range — here via start_year pushing
+    out a pre-2010 row that an unbounded range would keep."""
+    import datetime as dt
+
+    from test_cli import _write_raw, GDP_SCHEMA
+
+    from dbt_economic_indicators_eu_spark.__main__ import main
+
+    raw = str(tmp_path / "raw")
+    _write_raw(spark, raw)
+    # append a pre-default-range GDP year for DE
+    old = [("nama_10_gdp", 1000000.0, dt.datetime(2024, 2, 1), "CP_MEUR",
+            "m EUR", "B1GQ", "GDP", "DE", "Germany", "2005")]
+    spark.createDataFrame(old, GDP_SCHEMA).write.mode("append").parquet(
+        f"{raw}/raw_gdp.parquet"
+    )
+
+    # no vars at all: the declared defaults stay inert (reference
+    # parity — its models never consume them), so 2005 survives
+    wh0 = str(tmp_path / "wh0")
+    assert main(["run", "--warehouse", wh0, "--raw-dir", raw]) == 0
+    # fct is monthly (2023-only) — check the annual mart for the 2005 row
+    rpt = spark.read.parquet(os.path.join(wh0, "rpt_annual_economic_summary"))
+    assert rpt.filter("reference_year = 2005").count() == 1
+
+    # focus-only vars: year defaults (2010-2024) activate via the
+    # project layer and drop 2005; DE rows within range survive
+    wh1 = str(tmp_path / "wh1")
+    assert (
+        main(
+            [
+                "run", "--warehouse", wh1, "--raw-dir", raw,
+                "--vars", '{"focus_countries": ["DE"]}',
+            ]
+        )
+        == 0
+    )
+    rpt = spark.read.parquet(os.path.join(wh1, "rpt_annual_economic_summary"))
+    assert rpt.filter("reference_year = 2005").count() == 0
+    assert rpt.filter("reference_year = 2023").count() > 0
 
 
 def test_cli_vars_scope_the_run(spark, tmp_path):

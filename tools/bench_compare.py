@@ -60,7 +60,11 @@ def _salvage_queries(tail: str) -> dict | None:
         if m.group(1)
         not in ("n", "rc", "cpus", "sf", "value", "oracle_value",
                 "ratio_vs_oracle", "host_steal_pct", "oracle_coverage",
-                "spark_covered_value")
+                "spark_covered_value",
+                # oracle-side payload scalars (tools/bench_oracle.py):
+                # salvaging an oracle wrapper tail must not inject
+                # these as phantom query rows
+                "coverage", "n_failed")
     )
     return {"queries": qs, "_salvaged": True} if qs else None
 

@@ -42,12 +42,26 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     # tolerance: sorting on the compared values directly would let
     # within-tolerance engine noise reorder rows and diff row A
     # against row B (non-float columns sort exactly, floats only
-    # break remaining ties)
+    # break remaining ties). Rows still tied on EVERY 6dp-rounded key
+    # then tie-break on the exact float values (ADVICE r5): falling
+    # back to pre-sort index order is engine/partition-dependent, so
+    # two genuinely different rows (e.g. 0.1234561 vs 0.1234569) could
+    # pair crosswise and fail the 1e-9 compare spuriously. Exact
+    # values within the tie group order consistently across engines
+    # whenever they differ by more than the compare tolerance — and
+    # ties closer than that pass the compare either way.
     sort_frame = df.copy()
-    for c in sort_frame.columns:
-        if str(sort_frame[c].dtype).startswith("float"):
-            sort_frame[c] = sort_frame[c].round(6)
-    order = sort_frame.sort_values(by=list(sort_frame.columns)).index
+    float_cols = [
+        c for c in sort_frame.columns if str(sort_frame[c].dtype).startswith("float")
+    ]
+    for c in float_cols:
+        sort_frame[c] = sort_frame[c].round(6)
+    keys = list(sort_frame.columns)
+    for c in float_cols:
+        exact = f"__exact_{c}"
+        sort_frame[exact] = df[c]
+        keys.append(exact)
+    order = sort_frame.sort_values(by=keys).index
     return df.loc[order].reset_index(drop=True)
 
 
