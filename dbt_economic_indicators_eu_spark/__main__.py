@@ -225,28 +225,70 @@ def cmd_test(args) -> int:
 
 def cmd_docs(args) -> int:
     """``dbt docs generate`` equivalent: manifest.json with every model
-    (materialization, keys, tags, declared tests, upstream deps) and
-    source (freshness policy, tests). Deps need bound sources
-    (--raw-dir); without them the manifest ships without edges."""
+    (materialization, keys, tags, declared tests, contract, partition
+    layout, upstream deps) and source (freshness policy, tests), plus
+    the descriptions/column docs/meta the reference keeps in its yml
+    patch files (``models.docs`` transcribes them). Deps need bound
+    sources (--raw-dir); without them the manifest ships without
+    edges. ``--select`` limits the emitted model nodes (dbt's
+    ``docs generate --select``); sources always ship — they are the
+    lineage roots."""
     import json
 
+    from .models.docs import MODEL_DOCS, SOURCE_DOCS, SOURCE_GROUP_DOC
+
     reg = _registry(args.raw_dir)
+    run_vars = _parse_vars(args.vars)
     deps: dict[str, list[str]] = {}
     if args.raw_dir is not None:
         spark = _spark(args)
-        deps = {k: sorted(v) for k, v in reg.dependency_graph(spark).items()}
+        # same vars the run would use: a vars-conditional ref must
+        # document the edge the run will actually take
+        deps = {
+            k: sorted(v)
+            for k, v in reg.dependency_graph(spark, vars=run_vars).items()
+        }
+    names = list(reg.models)
+    if args.select:
+        if args.raw_dir is not None:
+            names = [
+                n
+                for n in reg.expand_selection(spark, list(args.select), vars=run_vars)
+                if n in reg.models
+            ]
+        else:  # no bound sources -> no graph; plain name filter
+            unknown = [n for n in args.select if n not in reg.models]
+            if unknown:
+                print(f"ERROR  unknown models in --select: {unknown}")
+                return 1
+            names = list(args.select)
+
+    def model_node(name, m):
+        doc = MODEL_DOCS.get(name, {})
+        return {
+            "materialization": m.materialization,
+            "unique_key": m.unique_key,
+            "watermark_col": m.watermark_col,
+            "partition_by": m.partition_by,
+            "check_cols": list(m.check_cols),
+            "tags": list(m.tags),
+            "tests": [list(t) for t in m.tests],
+            "contract": (
+                {f.name: f.dataType.simpleString() for f in m.contract.fields}
+                if m.contract is not None
+                else None
+            ),
+            "description": doc.get("description", ""),
+            "columns": doc.get("columns", {}),
+            "meta": doc.get("meta", {}),
+            "depends_on": deps.get(name, []),
+        }
+
     manifest = {
         "models": {
-            name: {
-                "materialization": m.materialization,
-                "unique_key": m.unique_key,
-                "watermark_col": m.watermark_col,
-                "check_cols": list(m.check_cols),
-                "tags": list(m.tags),
-                "tests": [list(t) for t in m.tests],
-                "depends_on": deps.get(name, []),
-            }
+            name: model_node(name, m)
             for name, m in reg.models.items()
+            if name in set(names)
         },
         "sources": {
             name: {
@@ -255,9 +297,13 @@ def cmd_docs(args) -> int:
                 "error_after_days": s.error_after_days,
                 "tests": [list(t) for t in s.tests],
                 "bound": s.loader is not None,
+                "description": SOURCE_DOCS.get(name, {}).get("description", ""),
+                "columns": SOURCE_DOCS.get(name, {}).get("columns", {}),
+                "source_group": SOURCE_GROUP_DOC,
             }
             for name, s in reg.sources.items()
         },
+        "vars": {**reg.project_vars, **run_vars},
     }
     os.makedirs(args.warehouse, exist_ok=True)
     path = os.path.join(args.warehouse, "manifest.json")

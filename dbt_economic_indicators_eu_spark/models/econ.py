@@ -17,9 +17,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     DateType,
+    DoubleType,
+    IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from ..functions.expressions import surrogate_key
@@ -110,6 +114,72 @@ def _apply_project_vars(ctx: Context, df: DataFrame) -> DataFrame:
             )
         df = df.filter(F.col("country_code").isin(list(focus)))
     return df
+
+
+# ---- enforced mart contracts (reference `contract: enforced: true`,
+# dim_country.sql:5 / fct_economic_indicators.sql:7 /
+# rpt_annual_economic_summary.sql:5; declared columns + data_types in
+# _marts__models.yml). dbt fails the build when the model's output
+# schema deviates; Context.ref enforces these on the ANALYZED plan
+# before any write (testing/contracts.py). Types are this engine's
+# mapping of the yml's DuckDB types: varchar→string, "timestamp with
+# time zone"→timestamp (Spark TIMESTAMP is LTZ), and the rank columns
+# are int (Spark rank()) where DuckDB ranks are bigint. The yml's
+# `_dbt_invocation_id` (fct) is dbt-runtime lineage metadata with no
+# equivalent here and is deliberately not part of the schema.
+_CONTRACT_TYPES = {
+    "string": StringType(),
+    "date": DateType(),
+    "boolean": BooleanType(),
+    "int": IntegerType(),
+    "bigint": LongType(),
+    "double": DoubleType(),
+    "timestamp": TimestampType(),
+}
+
+
+def _contract(ddl: str) -> StructType:
+    """Pure-Python DDL-ish parser ("name type, ..."): StructType.fromDDL
+    needs a live SparkContext, which does not exist at module import."""
+    fields = []
+    for part in ddl.split(","):
+        name, typ = part.split()
+        fields.append(StructField(name, _CONTRACT_TYPES[typ]))
+    return StructType(fields)
+
+
+_DIM_COUNTRY_CONTRACT = _contract(
+    "country_key string, country_code string, country_name string, "
+    "eu_member_since date, eurozone_member boolean, region string, "
+    "subregion string, eu_status string, earliest_gdp_year int, "
+    "latest_gdp_year int, years_of_gdp_data bigint, _loaded_at timestamp"
+)
+
+_FCT_CONTRACT = _contract(
+    "indicator_key string, country_code string, country_key string, "
+    "reference_year int, reference_month int, reference_date date, "
+    "unemployment_rate_pct double, inflation_rate_mom_pct double, "
+    "unemployment_rate_prev_month double, unemployment_rate_prev_year double, "
+    "unemployment_rate_12m_avg double, inflation_rate_12m_avg double, "
+    "unemployment_mom_change double, unemployment_yoy_change double, "
+    "annual_gdp_million_eur double, annual_population_count double, "
+    "annual_gdp_per_capita_eur double, _loaded_at timestamp"
+)
+
+_RPT_CONTRACT = _contract(
+    "summary_key string, country_code string, country_key string, "
+    "reference_year int, gdp_million_eur double, population_count double, "
+    "gdp_per_capita_eur double, avg_unemployment_rate_pct double, "
+    "annual_inflation_rate_pct double, gdp_rank int, gdp_per_capita_rank int, "
+    "unemployment_rank int, inflation_rank int, gdp_yoy_growth_pct double, "
+    "unemployment_yoy_change_pp double, inflation_yoy_change_pp double, "
+    "share_of_eu_gdp_pct double, share_of_eu_population_pct double, "
+    "gdp_per_capita_vs_eu_avg double, unemployment_vs_eu_avg_pp double, "
+    "inflation_vs_eu_avg_pp double, has_complete_unemployment_data boolean, "
+    "has_complete_inflation_data boolean, country_name string, "
+    "eu_status string, eurozone_member boolean, region string, "
+    "_loaded_at timestamp"
+)
 
 
 def build_registry() -> Registry:
@@ -392,6 +462,7 @@ def build_registry() -> Registry:
     @reg.model(
         "dim_country",
         materialization="table",
+        contract=_DIM_COUNTRY_CONTRACT,  # _marts__models.yml:9-11
         tags=("marts", "reporting"),  # dbt_project.yml:44-46
         # _marts__models.yml:13-30
         tests=(
@@ -447,6 +518,7 @@ def build_registry() -> Registry:
     @reg.model(
         "fct_economic_indicators",
         materialization="incremental",
+        contract=_FCT_CONTRACT,  # _marts__models.yml:69-71
         unique_key="indicator_key",
         tags=("marts", "facts", "incremental"),  # fct sql config :6
         # is_incremental() watermark (fct_economic_indicators.sql:28-31)
@@ -498,6 +570,7 @@ def build_registry() -> Registry:
     @reg.model(
         "rpt_annual_economic_summary",
         materialization="table",
+        contract=_RPT_CONTRACT,  # _marts__models.yml:162-164
         tags=("marts", "reporting"),
         # _marts__models.yml:167-196
         tests=(

@@ -210,6 +210,29 @@ def test_cli_docs_manifest(spark, tmp_path):
     src = m["sources"]["raw_gdp"]
     assert src["loaded_at_field"] == "extracted_at" and src["bound"] is True
 
+    # reference yml docs ship in the manifest (r6: _marts__models.yml /
+    # _sources.yml descriptions, column docs, meta, enforced contract)
+    assert fct["description"].startswith("Core fact table")
+    assert fct["columns"]["indicator_key"].startswith("Primary key")
+    assert fct["meta"]["owner"] == "data-engineering"
+    assert fct["contract"] is not None and "indicator_key" in fct["contract"]
+    assert src["description"].startswith("Gross Domestic Product")
+    assert src["columns"]["geo_code"] == "ISO 2-letter country code"
+    # project-declared vars surface (dbt_project.yml:20-26)
+    assert m["vars"]["start_year"] == 2010
+
+    # --select limits emitted model nodes via graph expansion
+    wh2 = str(tmp_path / "wh2")
+    assert main(
+        ["docs", "--warehouse", wh2, "--raw-dir", raw,
+         "--select", "+dim_country"]
+    ) == 0
+    m2 = json.load(open(os.path.join(wh2, "manifest.json")))
+    assert "dim_country" in m2["models"]
+    assert "stg_eurostat__gdp" in m2["models"]  # ancestor
+    assert "rpt_annual_economic_summary" not in m2["models"]
+    assert "raw_gdp" in m2["sources"]  # sources always ship
+
 
 def test_cli_compile_prints_plans(spark, tmp_path, capsys):
     raw = str(tmp_path / "raw")
