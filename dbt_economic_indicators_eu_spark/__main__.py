@@ -171,18 +171,12 @@ def cmd_test(args) -> int:
     # resolves refs to WRITTEN upstreams from the warehouse (dbt ref
     # semantics): a view under test that refs an incremental must see
     # its accumulated stored relation, not a single-batch recompute.
-    from .materialize.incremental import has_parquet_files
+    from .materialize.run import make_stored_resolver
 
-    def _ctx_stored_resolver(name: str):
-        model = reg.get(name)
-        if model.materialization == "view":
-            return None
-        path = os.path.join(base, name)
-        if has_parquet_files(path):
-            return spark.read.parquet(path)
-        return None
-
-    ctx = reg.context(spark, vars=run_vars, stored_resolver=_ctx_stored_resolver)
+    ctx = reg.context(
+        spark, vars=run_vars,
+        stored_resolver=make_stored_resolver(reg, spark, base),
+    )
 
     def resolve(name):
         """dbt test checks the MATERIALIZED relation: prefer the
@@ -251,17 +245,23 @@ def cmd_docs(args) -> int:
     names = list(reg.models)
     if args.select:
         if args.raw_dir is not None:
-            names = [
-                n
-                for n in reg.expand_selection(spark, list(args.select), vars=run_vars)
-                if n in reg.models
-            ]
+            from .plans.registry import RegistryError
+
+            try:
+                expanded = reg.expand_selection(
+                    spark, list(args.select), vars=run_vars
+                )
+            except RegistryError as e:
+                print(f"ERROR  {e}")
+                return 1
+            names = [n for n in expanded if n in reg.models]
         else:  # no bound sources -> no graph; plain name filter
             unknown = [n for n in args.select if n not in reg.models]
             if unknown:
                 print(f"ERROR  unknown models in --select: {unknown}")
                 return 1
             names = list(args.select)
+    emitted = set(names)
 
     def model_node(name, m):
         doc = MODEL_DOCS.get(name, {})
@@ -281,14 +281,21 @@ def cmd_docs(args) -> int:
             "description": doc.get("description", ""),
             "columns": doc.get("columns", {}),
             "meta": doc.get("meta", {}),
-            "depends_on": deps.get(name, []),
+            # under --select, edges are pruned to nodes present in THIS
+            # manifest (emitted models + sources, which always ship) —
+            # a lineage consumer resolving depends_on against the
+            # manifest must never hit a dangling reference
+            "depends_on": [
+                d for d in deps.get(name, [])
+                if d in emitted or d in reg.sources
+            ],
         }
 
     manifest = {
         "models": {
             name: model_node(name, m)
             for name, m in reg.models.items()
-            if name in set(names)
+            if name in emitted
         },
         "sources": {
             name: {

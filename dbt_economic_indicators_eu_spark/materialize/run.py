@@ -122,6 +122,29 @@ def _materialize_one(
     return fresh
 
 
+def make_stored_resolver(registry, spark, base, *, exclude: set[str] | None = None):
+    """THE warehouse stored-relation resolver (dbt ref semantics),
+    shared by run_models' real context, the probe edge harvest, and
+    the CLI test verb — one definition so the three consumers can
+    never drift. Views return None (a stored view is a stored QUERY;
+    recomputing the plan is its read semantics), as do names in
+    ``exclude`` (models materializing in-run arrive via set_relation)
+    and never-materialized paths (fall back to a fresh build)."""
+
+    def stored_resolver(name: str):
+        if exclude is not None and name in exclude:
+            return None
+        model = registry.get(name)
+        if model.materialization == "view":
+            return None
+        path = os.path.join(base, name)
+        if has_parquet_files(path):
+            return spark.read.parquet(path)
+        return None
+
+    return stored_resolver
+
+
 def _selected_upstream_map(registry, spark, names, mocks, vars, base):
     """For each selected model, its SELECTED upstreams — transitively
     THROUGH unselected nodes: with A(selected) -> B(unselected view) ->
@@ -135,17 +158,9 @@ def _selected_upstream_map(registry, spark, names, mocks, vars, base):
     append_new_columns from earlier batches) and would otherwise fail
     analysis during the edge harvest."""
 
-    def stored_resolver(name):
-        model = registry.get(name)
-        if model.materialization == "view":
-            return None
-        path = os.path.join(base, name)
-        if has_parquet_files(path):
-            return spark.read.parquet(path)
-        return None
-
     deps = registry.dependency_graph(
-        spark, mocks=mocks, vars=vars, select=names, stored_resolver=stored_resolver
+        spark, mocks=mocks, vars=vars, select=names,
+        stored_resolver=make_stored_resolver(registry, spark, base),
     )
     selected = set(names)
 
@@ -209,25 +224,13 @@ def run_models(
     # --select run must resolve refs to the already-materialized
     # warehouse relation (an incremental's fresh recompute would see
     # only the current batch, not its accumulated history). Selected
-    # names return None — they materialize in-run and land in the
-    # context via set_relation; views recompute (that IS a stored
-    # view's read semantics); a never-materialized upstream falls back
-    # to a fresh build rather than failing the run.
-    selected_set = set(names)
-
-    def _run_stored_resolver(name: str):
-        if name in selected_set:
-            return None
-        model = registry.get(name)
-        if model.materialization == "view":
-            return None
-        path = os.path.join(base, name)
-        if has_parquet_files(path):
-            return spark.read.parquet(path)
-        return None
-
+    # names are excluded — they materialize in-run and land in the
+    # context via set_relation.
     ctx: Context = registry.context(
-        spark, mocks=mocks, vars=vars, stored_resolver=_run_stored_resolver
+        spark, mocks=mocks, vars=vars,
+        stored_resolver=make_stored_resolver(
+            registry, spark, base, exclude=set(names)
+        ),
     )
     out: dict[str, DataFrame] = {}
 

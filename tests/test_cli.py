@@ -233,6 +233,24 @@ def test_cli_docs_manifest(spark, tmp_path):
     assert "rpt_annual_economic_summary" not in m2["models"]
     assert "raw_gdp" in m2["sources"]  # sources always ship
 
+    # no dangling lineage: every depends_on edge resolves inside the
+    # manifest (emitted models or sources), even under a bare --select
+    wh3 = str(tmp_path / "wh3")
+    assert main(
+        ["docs", "--warehouse", wh3, "--raw-dir", raw, "--select", "dim_country"]
+    ) == 0
+    m3 = json.load(open(os.path.join(wh3, "manifest.json")))
+    assert set(m3["models"]) == {"dim_country"}
+    for node in m3["models"].values():
+        for dep in node["depends_on"]:
+            assert dep in m3["models"] or dep in m3["sources"], dep
+
+    # unknown --select names error cleanly in BOTH branches
+    assert main(
+        ["docs", "--warehouse", wh3, "--raw-dir", raw, "--select", "nope"]
+    ) == 1
+    assert main(["docs", "--warehouse", wh3, "--select", "nope"]) == 1
+
 
 def test_cli_compile_prints_plans(spark, tmp_path, capsys):
     raw = str(tmp_path / "raw")

@@ -169,7 +169,7 @@ def test_embedding_dedup_recall_at_scale(spark, scaled_sf):
     # identical vectors: verified cosine must be exactly 1.0 after r6
     assert replica.filter(F.col("cosine") != 1.0).count() == 0
     # every emitted pair respects the threshold (verify join is exact)
-    assert out.filter(F.col("cosine") < 0.35).count() == 0
+    assert out.filter(F.col("cosine") < simsearch._DEDUP_COS_THRESHOLD).count() == 0
 
     # drop accounting: replication multiplies every bucket's occupancy
     # by 10 (base max ~20 per table-bucket at sf0.1 → ~200 scaled),
