@@ -92,9 +92,12 @@ FROM documents
 # unions in a deterministic replica set — every doc with
 # doc_id % 97 == 0 re-keyed at +1e9 — mirrored exactly in the oracle,
 # so the grouping, min-canonical, and count>1 logic are exercised on
-# real nonzero groups (6 at sf0.01, 52 at sf0.1). The replica leg is a
-# second scan of the same parquet with a pushed-down modulo filter;
-# the plan shape (one shuffle on the hash) is unchanged.
+# real nonzero groups (6 at sf0.01, 52 at sf0.1). The replica leg is an
+# exploded per-row offset array, NOT a self-union: a union's second
+# branch is a second full parquet scan at 100 TB (a modulo predicate is
+# not min/max-prunable), while the explode is a codegen'd GenerateExec
+# over the single scan; the plan stays scan → generate → one shuffle
+# on the uniformly-distributed hash.
 # --------------------------------------------------------------------------
 
 _EXACT_REPLICA_MOD = 97
@@ -109,14 +112,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — a consumer deleting against canonical_doc_id would purge
     # documents whose text is merely missing. Mirrors dbt's "NULL keys
     # are never duplicates" rule (test_unique semantics).
-    base = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
-    replicas = base.filter(F.col("doc_id") % _EXACT_REPLICA_MOD == 0).select(
-        (F.col("doc_id") + F.lit(_EXACT_REPLICA_OFFSET)).alias("doc_id"),
-        "text",
-    )
+    offsets = F.when(
+        F.col("doc_id") % _EXACT_REPLICA_MOD == 0,
+        F.array(F.lit(0), F.lit(_EXACT_REPLICA_OFFSET)),
+    ).otherwise(F.array(F.lit(0)))
     return (
-        base.unionByName(replicas)
-        .select(F.col("doc_id"), F.md5(F.col("text")).alias("content_hash"))
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(F.col("text")).alias("content_hash"),
+            F.explode(offsets).alias("off"),  # generators must be top-level
+        )
+        .select(
+            (F.col("doc_id") + F.col("off")).alias("doc_id"), "content_hash"
+        )
         .groupBy("content_hash")
         .agg(
             F.min("doc_id").alias("canonical_doc_id"),
