@@ -108,6 +108,18 @@ def test_partition_pruning_reaches_scan(spark):
     assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_dedup_exact_single_scan_one_shuffle(spark):
+    """The deterministic replica leg must ride the ONE documents scan
+    (exploded offset array), never a self-union's second scan — a
+    modulo predicate is not min/max-prunable, so a union branch would
+    re-read the full table at 100 TB. Shape: scan → generate →
+    map-side partial agg → exactly one exchange."""
+    plan = _plan(spark, "dedup_exact")
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" in plan and "Union" not in plan
+    assert plan.count("Exchange") == 1
+
+
 def test_minhash_no_shuffle_of_shingles(spark):
     """Verify joins take broadcast candidates at this scale (planner
     size estimate, no explicit hint); the shingle table must not
