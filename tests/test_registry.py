@@ -141,14 +141,16 @@ def test_run_models_all_materializations(spark, tmp_path):
     assert snap.filter(~F.col("is_current")).count() == 2  # old k1 + deleted k2
 
 
-def test_selected_run_reads_stored_unselected_upstream(spark, tmp_path):
+@pytest.mark.parametrize("threads", [1, 4])
+def test_selected_run_reads_stored_unselected_upstream(spark, tmp_path, threads):
     """dbt ref semantics under an explicit --select (ADVICE r5): a
     selected mart whose UNSELECTED incremental upstream was
     materialized by an earlier run must read the STORED relation —
     a fresh recompute would see only the current source batch and
     silently drop the accumulated history. The view hop between them
     pins the transitive case (views recompute, but their refs resolve
-    stored)."""
+    stored). Parametrized over the serial and threaded schedulers —
+    both share the stored-resolver context."""
     wh = str(tmp_path / "wh")
 
     def build_reg(rows):
@@ -170,12 +172,13 @@ def test_selected_run_reads_stored_unselected_upstream(spark, tmp_path):
         return reg
 
     run_models(build_reg([("k1", 1.0), ("k2", 2.0)]), spark, wh,
-               now=dt.datetime(2024, 1, 1))
+               now=dt.datetime(2024, 1, 1), threads=threads)
 
     # source moves on to a NEW batch; only the mart is selected, so
     # i_up must come from the warehouse (k1,k2), not a k3-only recompute
     out = run_models(build_reg([("k3", 3.0)]), spark, wh,
-                     select=["mart"], now=dt.datetime(2024, 2, 1))
+                     select=["mart"], now=dt.datetime(2024, 2, 1),
+                     threads=threads)
     assert {r["k"] for r in out["mart"].collect()} == {"k1", "k2"}
     # and the stored upstream itself was not rewritten by the run
     stored = spark.read.parquet(f"{wh}/i_up")
@@ -184,7 +187,8 @@ def test_selected_run_reads_stored_unselected_upstream(spark, tmp_path):
     # selecting the incremental itself still MERGES the new batch
     # (selected names bypass the stored fallback)
     out = run_models(build_reg([("k3", 3.0)]), spark, wh,
-                     select=["i_up", "mart"], now=dt.datetime(2024, 3, 1))
+                     select=["i_up", "mart"], now=dt.datetime(2024, 3, 1),
+                     threads=threads)
     assert {r["k"] for r in out["mart"].collect()} == {"k1", "k2", "k3"}
 
 
