@@ -317,6 +317,33 @@ def cmd_docs(args) -> int:
     with open(path, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     print(f"wrote {path}")
+
+    # dbt docs generate also emits catalog.json — the WAREHOUSE side:
+    # actual column types and row counts of materialized relations (the
+    # manifest is the declared side; the catalog is what a prior run
+    # actually wrote). Only written artifacts appear; views/unbuilt
+    # models have no stored relation to catalog. Needs a session for
+    # the schema/count reads, so it ships only with --raw-dir (same
+    # gate as lineage edges).
+    if args.raw_dir is not None:
+        from .materialize.incremental import has_parquet_files
+        from .materialize.run import warehouse_base
+
+        base = warehouse_base(args.warehouse, args.target, args.schema)
+        catalog: dict = {}
+        for name in names:
+            p = os.path.join(base, name)
+            if not has_parquet_files(p):
+                continue
+            df = spark.read.parquet(p)
+            catalog[name] = {
+                "columns": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+                "row_count": df.count(),
+            }
+        cpath = os.path.join(args.warehouse, "catalog.json")
+        with open(cpath, "w") as f:
+            json.dump(catalog, f, indent=2, sort_keys=True)
+        print(f"wrote {cpath} ({len(catalog)} cataloged relations)")
     return 0
 
 

@@ -251,6 +251,21 @@ def test_cli_docs_manifest(spark, tmp_path):
     ) == 1
     assert main(["docs", "--warehouse", wh3, "--select", "nope"]) == 1
 
+    # catalog.json: the WAREHOUSE side — materialized relations only,
+    # with actual column types and row counts from what a run wrote
+    wh4 = str(tmp_path / "wh4")
+    assert main(["run", "--warehouse", wh4, "--raw-dir", raw]) == 0
+    assert main(["docs", "--warehouse", wh4, "--raw-dir", raw]) == 0
+    cat = json.load(open(os.path.join(wh4, "catalog.json")))
+    assert "fct_economic_indicators" in cat
+    assert cat["fct_economic_indicators"]["row_count"] == 24
+    assert cat["fct_economic_indicators"]["columns"]["reference_date"] == "date"
+    assert "stg_eurostat__gdp" not in cat  # views have no stored relation
+    # a docs run over an EMPTY warehouse still writes a (bare) catalog
+    wh5 = str(tmp_path / "wh5")
+    assert main(["docs", "--warehouse", wh5, "--raw-dir", raw]) == 0
+    assert json.load(open(os.path.join(wh5, "catalog.json"))) == {}
+
 
 def test_cli_compile_prints_plans(spark, tmp_path, capsys):
     raw = str(tmp_path / "raw")
