@@ -229,7 +229,7 @@ def cmd_docs(args) -> int:
     lineage roots."""
     import json
 
-    from .models.docs import MODEL_DOCS, SOURCE_DOCS, SOURCE_GROUP_DOC
+    from .models.docs import DOC_BLOCKS, MODEL_DOCS, SOURCE_DOCS, SOURCE_GROUP_DOC
 
     reg = _registry(args.raw_dir)
     run_vars = _parse_vars(args.vars)
@@ -311,6 +311,8 @@ def cmd_docs(args) -> int:
             for name, s in reg.sources.items()
         },
         "vars": {**reg.project_vars, **run_vars},
+        # reusable dbt doc blocks (reference docs/overview.md)
+        "docs": DOC_BLOCKS,
     }
     os.makedirs(args.warehouse, exist_ok=True)
     path = os.path.join(args.warehouse, "manifest.json")

@@ -211,6 +211,35 @@ MODEL_DOCS: dict[str, dict] = {
     },
 }
 
+# Reusable dbt doc blocks (reference docs/overview.md `{% docs %}`
+# sections) — the column-semantics blocks models reference via
+# `{{ doc(...) }}`. The `__overview__` block is intentionally NOT
+# transcribed: it documents the reference's own dbt/DuckDB stack and a
+# personal contact; this engine's overview is the repo README.
+DOC_BLOCKS: dict[str, str] = {
+    "country_code": (
+        "ISO 3166-1 alpha-2 country code (e.g., 'DE' for Germany, 'FR' "
+        "for France).\n\nSpecial codes:\n- `EU27_2020`: European Union "
+        "aggregate (27 member states as of 2020)"
+    ),
+    "gdp_million_eur": (
+        "Gross Domestic Product at current market prices, expressed in "
+        "million EUR.\n\nSource: Eurostat dataset `nama_10_gdp`"
+    ),
+    "unemployment_rate_pct": (
+        "Unemployment rate as percentage of active population, "
+        "seasonally adjusted.\n\n- Age group: Total (all ages)\n- Sex: "
+        "Total (all sexes)\n- Seasonal adjustment: Yes (SA)\n\nSource: "
+        "Eurostat dataset `une_rt_m`"
+    ),
+    "inflation_rate_mom_pct": (
+        "Harmonised Index of Consumer Prices (HICP), month-over-month "
+        "rate of change.\n\n- Coverage: All-items (COICOP: CP00)\n- "
+        "Calculation: (Current month index / Previous month index - 1) "
+        "* 100\n\nSource: Eurostat dataset `prc_hicp_mmor`"
+    ),
+}
+
 # source name -> docs (reference models/staging/_sources.yml; the
 # source group itself is documented there too)
 SOURCE_GROUP_DOC = (

@@ -220,6 +220,9 @@ def test_cli_docs_manifest(spark, tmp_path):
     assert src["columns"]["geo_code"] == "ISO 2-letter country code"
     # project-declared vars surface (dbt_project.yml:20-26)
     assert m["vars"]["start_year"] == 2010
+    # reusable doc blocks (reference docs/overview.md {% docs %})
+    assert m["docs"]["country_code"].startswith("ISO 3166-1")
+    assert "nama_10_gdp" in m["docs"]["gdp_million_eur"]
 
     # --select limits emitted model nodes via graph expansion
     wh2 = str(tmp_path / "wh2")
