@@ -149,6 +149,24 @@ def cmd_snapshot(args) -> int:
     return cmd_run(args, materializations=("snapshot",), exclude=())
 
 
+def _stored_schema(reg, ctx, name):
+    """Schema of a model's STORED relation when the artifact on disk is
+    rowless (no parquet footers — e.g. a vars-scoped run over an empty
+    slice). The build plan's schema is the base; a snapshot's stored
+    relation additionally carries the SCD2 columns scd2_merge appends
+    (same derivation as materialize/run's rowless read-back)."""
+    schema = ctx.ref(name).schema
+    model = reg.get(name)
+    if model.materialization == "snapshot":
+        from .materialize.snapshot import scd2_merge
+
+        schema = scd2_merge(
+            None, ctx.ref(name).limit(0), model.unique_key,
+            list(model.check_cols), "1970-01-01 00:00:00",
+        ).schema
+    return schema
+
+
 def cmd_test(args) -> int:
     from .testing.schedule import run_schema_tests
 
@@ -198,16 +216,7 @@ def cmd_test(args) -> int:
             return None
         if has_parquet_files(path):
             return spark.read.parquet(path)
-        stored_schema = ctx.ref(name).schema
-        model = reg.get(name)
-        if model.materialization == "snapshot":
-            from .materialize.snapshot import scd2_merge
-
-            stored_schema = scd2_merge(
-                None, ctx.ref(name).limit(0), model.unique_key,
-                list(model.check_cols), "1970-01-01 00:00:00",
-            ).schema
-        return spark.read.schema(stored_schema).parquet(path)
+        return spark.read.schema(_stored_schema(reg, ctx, name)).parquet(path)
 
     ok, rows = run_schema_tests(reg, ctx, select, resolve)
     for r in rows:
@@ -323,29 +332,46 @@ def cmd_docs(args) -> int:
     # dbt docs generate also emits catalog.json — the WAREHOUSE side:
     # actual column types and row counts of materialized relations (the
     # manifest is the declared side; the catalog is what a prior run
-    # actually wrote). Only written artifacts appear; views/unbuilt
-    # models have no stored relation to catalog. Needs a session for
-    # the schema/count reads, so it ships only with --raw-dir (same
-    # gate as lineage edges).
-    if args.raw_dir is not None:
-        from .materialize.incremental import has_parquet_files
-        from .materialize.run import warehouse_base
+    # actually wrote). ALWAYS rewritten alongside the manifest — a
+    # docs run that refreshed one artifact but not the other would
+    # leave a silently disagreeing pair. Rowless-but-materialized
+    # relations (a vars-scoped run over an empty slice) are cataloged
+    # with row_count 0, not omitted as unbuilt: schema comes from the
+    # stored-relation derivation when sources are bound (--raw-dir),
+    # else null (no footers on disk to read it from).
+    from .materialize.incremental import has_parquet_files
+    from .materialize.run import warehouse_base
 
-        base = warehouse_base(args.warehouse, args.target, args.schema)
-        catalog: dict = {}
-        for name in names:
+    base = warehouse_base(args.warehouse, args.target, args.schema)
+    catalog: dict = {}
+    candidates = [n for n in names if os.path.isdir(os.path.join(base, n))]
+    if candidates:
+        spark = _spark(args)  # get_spark memoizes; cheap if already up
+        ctx = reg.context(spark, vars=run_vars) if args.raw_dir is not None else None
+        for name in candidates:
             p = os.path.join(base, name)
-            if not has_parquet_files(p):
-                continue
-            df = spark.read.parquet(p)
-            catalog[name] = {
-                "columns": {f.name: f.dataType.simpleString() for f in df.schema.fields},
-                "row_count": df.count(),
-            }
-        cpath = os.path.join(args.warehouse, "catalog.json")
-        with open(cpath, "w") as f:
-            json.dump(catalog, f, indent=2, sort_keys=True)
-        print(f"wrote {cpath} ({len(catalog)} cataloged relations)")
+            if has_parquet_files(p):
+                df = spark.read.parquet(p)
+                catalog[name] = {
+                    "columns": {
+                        f.name: f.dataType.simpleString() for f in df.schema.fields
+                    },
+                    "row_count": df.count(),
+                }
+            else:
+                schema = _stored_schema(reg, ctx, name) if ctx is not None else None
+                catalog[name] = {
+                    "columns": (
+                        {f.name: f.dataType.simpleString() for f in schema.fields}
+                        if schema is not None
+                        else None
+                    ),
+                    "row_count": 0,
+                }
+    cpath = os.path.join(args.warehouse, "catalog.json")
+    with open(cpath, "w") as f:
+        json.dump(catalog, f, indent=2, sort_keys=True)
+    print(f"wrote {cpath} ({len(catalog)} cataloged relations)")
     return 0
 
 

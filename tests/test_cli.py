@@ -269,6 +269,28 @@ def test_cli_docs_manifest(spark, tmp_path):
     assert main(["docs", "--warehouse", wh5, "--raw-dir", raw]) == 0
     assert json.load(open(os.path.join(wh5, "catalog.json"))) == {}
 
+    # a MATERIALIZED-but-rowless relation (vars scoped to an empty
+    # slice) is cataloged as built-empty, not omitted as unbuilt
+    wh6 = str(tmp_path / "wh6")
+    assert main(
+        ["run", "--warehouse", wh6, "--raw-dir", raw,
+         "--vars", '{"start_year": 2030, "end_year": 2031}']
+    ) == 0
+    assert main(["docs", "--warehouse", wh6, "--raw-dir", raw]) == 0
+    cat6 = json.load(open(os.path.join(wh6, "catalog.json")))
+    assert cat6["fct_economic_indicators"]["row_count"] == 0
+    assert cat6["fct_economic_indicators"]["columns"]["reference_date"] == "date"
+
+    # docs WITHOUT --raw-dir still rewrites the catalog (no stale pair):
+    # footer-backed relations catalog fully; schema of rowless ones is
+    # unknown without bound sources
+    assert main(["docs", "--warehouse", wh4]) == 0
+    cat4 = json.load(open(os.path.join(wh4, "catalog.json")))
+    assert cat4["fct_economic_indicators"]["row_count"] == 24
+    assert main(["docs", "--warehouse", wh6]) == 0
+    cat6b = json.load(open(os.path.join(wh6, "catalog.json")))
+    assert cat6b["fct_economic_indicators"] == {"columns": None, "row_count": 0}
+
 
 def test_cli_compile_prints_plans(spark, tmp_path, capsys):
     raw = str(tmp_path / "raw")
