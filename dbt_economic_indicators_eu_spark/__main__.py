@@ -168,14 +168,37 @@ def _stored_schema(reg, ctx, name):
 
 
 def cmd_test(args) -> int:
+    """dbt test over all three layers the reference uses
+    (README:343-348): GENERIC column tests (the yml declarations,
+    compiled to one unioned plan), UNIT tests (the dbt 1.8
+    ``unit_tests:`` blocks, run on literal given-rows), and SINGULAR
+    tests (``tests/*.sql`` — a violations query). ``--select`` accepts
+    dbt's ``test_type:unit|generic|singular`` tokens to run one layer,
+    and model/graph selectors to scope the generic layer; default runs
+    everything, exactly like bare ``dbt test``."""
     from .testing.schedule import run_schema_tests
 
     reg = _registry(args.raw_dir)
     spark = _spark(args)
     run_vars = _parse_vars(args.vars)
+    raw_select = list(args.select or [])
+    type_tokens = {
+        t.split(":", 1)[1] for t in raw_select if t.startswith("test_type:")
+    }
+    unknown_types = type_tokens - {"generic", "unit", "singular"}
+    if unknown_types:
+        print(f"ERROR  unknown test_type selector(s): {sorted(unknown_types)}")
+        return 1
+    model_tokens = [t for t in raw_select if not t.startswith("test_type:")]
+    # no test_type tokens = every layer (dbt's bare `dbt test`); model
+    # selectors scope the generic layer only (unit/singular tests are
+    # not attached to the selection graph here)
+    run_types = type_tokens or {"generic", "unit", "singular"}
+    if model_tokens and not type_tokens:
+        run_types = {"generic"}
     select = (
-        reg.expand_selection(spark, list(args.select), vars=run_vars)
-        if args.select
+        reg.expand_selection(spark, model_tokens, vars=run_vars)
+        if model_tokens
         else None
     )
 
@@ -218,11 +241,41 @@ def cmd_test(args) -> int:
             return spark.read.parquet(path)
         return spark.read.schema(_stored_schema(reg, ctx, name)).parquet(path)
 
-    ok, rows = run_schema_tests(reg, ctx, select, resolve)
-    for r in rows:
-        status = "PASS" if r["violations"] == 0 else f"FAIL ({r['violations']} violations)"
-        print(f"{status}  {r['model']}.{r['column']} {r['test']}")
-    print(f"{sum(r['violations'] == 0 for r in rows)} of {len(rows)} tests passed")
+    n_pass = n_total = 0
+    ok = True
+
+    if "generic" in run_types:
+        g_ok, rows = run_schema_tests(reg, ctx, select, resolve)
+        ok &= g_ok
+        for r in rows:
+            status = "PASS" if r["violations"] == 0 else f"FAIL ({r['violations']} violations)"
+            print(f"{status}  {r['model']}.{r['column']} {r['test']}")
+        n_pass += sum(r["violations"] == 0 for r in rows)
+        n_total += len(rows)
+
+    if "unit" in run_types:
+        from .models.unit_tests import run_reference_unit_tests
+
+        for r in run_reference_unit_tests(reg, spark):
+            status = "PASS" if r["passed"] else "FAIL"
+            print(f"{status}  {r['model']} unit:{r['name']}")
+            if not r["passed"]:
+                print(f"       {r['detail']}")
+            ok &= r["passed"]
+            n_pass += r["passed"]
+            n_total += 1
+
+    if "singular" in run_types:
+        for name, fn in reg.singular_tests.items():
+            violations = fn(ctx).count()
+            passed = violations == 0
+            status = "PASS" if passed else f"FAIL ({violations} violations)"
+            print(f"{status}  singular:{name}")
+            ok &= passed
+            n_pass += passed
+            n_total += 1
+
+    print(f"{n_pass} of {n_total} tests passed")
     return 0 if ok else 1
 
 

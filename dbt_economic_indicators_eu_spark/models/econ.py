@@ -699,4 +699,38 @@ def build_registry() -> Registry:
             "_extracted_at",
         )
 
+    # ---- singular test (reference tests/assert_eu_aggregate_
+    # consistency.sql:13-44): the EU27_2020 aggregate GDP must equal
+    # the member-state sum within 5% per year; rows returned are
+    # violations. With no EU27_2020 rows in the source, the inner join
+    # yields nothing — the test passes vacuously, exactly like dbt.
+    @reg.singular_test("assert_eu_aggregate_consistency")
+    def eu_aggregate_consistency(ctx: Context) -> DataFrame:
+        gdp = ctx.ref("stg_eurostat__gdp")
+        country_totals = (
+            gdp.filter(F.col("country_code") != "EU27_2020")
+            .groupBy("reference_year")
+            .agg(F.sum("gdp_million_eur").alias("summed_gdp"))
+        )
+        eu = gdp.filter(F.col("country_code") == "EU27_2020").select(
+            "reference_year", F.col("gdp_million_eur").alias("eu_reported_gdp")
+        )
+        diff = F.abs(F.col("summed_gdp") - F.col("eu_reported_gdp"))
+        return (
+            country_totals.join(F.broadcast(eu), "reference_year")
+            .select(
+                "reference_year",
+                "summed_gdp",
+                "eu_reported_gdp",
+                diff.alias("absolute_difference"),
+                # try_divide: a 0-valued EU aggregate must not crash
+                # the test under ANSI; NULL pct fails the > filter
+                # like DuckDB's NULL semantics
+                (F.try_divide(diff, F.col("eu_reported_gdp")) * 100).alias(
+                    "percentage_difference"
+                ),
+            )
+            .filter(F.col("percentage_difference") > 5)
+        )
+
     return reg

@@ -76,6 +76,9 @@ class Registry:
     def __init__(self) -> None:
         self._models: dict[str, ModelDef] = {}
         self._sources: dict[str, SourceDef] = {}
+        # dbt singular tests (reference tests/*.sql): name -> builder
+        # returning a violations frame (any row = failure)
+        self._singulars: dict = {}
         # project-declared var defaults (the reference's
         # dbt_project.yml ``vars:`` block, :20-26) — the middle layer
         # of dbt's var() resolution: run override > project default >
@@ -85,6 +88,25 @@ class Registry:
     def declare_vars(self, defaults: dict) -> None:
         """Declare project-level var defaults (dbt_project.yml vars)."""
         self.project_vars.update(defaults)
+
+    def singular_test(self, name: str, fn=None):
+        """Declare a dbt SINGULAR test (reference ``tests/*.sql``): a
+        builder ``Context -> DataFrame`` whose ROWS ARE VIOLATIONS —
+        dbt fails the test when the query returns any row. Usable as a
+        decorator (``@reg.singular_test("name")``) or a plain call."""
+        if fn is None:
+            def deco(f):
+                return self.singular_test(name, f)
+
+            return deco
+        if name in self._singulars:
+            raise RegistryError(f"duplicate singular test {name!r}")
+        self._singulars[name] = fn
+        return fn
+
+    @property
+    def singular_tests(self) -> dict:
+        return dict(self._singulars)
 
     # -- declaration -------------------------------------------------
     def model(

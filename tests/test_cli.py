@@ -81,9 +81,11 @@ def test_cli_build_end_to_end(spark, tmp_path, capsys):
     # materialized artifacts on disk (views stay virtual)
     for t in ("dim_country", "fct_economic_indicators", "rpt_annual_economic_summary", "snap_gdp_history"):
         assert os.path.isdir(os.path.join(wh, t)), t
-    # all declared yml tests green over this corpus: 40 model tests +
-    # 8 source tests (_sources.yml geo_code/time_code not_null x4)
-    assert "of 48 tests passed" in out and "FAIL" not in out
+    # every declared test green over this corpus: 40 model tests +
+    # 8 source tests (_sources.yml geo_code/time_code not_null x4) +
+    # 4 unit tests (_intermediate__unit_tests.yml) + 1 singular test
+    # (tests/assert_eu_aggregate_consistency.sql)
+    assert "53 of 53 tests passed" in out and "FAIL" not in out
     # spot-check the mart content
     fct = spark.read.parquet(os.path.join(wh, "fct_economic_indicators"))
     assert fct.count() == 24  # 2 countries x 12 months
@@ -349,6 +351,60 @@ def test_cli_test_checks_materialized_relation(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "FAIL" in out and "fct_economic_indicators" in out
+
+
+def test_cli_test_types(spark, tmp_path, capsys):
+    """The reference README's three test layers (README:343-348):
+    bare `test` runs generic + unit + singular; `test_type:` selectors
+    scope one layer; a >5% EU aggregate deviation fails the singular
+    test with exit 1."""
+    import datetime as dt
+
+    raw = str(tmp_path / "raw")
+    _write_raw(spark, raw)
+
+    # bare test: all three layers present, all green
+    rc = main(["test", "--raw-dir", raw])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "unit:test_gdp_per_capita_calculation" in out
+    assert "singular:assert_eu_aggregate_consistency" in out
+    assert ".gdp_key unique" in out  # generic layer ran too
+
+    # test_type selectors isolate a layer (dbt README usage)
+    rc = main(["test", "--raw-dir", raw, "--select", "test_type:unit"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "unit:" in out and "singular:" not in out and "unique" not in out
+
+    rc = main(["test", "--raw-dir", raw, "--select", "test_type:singular"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "singular:" in out and "unit:" not in out
+    assert "1 of 1 tests passed" in out
+
+    # an unknown test_type errors instead of silently running nothing
+    assert main(["test", "--raw-dir", raw, "--select", "test_type:nope"]) == 1
+    capsys.readouterr()
+
+    # model selectors still scope the generic layer only
+    rc = main(["test", "--raw-dir", raw, "--select", "stg_eurostat__gdp"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "unit:" not in out and "singular:" not in out
+
+    # inject a bad EU27_2020 aggregate (>5% off the member sum) → the
+    # singular test returns violation rows and the verb exits 1
+    ts = dt.datetime(2024, 2, 1)
+    bad = [("nama_10_gdp", 1000.0, ts, "CP_MEUR", "m EUR", "B1GQ", "GDP",
+            "EU27_2020", "EU", "2023")]
+    spark.createDataFrame(bad, GDP_SCHEMA).write.mode("append").parquet(
+        f"{raw}/raw_gdp.parquet"
+    )
+    rc = main(["test", "--raw-dir", raw, "--select", "test_type:singular"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "FAIL" in out and "assert_eu_aggregate_consistency" in out
 
 
 def test_cli_test_select_skips_declared_only_source(spark, tmp_path, capsys):
