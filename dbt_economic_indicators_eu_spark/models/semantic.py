@@ -1,0 +1,195 @@
+"""Semantic metrics layer — the reference README's MetricFlow surface.
+
+Reference: ``README.md:226-258`` documents a semantic layer with eight
+metrics over the marts (``_semantic_models.yml`` is described but not
+committed in the reference tree, so the README's metric list and its
+``mf query --metrics ... --group-by ...`` example are the spec). This
+module is the Spark-first equivalent: each metric is a declarative
+definition compiled into ONE groupBy (+ windows for the time-series
+metrics) over the intermediate marts — no per-metric scans, JVM-side
+Column algebra only.
+
+Grain model: annual metrics read ``int_country_annual_metrics``,
+monthly metrics read ``int_country_monthly_indicators``. A query mixes
+metrics of one grain (like MetricFlow, where a query's metrics must
+share compatible time grain). Group-by accepts the entity
+(``country_code``) and the grain's time dimension (``reference_year`` /
+``reference_date``).
+
+At 100 TB the shape holds: one shuffle on the (entity, time) group key,
+map-side partial aggregation, then at most one window exchange keyed on
+the entity for the YoY/rolling/cumulative metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Metric:
+    name: str
+    description: str
+    grain: str  # 'annual' | 'monthly'
+    # simple metrics: an aggregate Column over the grain's mart
+    measure: Callable[[], Column] | None = None
+    # derived / time-series metrics: post-aggregation expression over
+    # the measure columns (windows allowed; partitioned by the entity,
+    # ordered by the time dimension)
+    derive: Callable[[dict[str, Column]], Column] | None = None
+    # measures this metric needs aggregated first (name -> aggregate)
+    requires: tuple[tuple[str, Callable[[], Column]], ...] = ()
+
+
+def _sum(col: str) -> Callable[[], Column]:
+    return lambda: F.sum(col)
+
+
+def _avg(col: str) -> Callable[[], Column]:
+    return lambda: F.avg(col)
+
+
+_TIME = {"annual": "reference_year", "monthly": "reference_date"}
+_MART = {"annual": "int_country_annual_metrics", "monthly": "int_country_monthly_indicators"}
+
+
+def _entity_window(group_by: list[str], grain: str) -> Window:
+    time_col = _TIME[grain]
+    parts = [c for c in group_by if c != time_col]
+    return Window.partitionBy(*parts).orderBy(time_col)
+
+
+# The README's metric list (README.md:249-258), one definition each.
+METRICS: dict[str, Metric] = {
+    m.name: m
+    for m in [
+        Metric(
+            "total_gdp", "Sum of GDP", "annual",
+            measure=_sum("gdp_million_eur"),
+        ),
+        Metric(
+            "average_gdp_per_capita", "Average GDP per capita", "annual",
+            measure=_avg("gdp_per_capita_eur"),
+        ),
+        Metric(
+            "gdp_per_capita_derived",
+            "GDP per capita (calculated): (total_gdp * 1,000,000) / population",
+            "annual",
+            requires=(
+                ("total_gdp", _sum("gdp_million_eur")),
+                ("population", _sum("population_count")),
+            ),
+            # try_divide: a zero/absent population yields NULL under
+            # ANSI instead of crashing (same convention as the marts)
+            derive=lambda m: F.try_divide(m["total_gdp"] * F.lit(1_000_000.0), m["population"]),
+        ),
+        Metric(
+            "gdp_growth", "YoY GDP growth rate (%)", "annual",
+            requires=(("total_gdp", _sum("gdp_million_eur")),),
+            derive=None,  # window-derived; filled in query_metrics
+        ),
+        Metric(
+            "cumulative_gdp_growth",
+            "Cumulative growth vs first observed year (%)", "annual",
+            requires=(("total_gdp", _sum("gdp_million_eur")),),
+            derive=None,  # window-derived
+        ),
+        Metric(
+            "unemployment_rate",
+            "Average unemployment rate (seasonally adjusted)", "monthly",
+            measure=_avg("unemployment_rate_pct"),
+        ),
+        Metric(
+            "unemployment_trend", "12-month rolling average unemployment", "monthly",
+            requires=(("unemployment_rate", _avg("unemployment_rate_pct")),),
+            derive=None,  # window-derived
+        ),
+        Metric(
+            "monthly_inflation", "MoM inflation rate", "monthly",
+            measure=_avg("inflation_rate_mom_pct"),
+        ),
+        Metric(
+            "annual_inflation", "Annual inflation (sum of MoM rates)", "annual",
+            measure=_avg("annual_inflation_rate_pct"),
+        ),
+    ]
+}
+
+
+def query_metrics(
+    ctx,
+    metrics: list[str],
+    group_by: list[str],
+    where: Column | None = None,
+) -> DataFrame:
+    """MetricFlow-style query (README.md:292-296 ``mf query``): compile
+    the requested metrics into one aggregation over the shared-grain
+    mart. ``group_by`` lists dimensions (``country_code`` and/or the
+    grain's time column); ``where`` is a pre-aggregation filter.
+
+    Window-derived metrics (YoY growth, rolling trend, cumulative
+    growth) require the time dimension in ``group_by`` — without a time
+    axis they are undefined, and the error says so instead of emitting
+    nonsense.
+    """
+    unknown = [m for m in metrics if m not in METRICS]
+    if unknown:
+        raise ValueError(f"unknown metrics: {unknown}; available: {sorted(METRICS)}")
+    defs = [METRICS[m] for m in metrics]
+    grains = {d.grain for d in defs}
+    if len(grains) != 1:
+        raise ValueError(
+            f"metrics mix grains {sorted(grains)}; query one grain at a time "
+            f"(like MetricFlow's shared metric_time requirement)"
+        )
+    grain = grains.pop()
+    time_col = _TIME[grain]
+    windowed = {"gdp_growth", "cumulative_gdp_growth", "unemployment_trend"}
+    if windowed & set(metrics) and time_col not in group_by:
+        raise ValueError(
+            f"metrics {sorted(windowed & set(metrics))} need the time "
+            f"dimension {time_col!r} in group_by"
+        )
+
+    df = ctx.ref(_MART[grain])
+    bad = [c for c in group_by if c not in df.columns]
+    if bad:
+        raise ValueError(f"unknown group_by dimensions: {bad}")
+    if where is not None:
+        df = df.filter(where)
+
+    # one aggregation pass: every simple measure + every required
+    # intermediate measure (deduped by name)
+    aggs: dict[str, Column] = {}
+    for d in defs:
+        if d.measure is not None:
+            aggs[d.name] = d.measure().alias(d.name)
+        for req_name, req_agg in d.requires:
+            aggs.setdefault(req_name, req_agg().alias(req_name))
+    grouped = df.groupBy(*group_by).agg(*aggs.values())
+
+    w = _entity_window(group_by, grain)
+    cols: dict[str, Column] = {}
+    for d in defs:
+        if d.name == "gdp_growth":
+            prev = F.lag("total_gdp").over(w)
+            cols[d.name] = F.try_divide(F.col("total_gdp") - prev, prev) * 100
+        elif d.name == "cumulative_gdp_growth":
+            first = F.first("total_gdp").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            cols[d.name] = F.try_divide(F.col("total_gdp") - first, first) * 100
+        elif d.name == "unemployment_trend":
+            cols[d.name] = F.avg("unemployment_rate").over(w.rowsBetween(-11, 0))
+        elif d.derive is not None:
+            cols[d.name] = d.derive({k: F.col(k) for k in aggs})
+        else:
+            cols[d.name] = F.col(d.name)
+
+    return grouped.select(
+        *group_by, *[cols[m].alias(m) for m in metrics]
+    )
