@@ -152,19 +152,11 @@ def cmd_snapshot(args) -> int:
 def _stored_schema(reg, ctx, name):
     """Schema of a model's STORED relation when the artifact on disk is
     rowless (no parquet footers — e.g. a vars-scoped run over an empty
-    slice). The build plan's schema is the base; a snapshot's stored
-    relation additionally carries the SCD2 columns scd2_merge appends
-    (same derivation as materialize/run's rowless read-back)."""
-    schema = ctx.ref(name).schema
-    model = reg.get(name)
-    if model.materialization == "snapshot":
-        from .materialize.snapshot import scd2_merge
+    slice) — delegated to materialize.run.stored_schema_for, the single
+    definition of the rowless read-back rule."""
+    from .materialize.run import stored_schema_for
 
-        schema = scd2_merge(
-            None, ctx.ref(name).limit(0), model.unique_key,
-            list(model.check_cols), "1970-01-01 00:00:00",
-        ).schema
-    return schema
+    return stored_schema_for(reg.get(name), ctx.ref(name))
 
 
 def cmd_test(args) -> int:
@@ -190,12 +182,15 @@ def cmd_test(args) -> int:
         print(f"ERROR  unknown test_type selector(s): {sorted(unknown_types)}")
         return 1
     model_tokens = [t for t in raw_select if not t.startswith("test_type:")]
-    # no test_type tokens = every layer (dbt's bare `dbt test`); model
-    # selectors scope the generic layer only (unit/singular tests are
-    # not attached to the selection graph here)
+    # dbt selector semantics: no tokens at all = every layer; test_type
+    # tokens pick layers; model tokens scope WITHIN each selected layer
+    # (a test belongs to the model it attaches to — generic tests to
+    # their declaring model, unit tests to their model-under-test).
+    # The lone singular test refs the whole staging layer, so it runs
+    # only when unscoped or explicitly selected by test_type:singular.
     run_types = type_tokens or {"generic", "unit", "singular"}
     if model_tokens and not type_tokens:
-        run_types = {"generic"}
+        run_types = {"generic", "unit"}
     select = (
         reg.expand_selection(spark, model_tokens, vars=run_vars)
         if model_tokens
@@ -256,7 +251,10 @@ def cmd_test(args) -> int:
     if "unit" in run_types:
         from .models.unit_tests import run_reference_unit_tests
 
-        for r in run_reference_unit_tests(reg, spark):
+        # model selectors scope unit tests to their model-under-test
+        # (dbt attaches a unit test to its `model:`)
+        unit_models = set(select) if select is not None else None
+        for r in run_reference_unit_tests(reg, spark, models=unit_models):
             status = "PASS" if r["passed"] else "FAIL"
             print(f"{status}  {r['model']} unit:{r['name']}")
             if not r["passed"]:
@@ -387,17 +385,29 @@ def cmd_docs(args) -> int:
     # manifest is the declared side; the catalog is what a prior run
     # actually wrote). ALWAYS rewritten alongside the manifest — a
     # docs run that refreshed one artifact but not the other would
-    # leave a silently disagreeing pair. Rowless-but-materialized
-    # relations (a vars-scoped run over an empty slice) are cataloged
-    # with row_count 0, not omitted as unbuilt: schema comes from the
+    # leave a silently disagreeing pair — and ALWAYS over every model
+    # (never the --select subset): the catalog documents warehouse
+    # state, and a scoped docs run must not shrink it below what the
+    # warehouse still contains. Rowless-but-materialized relations (a
+    # vars-scoped run over an empty slice) are cataloged with
+    # row_count 0, not omitted as unbuilt: schema comes from the
     # stored-relation derivation when sources are bound (--raw-dir),
-    # else null (no footers on disk to read it from).
+    # else from the previous catalog entry if one exists (a no-raw-dir
+    # refresh must not erase a schema a bound run already recorded).
     from .materialize.incremental import has_parquet_files
     from .materialize.run import warehouse_base
 
     base = warehouse_base(args.warehouse, args.target, args.schema)
+    cpath = os.path.join(args.warehouse, "catalog.json")
+    previous: dict = {}
+    if os.path.exists(cpath):
+        try:
+            with open(cpath) as f:
+                previous = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            previous = {}
     catalog: dict = {}
-    candidates = [n for n in names if os.path.isdir(os.path.join(base, n))]
+    candidates = [n for n in reg.models if os.path.isdir(os.path.join(base, n))]
     if candidates:
         spark = _spark(args)  # get_spark memoizes; cheap if already up
         ctx = reg.context(spark, vars=run_vars) if args.raw_dir is not None else None
@@ -412,16 +422,14 @@ def cmd_docs(args) -> int:
                     "row_count": df.count(),
                 }
             else:
-                schema = _stored_schema(reg, ctx, name) if ctx is not None else None
-                catalog[name] = {
-                    "columns": (
-                        {f.name: f.dataType.simpleString() for f in schema.fields}
-                        if schema is not None
-                        else None
-                    ),
-                    "row_count": 0,
-                }
-    cpath = os.path.join(args.warehouse, "catalog.json")
+                if ctx is not None:
+                    schema = _stored_schema(reg, ctx, name)
+                    columns = {
+                        f.name: f.dataType.simpleString() for f in schema.fields
+                    }
+                else:
+                    columns = (previous.get(name) or {}).get("columns")
+                catalog[name] = {"columns": columns, "row_count": 0}
     with open(cpath, "w") as f:
         json.dump(catalog, f, indent=2, sort_keys=True)
     print(f"wrote {cpath} ({len(catalog)} cataloged relations)")

@@ -103,23 +103,30 @@ def _materialize_one(
     # a rowless materialization (e.g. project vars scoping the run to an
     # empty slice) writes no parquet footers — read back with the
     # STORED-RELATION schema so downstream refs see an empty,
-    # correctly-typed relation instead of UNABLE_TO_INFER_SCHEMA. For a
-    # snapshot that schema is NOT the build plan's: scd2_merge appends
-    # valid_from/valid_to/is_current, which downstream refs and schema
-    # tests select — derive it from the merge itself on an empty slice
-    # (lazy plan construction, no job).
+    # correctly-typed relation instead of UNABLE_TO_INFER_SCHEMA.
     if has_parquet_files(path):
         fresh = spark.read.parquet(path)
     else:
-        stored_schema = df.schema
-        if model.materialization == "snapshot":
-            stored_schema = scd2_merge(
-                None, df.limit(0), model.unique_key, list(model.check_cols), now
-            ).schema
-        fresh = spark.read.schema(stored_schema).parquet(path)
+        fresh = spark.read.schema(stored_schema_for(model, df)).parquet(path)
     with build_lock:
         ctx.set_relation(name, fresh)
     return fresh
+
+
+def stored_schema_for(model, build_df: DataFrame):
+    """THE schema of a model's STORED relation derived from its build
+    plan — shared by the rowless read-back here, the CLI test verb, and
+    catalog generation (one definition, or the SCD2-schema rule
+    drifts). For a snapshot that schema is NOT the build plan's:
+    scd2_merge appends valid_from/valid_to/is_current, which downstream
+    refs and schema tests select — derive it from the merge itself on
+    an empty slice (lazy plan construction, no job)."""
+    if model.materialization == "snapshot":
+        return scd2_merge(
+            None, build_df.limit(0), model.unique_key,
+            list(model.check_cols), "1970-01-01 00:00:00",
+        ).schema
+    return build_df.schema
 
 
 def make_stored_resolver(registry, spark, base, *, exclude: set[str] | None = None):

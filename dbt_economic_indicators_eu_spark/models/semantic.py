@@ -1,7 +1,8 @@
 """Semantic metrics layer — the reference README's MetricFlow surface.
 
-Reference: ``README.md:226-258`` documents a semantic layer with eight
-metrics over the marts (``_semantic_models.yml`` is described but not
+Reference: ``README.md:226-258`` documents a semantic layer over the
+marts — eight bulleted metrics plus ``gdp_per_capita_derived`` from the
+yml snippet, nine total (``_semantic_models.yml`` is described but not
 committed in the reference tree, so the README's metric list and its
 ``mf query --metrics ... --group-by ...`` example are the spec). This
 module is the Spark-first equivalent: each metric is a declarative
@@ -37,12 +38,23 @@ class Metric:
     grain: str  # 'annual' | 'monthly'
     # simple metrics: an aggregate Column over the grain's mart
     measure: Callable[[], Column] | None = None
-    # derived / time-series metrics: post-aggregation expression over
-    # the measure columns (windows allowed; partitioned by the entity,
-    # ordered by the time dimension)
+    # derived metrics: post-aggregation expression over the measure
+    # columns (no window)
     derive: Callable[[dict[str, Column]], Column] | None = None
+    # time-series metrics: expression over the measure columns AND the
+    # entity window (partitioned by the entity, ordered by the time
+    # dimension) — declared HERE so adding a tenth metric never
+    # requires touching query_metrics
+    window_derive: Callable[[dict[str, Column], Window], Column] | None = None
     # measures this metric needs aggregated first (name -> aggregate)
     requires: tuple[tuple[str, Callable[[], Column]], ...] = ()
+
+    def __post_init__(self):
+        if (self.measure is None) == (self.derive is None and self.window_derive is None):
+            raise ValueError(
+                f"metric {self.name!r}: exactly one of measure / derive / "
+                "window_derive must be set"
+            )
 
 
 def _sum(col: str) -> Callable[[], Column]:
@@ -90,13 +102,26 @@ METRICS: dict[str, Metric] = {
         Metric(
             "gdp_growth", "YoY GDP growth rate (%)", "annual",
             requires=(("total_gdp", _sum("gdp_million_eur")),),
-            derive=None,  # window-derived; filled in query_metrics
+            window_derive=lambda m, w: (
+                F.try_divide(m["total_gdp"] - F.lag("total_gdp").over(w),
+                             F.lag("total_gdp").over(w)) * 100
+            ),
         ),
         Metric(
             "cumulative_gdp_growth",
             "Cumulative growth vs first observed year (%)", "annual",
             requires=(("total_gdp", _sum("gdp_million_eur")),),
-            derive=None,  # window-derived
+            window_derive=lambda m, w: (
+                F.try_divide(
+                    m["total_gdp"]
+                    - F.first("total_gdp").over(
+                        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    ),
+                    F.first("total_gdp").over(
+                        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                    ),
+                ) * 100
+            ),
         ),
         Metric(
             "unemployment_rate",
@@ -106,7 +131,9 @@ METRICS: dict[str, Metric] = {
         Metric(
             "unemployment_trend", "12-month rolling average unemployment", "monthly",
             requires=(("unemployment_rate", _avg("unemployment_rate_pct")),),
-            derive=None,  # window-derived
+            window_derive=lambda m, w: F.avg("unemployment_rate").over(
+                w.rowsBetween(-11, 0)
+            ),
         ),
         Metric(
             "monthly_inflation", "MoM inflation rate", "monthly",
@@ -148,17 +175,27 @@ def query_metrics(
         )
     grain = grains.pop()
     time_col = _TIME[grain]
-    windowed = {"gdp_growth", "cumulative_gdp_growth", "unemployment_trend"}
-    if windowed & set(metrics) and time_col not in group_by:
+    # group_by accepts DECLARED dimensions only — the entity and the
+    # grain's time column, like MetricFlow's dimension registry. An
+    # arbitrary mart column (a second time-derived column, a key) would
+    # land in the window's partitionBy and silently reset the
+    # YoY/rolling/cumulative frames mid-series — wrong numbers, no
+    # error — so it is rejected here instead.
+    allowed_dims = {"country_code", time_col}
+    bad = [c for c in group_by if c not in allowed_dims]
+    if bad:
         raise ValueError(
-            f"metrics {sorted(windowed & set(metrics))} need the time "
+            f"unknown group_by dimensions: {bad}; the {grain} grain declares "
+            f"{sorted(allowed_dims)}"
+        )
+    windowed = [d.name for d in defs if d.window_derive is not None]
+    if windowed and time_col not in group_by:
+        raise ValueError(
+            f"metrics {sorted(windowed)} need the time "
             f"dimension {time_col!r} in group_by"
         )
 
     df = ctx.ref(_MART[grain])
-    bad = [c for c in group_by if c not in df.columns]
-    if bad:
-        raise ValueError(f"unknown group_by dimensions: {bad}")
     if where is not None:
         df = df.filter(where)
 
@@ -173,20 +210,13 @@ def query_metrics(
     grouped = df.groupBy(*group_by).agg(*aggs.values())
 
     w = _entity_window(group_by, grain)
+    measures = {k: F.col(k) for k in aggs}
     cols: dict[str, Column] = {}
     for d in defs:
-        if d.name == "gdp_growth":
-            prev = F.lag("total_gdp").over(w)
-            cols[d.name] = F.try_divide(F.col("total_gdp") - prev, prev) * 100
-        elif d.name == "cumulative_gdp_growth":
-            first = F.first("total_gdp").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            cols[d.name] = F.try_divide(F.col("total_gdp") - first, first) * 100
-        elif d.name == "unemployment_trend":
-            cols[d.name] = F.avg("unemployment_rate").over(w.rowsBetween(-11, 0))
+        if d.window_derive is not None:
+            cols[d.name] = d.window_derive(measures, w)
         elif d.derive is not None:
-            cols[d.name] = d.derive({k: F.col(k) for k in aggs})
+            cols[d.name] = d.derive(measures)
         else:
             cols[d.name] = F.col(d.name)
 

@@ -210,24 +210,35 @@ def build_given(spark: SparkSession, spec: dict) -> DataFrame:
     return df
 
 
-def run_reference_unit_tests(registry, spark: SparkSession) -> list[dict]:
-    """Run every reference unit test; one report row per test
-    (``passed`` + failure detail), never raising — the CLI aggregates
-    into its exit code like dbt test."""
+def run_reference_unit_tests(
+    registry, spark: SparkSession, models: set[str] | None = None
+) -> list[dict]:
+    """Run the reference unit tests (optionally scoped to ``models`` —
+    dbt attaches each unit test to its model-under-test); one report
+    row per test (``passed`` + failure detail), never raising — the
+    CLI aggregates into its exit code like dbt test. A non-compare
+    failure (e.g. a renamed model column breaking the select) is
+    reported as a failed row with the exception text, like dbt's ERROR
+    status — it must not abort the remaining tests or the singular
+    layer."""
     from ..testing.unit import UnitTestFailure, run_unit_test
 
     report = []
     for t in REFERENCE_UNIT_TESTS:
-        given = {name: build_given(spark, spec) for name, spec in t["given"].items()}
-        expect = build_given(spark, t["expect"])
+        if models is not None and t["model"] not in models:
+            continue
         detail = None
         try:
+            given = {name: build_given(spark, spec) for name, spec in t["given"].items()}
+            expect = build_given(spark, t["expect"])
             run_unit_test(
                 registry, spark, t["model"], given, expect,
                 compare_cols=t["compare_cols"],
             )
         except UnitTestFailure as e:
             detail = str(e)
+        except Exception as e:  # noqa: BLE001 — dbt ERROR-status parity
+            detail = f"ERROR: {type(e).__name__}: {e}"
         report.append(
             {"name": t["name"], "model": t["model"], "passed": detail is None, "detail": detail}
         )

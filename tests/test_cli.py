@@ -284,14 +284,29 @@ def test_cli_docs_manifest(spark, tmp_path):
     assert cat6["fct_economic_indicators"]["columns"]["reference_date"] == "date"
 
     # docs WITHOUT --raw-dir still rewrites the catalog (no stale pair):
-    # footer-backed relations catalog fully; schema of rowless ones is
-    # unknown without bound sources
+    # footer-backed relations catalog fully; a rowless relation keeps
+    # the schema a previous bound run recorded (never erased to null)
     assert main(["docs", "--warehouse", wh4]) == 0
     cat4 = json.load(open(os.path.join(wh4, "catalog.json")))
     assert cat4["fct_economic_indicators"]["row_count"] == 24
     assert main(["docs", "--warehouse", wh6]) == 0
     cat6b = json.load(open(os.path.join(wh6, "catalog.json")))
-    assert cat6b["fct_economic_indicators"] == {"columns": None, "row_count": 0}
+    assert cat6b["fct_economic_indicators"]["row_count"] == 0
+    assert cat6b["fct_economic_indicators"]["columns"]["reference_date"] == "date"
+    # with NO previous catalog and no bound sources, schema is honestly
+    # unknown — null, not invented
+    os.remove(os.path.join(wh6, "catalog.json"))
+    assert main(["docs", "--warehouse", wh6]) == 0
+    cat6c = json.load(open(os.path.join(wh6, "catalog.json")))
+    assert cat6c["fct_economic_indicators"] == {"columns": None, "row_count": 0}
+
+    # a --select docs run must NOT shrink the catalog below warehouse
+    # state (catalog documents the warehouse, not the selection)
+    assert main(
+        ["docs", "--warehouse", wh4, "--raw-dir", raw, "--select", "dim_country"]
+    ) == 0
+    cat4b = json.load(open(os.path.join(wh4, "catalog.json")))
+    assert "fct_economic_indicators" in cat4b and "dim_country" in cat4b
 
 
 def test_cli_compile_prints_plans(spark, tmp_path, capsys):
@@ -387,11 +402,20 @@ def test_cli_test_types(spark, tmp_path, capsys):
     assert main(["test", "--raw-dir", raw, "--select", "test_type:nope"]) == 1
     capsys.readouterr()
 
-    # model selectors still scope the generic layer only
+    # model selectors scope within layers: unit tests run only for
+    # their model-under-test (dbt attachment), the staging-wide
+    # singular test only when unscoped or explicitly selected
     rc = main(["test", "--raw-dir", raw, "--select", "stg_eurostat__gdp"])
     out = capsys.readouterr().out
     assert rc == 0
     assert "unit:" not in out and "singular:" not in out
+    rc = main(["test", "--raw-dir", raw, "--select", "int_country_annual_metrics"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "unit:test_gdp_per_capita_calculation" in out
+    assert "unit:test_data_quality_flags" in out
+    assert "unit:test_rolling_average_calculation" not in out  # other model
+    assert "singular:" not in out
 
     # inject a bad EU27_2020 aggregate (>5% off the member sum) → the
     # singular test returns violation rows and the verb exits 1
