@@ -290,6 +290,7 @@ def cmd_docs(args) -> int:
     import json
 
     from .models.docs import DOC_BLOCKS, MODEL_DOCS, SOURCE_DOCS, SOURCE_GROUP_DOC
+    from .models.semantic import METRICS
 
     reg = _registry(args.raw_dir)
     run_vars = _parse_vars(args.vars)
@@ -373,6 +374,20 @@ def cmd_docs(args) -> int:
         "vars": {**reg.project_vars, **run_vars},
         # reusable dbt doc blocks (reference docs/overview.md)
         "docs": DOC_BLOCKS,
+        # semantic-layer metric nodes (reference README.md:226-258;
+        # definitions in models/semantic.py, queried via query_metrics)
+        "metrics": {
+            m.name: {
+                "description": m.description,
+                "grain": m.grain,
+                "type": (
+                    "simple" if m.measure is not None
+                    else "cumulative" if m.window_derive is not None
+                    else "derived"
+                ),
+            }
+            for m in METRICS.values()
+        },
     }
     os.makedirs(args.warehouse, exist_ok=True)
     path = os.path.join(args.warehouse, "manifest.json")

@@ -225,6 +225,11 @@ def test_cli_docs_manifest(spark, tmp_path):
     # reusable doc blocks (reference docs/overview.md {% docs %})
     assert m["docs"]["country_code"].startswith("ISO 3166-1")
     assert "nama_10_gdp" in m["docs"]["gdp_million_eur"]
+    # semantic-layer metric nodes (reference README.md:226-258)
+    assert m["metrics"]["total_gdp"]["type"] == "simple"
+    assert m["metrics"]["gdp_growth"]["type"] == "cumulative"
+    assert m["metrics"]["gdp_per_capita_derived"]["type"] == "derived"
+    assert len(m["metrics"]) == 9
 
     # --select limits emitted model nodes via graph expansion
     wh2 = str(tmp_path / "wh2")
