@@ -8,7 +8,10 @@ references (hypothesis over random inputs):
 - ``money4_sum_r2`` vs exact ``fractions.Fraction`` arithmetic — the
   integer-cents pipeline must equal true-decimal half-up rounding for
   ANY 4-decimal inputs, not just the engineered boundary cases of
-  ``test_twin_pins.py``.
+  ``test_twin_pins.py``;
+- ``candidate_pairs`` vs the quadratic per-bucket reference on a
+  randomized skewed bucket assignment — exact pair set, multiplicity
+  1, and exact hot-bucket drop accounting.
 
 The oracle gate checks Spark-vs-DuckDB agreement; these check that the
 AGREED answer is the RIGHT answer.
@@ -160,3 +163,51 @@ def test_money4_sum_equals_exact_decimal_halfup(spark, values):
     cents = (total * 100 + Fraction(1, 2)).__floor__()
     want = float(Fraction(cents, 100))
     assert got == pytest.approx(want, abs=0)
+
+
+def test_candidate_pairs_equal_brute_force(spark):
+    """operators/banding.candidate_pairs == the quadratic reference on
+    randomized bucket assignments: exactly the distinct ordered pairs
+    of ids sharing a bucket whose occupancy is within the cap — with
+    multiplicity 1 (a pair sharing several buckets emits once), and
+    drop accounting equal to the over-cap buckets. Pins the dedup core
+    the minhash/simhash/embedding paths all ride."""
+    import itertools
+    import random
+
+    from pyspark.sql import Observation
+
+    from dbt_economic_indicators_eu_spark.operators.banding import candidate_pairs
+
+    rng = random.Random(7)
+    cap = 8
+    rows = []
+    for i in range(300):
+        # skewed bucket draw: a few hot buckets exceed the cap
+        b = int(rng.random() ** 3 * 20)
+        rows.append((rng.randrange(3), f"b{b}", i))
+    banded = spark.createDataFrame(rows, "band_idx int, band_hash string, doc_id long")
+
+    obs = Observation("prop_pairs")
+    got = candidate_pairs(
+        banded, ["band_idx", "band_hash"], "doc_id", "a", "b",
+        cap=cap, observation=obs,
+    ).collect()
+    got_pairs = [(r.a, r.b) for r in got]
+
+    buckets: dict[tuple, set[int]] = {}
+    for band, bh, i in rows:
+        buckets.setdefault((band, bh), set()).add(i)
+    expected, dropped_buckets, dropped_ids = set(), 0, 0
+    for members in buckets.values():
+        if len(members) > cap:
+            dropped_buckets += 1
+            dropped_ids += len(members)
+            continue
+        for x, y in itertools.combinations(sorted(members), 2):
+            expected.add((x, y))
+
+    assert len(got_pairs) == len(set(got_pairs)), "duplicate pair emitted"
+    assert set(got_pairs) == expected
+    assert obs.get["hot_buckets_dropped"] == dropped_buckets
+    assert obs.get["hot_ids_dropped"] == dropped_ids
