@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Build an adversarial-regime copy of a testdata SF directory, for
+running the full oracle gate on mutated data:
+
+    python tools/mutate_corpus.py null /root/testdata/sf0.01 /tmp/sf_null
+    python tools/check_oracle.py /tmp/sf_null
+
+Regimes (the same recipes the pytest regressions use —
+tests/test_null_injection.py / test_skew_extremes.py /
+test_unicode_parity.py — at whatever SF you point at):
+
+- ``null``    every 7th row carries NULLs in its nullable value/text
+              columns (3VL comparisons, NULL group keys, try_divide)
+- ``skew``    every document identical, every event from ONE user of
+              ONE type, every embedding identical (hot keys, capped
+              LSH buckets, rank ties)
+- ``unicode`` multilingual + whitespace-class + trim-charset edge
+              texts rotated through both text edges
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+NULLABLE = {
+    "documents": ["text", "lang", "source"],
+    "events": ["value", "props", "event_type"],
+    "orders": ["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    "customer": ["c_mktsegment", "c_name", "c_acctbal"],
+    "lineitem": ["l_returnflag", "l_discount"],
+    "part": ["p_type", "p_brand"],
+    "supplier": ["s_name"],
+}
+
+UNI = [
+    "café naïve résumé coöperate",
+    "中文 文本 数据 处理 系统",
+    "ΣΊΣΥΦΟΣ sigma ΤΕΛΟΣ",
+    "İstanbul I i İ ı",
+    "emoji 😀 🌍 test 🎉 done",
+    "combining é vs precomposed é",
+    "ß STRASSE straße",
+    "मिश्रित देवनागरी पाठ",
+    # \x0b: in Java-regex \s but NOT RE2 \s — explicit whitespace class
+    "vertical\x0btab\x0b\x0bsplit mixed \x0b ws",
+    "tab\tnewline\nformfeed\fcarriage\rmix",
+    # trim-charset pins: only 0x20 strips at text edges in all engines
+    " nbsp leading and trailing ",
+    " line separator edge ",
+    "\x1cfile separator edge\x1f",
+    "　ideographic space edge　",
+]
+
+SKEW_TEXT = "the same boilerplate text repeated across every document in the corpus"
+
+
+def mutate_null(tbl: pa.Table, name: str) -> pa.Table:
+    cols = [c for c in NULLABLE.get(name, []) if c in tbl.column_names]
+    if not cols:
+        return tbl
+    n = tbl.num_rows
+    mask = pa.array([(i % 7) == 3 for i in range(n)])
+    for c in cols:
+        arr = tbl.column(c)
+        new = pc.if_else(mask, pa.nulls(n, arr.type), arr.combine_chunks())
+        tbl = tbl.set_column(tbl.column_names.index(c), c, new)
+    return tbl
+
+
+def mutate_skew(tbl: pa.Table, name: str) -> pa.Table:
+    n = tbl.num_rows
+    if name == "documents":
+        return (
+            tbl.set_column(tbl.column_names.index("text"), "text", pa.array([SKEW_TEXT] * n))
+            .set_column(tbl.column_names.index("lang"), "lang", pa.array(["en"] * n))
+            .set_column(tbl.column_names.index("source"), "source", pa.array(["src0"] * n))
+            .set_column(
+                tbl.column_names.index("n_chars"), "n_chars",
+                pa.array([len(SKEW_TEXT)] * n, pa.int64()),
+            )
+        )
+    if name == "events":
+        return (
+            tbl.set_column(
+                tbl.column_names.index("user_id"), "user_id", pa.array([1] * n, pa.int64())
+            ).set_column(
+                tbl.column_names.index("event_type"), "event_type", pa.array(["click"] * n)
+            )
+        )
+    if name == "embeddings":
+        one = tbl.column("embedding").combine_chunks()[0]
+        return tbl.set_column(
+            tbl.column_names.index("embedding"), "embedding",
+            pa.array([one.as_py()] * n, tbl.schema.field("embedding").type),
+        )
+    return tbl
+
+
+def mutate_unicode(tbl: pa.Table, name: str) -> pa.Table:
+    if name != "documents":
+        return tbl
+    n = tbl.num_rows
+    # rotate each edge-case text through BOTH text positions (leading
+    # and trailing edge chars)
+    texts = [f"{UNI[i % len(UNI)]} doc{i} {UNI[(i + 3) % len(UNI)]}" for i in range(n)]
+    return tbl.set_column(
+        tbl.column_names.index("text"), "text", pa.array(texts)
+    ).set_column(
+        tbl.column_names.index("n_chars"), "n_chars",
+        pa.array([len(x) for x in texts], pa.int64()),
+    )
+
+
+REGIMES = {"null": mutate_null, "skew": mutate_skew, "unicode": mutate_unicode}
+
+
+def build(regime: str, src: str, dst: str) -> None:
+    fn = REGIMES[regime]
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        pq.write_table(fn(pq.read_table(f"{src}/{t}.parquet"), t), f"{dst}/{t}.parquet")
+
+
+def main() -> int:
+    if len(sys.argv) != 4 or sys.argv[1] not in REGIMES:
+        print(__doc__)
+        return 2
+    regime, src, dst = sys.argv[1:4]
+    build(regime, src, dst)
+    print(f"built {regime} corpus at {dst} from {src}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
