@@ -51,6 +51,18 @@ def _parse_vars(spec: str | None) -> dict:
     return out
 
 
+def _warn_unknown_vars(reg, run_vars: dict) -> None:
+    """dbt leaves unconsumed vars inert; since round 7 the staging
+    filter activates only on its three declared keys (ADVICE r6 #1), so
+    a typo'd key no longer silently scopes the DAG — but it also does
+    nothing, which deserves a loud hint. ``now`` is the engine's
+    injectable clock (snapshots + Python-model ports)."""
+    known = set(reg.project_vars) | {"now"}
+    unknown = sorted(set(run_vars) - known)
+    if unknown:
+        print(f"WARNING  unknown --vars keys (no model consumes them): {unknown}")
+
+
 def _registry(raw_dir: str | None):
     from .models.econ import build_registry
 
@@ -124,6 +136,8 @@ def cmd_run(args, *, materializations=None, exclude=("snapshot",), exclude_alway
         materializations=materializations, exclude=exclude,
         exclude_always=exclude_always,
     )
+    run_vars = _parse_vars(args.vars)
+    _warn_unknown_vars(reg, run_vars)
     now = args.now
     if now is None and any(reg.get(n).materialization == "snapshot" for n in names):
         # snapshots need a concrete clock for valid_from/valid_to;
@@ -138,7 +152,7 @@ def cmd_run(args, *, materializations=None, exclude=("snapshot",), exclude_alway
         target=args.target,
         schema=args.schema,
         threads=args.threads,
-        vars=_parse_vars(args.vars),
+        vars=run_vars,
     )
     for name in built:
         print(f"ran {name}  [{reg.get(name).materialization}]")

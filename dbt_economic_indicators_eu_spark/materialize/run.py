@@ -227,6 +227,15 @@ def run_models(
     os.makedirs(base, exist_ok=True)
     names = select if select is not None else list(registry.models)
 
+    # expose the injectable run clock to models via ctx.var("now") (the
+    # Python-model ports' scored_at/forecast_generated_at — reference
+    # py_data_quality_scores.py:216, py_unemployment_forecast.py:186
+    # use datetime.now(); --now pins it for reproducible runs). An
+    # explicit run-level "now" var wins; the key is inert for the
+    # staging filter (models/econ.py _FILTER_VARS).
+    if now is not None and "now" not in (vars or {}):
+        vars = {**(vars or {}), "now": now}
+
     # dbt ref semantics for UNSELECTED written upstreams: an explicit
     # --select run must resolve refs to the already-materialized
     # warehouse relation (an incremental's fresh recompute would see

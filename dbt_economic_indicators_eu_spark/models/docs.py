@@ -7,15 +7,14 @@ transcribes the reference's documentation verbatim:
 - ``models/staging/_staging__models.yml`` (4 staging models)
 - ``models/intermediate/_intermediate__models.yml`` (2 intermediates)
 - ``models/marts/_marts__models.yml`` (dim/fct/rpt, incl. ``meta``)
+- ``models/marts/_python_models.yml`` (the 3 Python-model ports)
 - ``models/staging/_sources.yml`` (4 raw sources + table docs)
 
 Consumed by ``cmd_docs`` (manifest.json generation) only — zero runtime
 surface. The seed (``country_metadata``) and snapshot
 (``snap_gdp_history``) carry no yml documentation in the reference, so
 they have no entries here (the manifest still lists them from their
-ModelDef). The three Python models are documented in
-``_python_models.yml`` but are not registry nodes in this engine (they
-run as queries), so their docs are intentionally not emitted either.
+ModelDef).
 """
 
 from __future__ import annotations
@@ -207,6 +206,88 @@ MODEL_DOCS: dict[str, dict] = {
             "eurozone_member": "Eurozone membership (denormalized)",
             "region": "Geographic region (denormalized)",
             "_loaded_at": "Timestamp when record was loaded",
+        },
+    },
+    # ---- models/marts/_python_models.yml ----------------------------
+    "py_anomaly_detection": {
+        "description": (
+            "Statistical anomaly detection for economic indicators. "
+            "Uses z-score, IQR, and rate-of-change methods to identify "
+            "outliers that may indicate data quality issues or economic "
+            "shocks."
+        ),
+        "meta": {
+            "owner": "data-science",
+            "model_type": "python",
+            "refresh_frequency": "daily",
+        },
+        "columns": {
+            "indicator_key": "Foreign key to fct_economic_indicators",
+            "country_code": "ISO 2-letter country code",
+            "reference_date": "Reference date for the indicator",
+            "unemployment_z_score": "Z-score for unemployment rate (>3 or <-3 is anomalous)",
+            "inflation_z_score": "Z-score for inflation rate",
+            "is_unemployment_anomaly": "True if unemployment reading is anomalous",
+            "is_inflation_anomaly": "True if inflation reading is anomalous",
+            "is_any_anomaly": "True if any indicator is anomalous",
+            "anomaly_severity_score": "Composite severity score (0-100)",
+        },
+    },
+    "py_unemployment_forecast": {
+        "description": (
+            "6-month unemployment rate forecasts using multiple "
+            "statistical methods. Provides ensemble forecast with "
+            "prediction intervals.\n\nMethods used:\n- Exponential "
+            "Smoothing\n- Holt's Linear Trend\n- Linear Regression\n\n"
+            "Note: This is a demonstration model. Production forecasting "
+            "would use more sophisticated methods (ARIMA, Prophet, ML "
+            "models)."
+        ),
+        "meta": {
+            "owner": "data-science",
+            "model_type": "python",
+            "refresh_frequency": "weekly",
+        },
+        "columns": {
+            "country_code": "ISO 2-letter country code",
+            "forecast_date": "Date being forecasted",
+            "forecast_horizon_months": "Months ahead from last actual (1-6)",
+            "last_actual_date": "Most recent date with actual data",
+            "last_actual_value": "Most recent actual unemployment rate",
+            "forecast_exp_smoothing": "Forecast from exponential smoothing method",
+            "forecast_holt": "Forecast from Holt's linear trend method",
+            "forecast_linear_reg": "Forecast from linear regression",
+            "forecast_ensemble": "Average of all forecast methods (recommended)",
+            "prediction_interval_lower": "Lower bound of 95% prediction interval",
+            "prediction_interval_upper": "Upper bound of 95% prediction interval",
+            "forecast_confidence": "Confidence level: high, medium, or low",
+            "min_training_samples": "Number of historical observations used",
+        },
+    },
+    "py_data_quality_scores": {
+        "description": (
+            "Comprehensive data quality scoring by country. Evaluates "
+            "completeness, timeliness, validity, and consistency. Used "
+            "for monitoring and prioritizing data remediation."
+        ),
+        "meta": {
+            "owner": "data-engineering",
+            "model_type": "python",
+            "refresh_frequency": "daily",
+        },
+        "columns": {
+            "country_code": "ISO 2-letter country code",
+            "total_records": "Total number of monthly records for this country",
+            "completeness_score": "Completeness score (0-100)",
+            "timeliness_score": "Timeliness score (0-100)",
+            "validity_score": "Validity score (0-100)",
+            "consistency_score": "Consistency score (0-100)",
+            "overall_quality_score": "Weighted average of all quality dimensions",
+            "quality_grade": "Letter grade: A (>90), B (>80), C (>70), D (>60), F (<60)",
+            "primary_issue": "Main quality dimension needing improvement",
+            "requires_attention": "True if quality score is below 70",
+            "days_since_latest_data": "Days since most recent data point",
+            "scored_at": "Timestamp when scoring was performed",
         },
     },
 }

@@ -76,23 +76,34 @@ def _staging_monthly(src: DataFrame, key_name: str, measure_name: str, extra: li
     )
 
 
+# the vars that gate the staging filter — exactly the three the
+# reference declares (dbt_project.yml:20-26); other run-level vars
+# (e.g. the engine's injectable ``now`` clock) are inert here, like
+# dbt leaves unconsumed vars inert (ADVICE r6 #1)
+_FILTER_VARS = ("start_year", "end_year", "focus_countries")
+
+
 def _apply_project_vars(ctx: Context, df: DataFrame) -> DataFrame:
     """Project-vars filter (reference ``dbt_project.yml:20-26`` —
     ``start_year: 2010``, ``end_year: 2024``, ``focus_countries``).
 
     The reference DECLARES these vars but no model consumes them via
     ``var()`` (grep-verified), so default behavior must match the
-    reference byte-for-byte: with no run-level vars set at all, no
-    filter is applied (the declared defaults are as inert here as they
-    are in the reference). When a run passes ANY ``--vars`` (CLI) /
-    ``vars=`` (API), the filter activates and unspecified vars fall
+    reference byte-for-byte: with no run-level filter vars set at all,
+    no filter is applied (the declared defaults are as inert here as
+    they are in the reference). When a run passes at least one of
+    start_year / end_year / focus_countries (CLI ``--vars`` / API
+    ``vars=``), the filter activates and the unspecified ones fall
     back to the project-declared defaults via dbt's var() layering
     (run override > dbt_project.yml default) — so a partial
     ``--vars '{"focus_countries": ["DE"]}'`` run gets the declared
-    2010–2024 year range, not an unbounded one. The filter lands at
-    the staging SELECT, so Catalyst pushes it into the raw-source scan
-    (partition/row-group pruning at 100 TB, not a post-join filter)."""
-    if not ctx.vars:
+    2010–2024 year range, not an unbounded one. An UNRELATED run-level
+    var (a typo'd key, the ``now`` clock) does NOT activate the filter
+    — dbt leaves unconsumed vars inert (ADVICE r6 #1). The filter
+    lands at the staging SELECT, so Catalyst pushes it into the
+    raw-source scan (partition/row-group pruning at 100 TB, not a
+    post-join filter)."""
+    if not any(k in ctx.vars for k in _FILTER_VARS):
         return df
     start = ctx.var("start_year")
     end = ctx.var("end_year")
@@ -698,6 +709,13 @@ def build_registry() -> Registry:
             "source_dataset",
             "_extracted_at",
         )
+
+    # ---- Python-model ports (reference models/marts/py_*.py, run by
+    # dbt as materialized='table' Python models) — registered after the
+    # marts they ref; see models/python_ports.py
+    from .python_ports import register_python_models
+
+    register_python_models(reg)
 
     # ---- singular test (reference tests/assert_eu_aggregate_
     # consistency.sql:13-44): the EU27_2020 aggregate GDP must equal

@@ -78,14 +78,23 @@ def test_cli_build_end_to_end(spark, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert rc == 0, out
+    # dbt-run surface parity: 13 model nodes ran (4 staging + seed +
+    # 2 intermediate + 3 marts + 3 Python-model ports), like the
+    # reference's `dbt run` — plus the snapshot from build's snapshot
+    # stage
+    assert out.count("ran ") == 14, out
+    assert sum(f"ran py_{s}" in out for s in
+               ("anomaly_detection", "unemployment_forecast", "data_quality_scores")) == 3
     # materialized artifacts on disk (views stay virtual)
-    for t in ("dim_country", "fct_economic_indicators", "rpt_annual_economic_summary", "snap_gdp_history"):
+    for t in ("dim_country", "fct_economic_indicators", "rpt_annual_economic_summary",
+              "snap_gdp_history", "py_anomaly_detection", "py_unemployment_forecast",
+              "py_data_quality_scores"):
         assert os.path.isdir(os.path.join(wh, t)), t
-    # every declared test green over this corpus: 40 model tests +
+    # every declared test green over this corpus: 46 model tests +
     # 8 source tests (_sources.yml geo_code/time_code not_null x4) +
     # 4 unit tests (_intermediate__unit_tests.yml) + 1 singular test
     # (tests/assert_eu_aggregate_consistency.sql)
-    assert "53 of 53 tests passed" in out and "FAIL" not in out
+    assert "59 of 59 tests passed" in out and "FAIL" not in out
     # spot-check the mart content
     fct = spark.read.parquet(os.path.join(wh, "fct_economic_indicators"))
     assert fct.count() == 24  # 2 countries x 12 months
