@@ -198,18 +198,18 @@ def cmd_test(args) -> int:
     model_tokens = [t for t in raw_select if not t.startswith("test_type:")]
     # dbt selector semantics: no tokens at all = every layer; test_type
     # tokens pick layers; model tokens scope WITHIN each selected layer
-    # (a test belongs to the model it attaches to — generic tests to
-    # their declaring model, unit tests to their model-under-test).
-    # The lone singular test refs the whole staging layer, so it runs
-    # only when unscoped or explicitly selected by test_type:singular.
+    # (a test belongs to the node(s) it attaches to — generic tests to
+    # their declaring model, unit tests to their model-under-test, and
+    # singular tests to the models they ref: dbt's eager indirect
+    # selection runs a singular test when any of its parents is
+    # selected — ADVICE r6 #2).
     run_types = type_tokens or {"generic", "unit", "singular"}
-    if model_tokens and not type_tokens:
-        run_types = {"generic", "unit"}
     select = (
         reg.expand_selection(spark, model_tokens, vars=run_vars)
         if model_tokens
         else None
     )
+    _warn_unknown_vars(reg, run_vars)
 
     from .materialize.run import warehouse_base
 
@@ -279,6 +279,12 @@ def cmd_test(args) -> int:
 
     if "singular" in run_types:
         for name, fn in reg.singular_tests.items():
+            # model scoping: run when any ref'd node intersects the
+            # selection (dbt eager indirect selection)
+            if select is not None and not (
+                reg.singular_test_deps(ctx, name) & set(select)
+            ):
+                continue
             violations = fn(ctx).count()
             passed = violations == 0
             status = "PASS" if passed else f"FAIL ({violations} violations)"
@@ -417,17 +423,22 @@ def cmd_docs(args) -> int:
     # leave a silently disagreeing pair — and ALWAYS over every model
     # (never the --select subset): the catalog documents warehouse
     # state, and a scoped docs run must not shrink it below what the
-    # warehouse still contains. Rowless-but-materialized relations (a
-    # vars-scoped run over an empty slice) are cataloged with
-    # row_count 0, not omitted as unbuilt: schema comes from the
+    # warehouse still contains. The catalog lives UNDER THE TARGET BASE
+    # (warehouse_base — beside the relations it describes), so a docs
+    # run against one target/schema can never erase the catalog a run
+    # recorded for another (ADVICE r6 #5). Rowless-but-materialized
+    # relations (a vars-scoped run over an empty slice) are cataloged
+    # with row_count 0, not omitted as unbuilt: schema comes from the
     # stored-relation derivation when sources are bound (--raw-dir),
     # else from the previous catalog entry if one exists (a no-raw-dir
-    # refresh must not erase a schema a bound run already recorded).
+    # refresh must not erase a schema a bound run already recorded),
+    # else an empty mapping (honestly unknown, but iterable — a
+    # consumer walking columns must not trip over null; ADVICE r6 #4).
     from .materialize.incremental import has_parquet_files
-    from .materialize.run import warehouse_base
+    from .materialize.run import make_stored_resolver, warehouse_base
 
     base = warehouse_base(args.warehouse, args.target, args.schema)
-    cpath = os.path.join(args.warehouse, "catalog.json")
+    cpath = os.path.join(base, "catalog.json")
     previous: dict = {}
     if os.path.exists(cpath):
         try:
@@ -439,7 +450,19 @@ def cmd_docs(args) -> int:
     candidates = [n for n in reg.models if os.path.isdir(os.path.join(base, n))]
     if candidates:
         spark = _spark(args)  # get_spark memoizes; cheap if already up
-        ctx = reg.context(spark, vars=run_vars) if args.raw_dir is not None else None
+        # the schema-derivation context resolves refs to STORED
+        # relations like cmd_test's does (ADVICE r6 #4): a rowless
+        # model whose plan refs an incremental with accumulated
+        # append_new_columns must derive the accumulated schema, not a
+        # single-batch recompute (which could even fail analysis)
+        ctx = (
+            reg.context(
+                spark, vars=run_vars,
+                stored_resolver=make_stored_resolver(reg, spark, base),
+            )
+            if args.raw_dir is not None
+            else None
+        )
         for name in candidates:
             p = os.path.join(base, name)
             if has_parquet_files(p):
@@ -457,8 +480,9 @@ def cmd_docs(args) -> int:
                         f.name: f.dataType.simpleString() for f in schema.fields
                     }
                 else:
-                    columns = (previous.get(name) or {}).get("columns")
+                    columns = (previous.get(name) or {}).get("columns") or {}
                 catalog[name] = {"columns": columns, "row_count": 0}
+    os.makedirs(base, exist_ok=True)
     with open(cpath, "w") as f:
         json.dump(catalog, f, indent=2, sort_keys=True)
     print(f"wrote {cpath} ({len(catalog)} cataloged relations)")

@@ -11,15 +11,25 @@ metrics) over the intermediate marts — no per-metric scans, JVM-side
 Column algebra only.
 
 Grain model: annual metrics read ``int_country_annual_metrics``,
-monthly metrics read ``int_country_monthly_indicators``. A query mixes
-metrics of one grain (like MetricFlow, where a query's metrics must
-share compatible time grain). Group-by accepts the entity
-(``country_code``) and the grain's time dimension (``reference_year`` /
-``reference_date``).
+monthly metrics read ``int_country_monthly_indicators``. Group-by
+accepts the entity (``country_code``) and the grain's time dimension
+(``reference_year`` / ``reference_date``). A MIXED-grain query (the
+reference README's own example, ``mf query --metrics
+unemployment_rate,gdp_growth --group-by country_code,
+metric_time__year`` — README.md:292-296) is supported the way
+MetricFlow resolves it: the monthly metrics ROLL UP to the shared
+annual ``metric_time`` grain (their measures re-aggregate per year
+from the monthly mart) and the per-grain results full-outer-join on
+the query dimensions (ADVICE r6 #3). Only window-derived monthly
+metrics cannot roll up (a 12-month rolling average has no annual
+meaning), and a mixed query cannot group by ``reference_date`` — both
+are loud errors.
 
-At 100 TB the shape holds: one shuffle on the (entity, time) group key,
-map-side partial aggregation, then at most one window exchange keyed on
-the entity for the YoY/rolling/cumulative metrics.
+At 100 TB the shape holds: one shuffle on the (entity, time) group key
+per grain, map-side partial aggregation, at most one window exchange
+keyed on the entity for the YoY/rolling/cumulative metrics, and for a
+mixed query one join of two already-aggregated (entity × time)-sized
+frames — AQE broadcasts the smaller side.
 """
 
 from __future__ import annotations
@@ -147,60 +157,24 @@ METRICS: dict[str, Metric] = {
 }
 
 
-def query_metrics(
+def _grain_frame(
     ctx,
-    metrics: list[str],
+    defs: list[Metric],
     group_by: list[str],
-    where: Column | None = None,
+    where: Column | None,
+    grain: str,
+    time_col: str,
 ) -> DataFrame:
-    """MetricFlow-style query (README.md:292-296 ``mf query``): compile
-    the requested metrics into one aggregation over the shared-grain
-    mart. ``group_by`` lists dimensions (``country_code`` and/or the
-    grain's time column); ``where`` is a pre-aggregation filter.
-
-    Window-derived metrics (YoY growth, rolling trend, cumulative
-    growth) require the time dimension in ``group_by`` — without a time
-    axis they are undefined, and the error says so instead of emitting
-    nonsense.
-    """
-    unknown = [m for m in metrics if m not in METRICS]
-    if unknown:
-        raise ValueError(f"unknown metrics: {unknown}; available: {sorted(METRICS)}")
-    defs = [METRICS[m] for m in metrics]
-    grains = {d.grain for d in defs}
-    if len(grains) != 1:
-        raise ValueError(
-            f"metrics mix grains {sorted(grains)}; query one grain at a time "
-            f"(like MetricFlow's shared metric_time requirement)"
-        )
-    grain = grains.pop()
-    time_col = _TIME[grain]
-    # group_by accepts DECLARED dimensions only — the entity and the
-    # grain's time column, like MetricFlow's dimension registry. An
-    # arbitrary mart column (a second time-derived column, a key) would
-    # land in the window's partitionBy and silently reset the
-    # YoY/rolling/cumulative frames mid-series — wrong numbers, no
-    # error — so it is rejected here instead.
-    allowed_dims = {"country_code", time_col}
-    bad = [c for c in group_by if c not in allowed_dims]
-    if bad:
-        raise ValueError(
-            f"unknown group_by dimensions: {bad}; the {grain} grain declares "
-            f"{sorted(allowed_dims)}"
-        )
-    windowed = [d.name for d in defs if d.window_derive is not None]
-    if windowed and time_col not in group_by:
-        raise ValueError(
-            f"metrics {sorted(windowed)} need the time "
-            f"dimension {time_col!r} in group_by"
-        )
-
+    """One grain's metric frame: a single aggregation pass over the
+    grain's mart (every simple measure + every required intermediate,
+    deduped by name), then the derive/window expressions. ``time_col``
+    is the time dimension the query groups on — the grain's own for a
+    single-grain query, ``reference_year`` when a mixed query rolls
+    monthly measures up to the annual grain (the monthly mart carries
+    ``reference_year``, so the rollup is a plain re-aggregation)."""
     df = ctx.ref(_MART[grain])
     if where is not None:
         df = df.filter(where)
-
-    # one aggregation pass: every simple measure + every required
-    # intermediate measure (deduped by name)
     aggs: dict[str, Column] = {}
     for d in defs:
         if d.measure is not None:
@@ -209,7 +183,8 @@ def query_metrics(
             aggs.setdefault(req_name, req_agg().alias(req_name))
     grouped = df.groupBy(*group_by).agg(*aggs.values())
 
-    w = _entity_window(group_by, grain)
+    parts = [c for c in group_by if c != time_col]
+    w = Window.partitionBy(*parts).orderBy(time_col)
     measures = {k: F.col(k) for k in aggs}
     cols: dict[str, Column] = {}
     for d in defs:
@@ -219,7 +194,84 @@ def query_metrics(
             cols[d.name] = d.derive(measures)
         else:
             cols[d.name] = F.col(d.name)
+    return grouped.select(*group_by, *[cols[d.name].alias(d.name) for d in defs])
 
-    return grouped.select(
-        *group_by, *[cols[m].alias(m) for m in metrics]
+
+def query_metrics(
+    ctx,
+    metrics: list[str],
+    group_by: list[str],
+    where: Column | None = None,
+) -> DataFrame:
+    """MetricFlow-style query (README.md:292-296 ``mf query``): compile
+    the requested metrics into one aggregation per grain over the
+    grain's mart. ``group_by`` lists dimensions (``country_code``
+    and/or a time column); ``where`` is a pre-aggregation filter (for a
+    mixed-grain query it applies to both marts, so it must use shared
+    columns).
+
+    Window-derived metrics (YoY growth, rolling trend, cumulative
+    growth) require the time dimension in ``group_by`` — without a time
+    axis they are undefined, and the error says so instead of emitting
+    nonsense. Mixed-grain queries roll monthly metrics up to the annual
+    grain (see module docstring); window-derived MONTHLY metrics cannot
+    roll up and are rejected.
+    """
+    unknown = [m for m in metrics if m not in METRICS]
+    if unknown:
+        raise ValueError(f"unknown metrics: {unknown}; available: {sorted(METRICS)}")
+    defs = [METRICS[m] for m in metrics]
+    grains = {d.grain for d in defs}
+    mixed = len(grains) > 1
+    # the time dimension the query runs at: the single grain's own, or
+    # the shared ANNUAL metric_time for a mixed query (monthly rolls up)
+    time_col = "reference_year" if mixed else _TIME[next(iter(grains))]
+    if mixed:
+        bad_windows = [
+            d.name for d in defs if d.grain == "monthly" and d.window_derive is not None
+        ]
+        if bad_windows:
+            raise ValueError(
+                f"monthly window metrics {sorted(bad_windows)} cannot roll up "
+                "to the annual grain of a mixed-grain query (a rolling/"
+                "monthly-ordered window has no annual meaning)"
+            )
+    # group_by accepts DECLARED dimensions only — the entity and the
+    # query's time column, like MetricFlow's dimension registry. An
+    # arbitrary mart column (a second time-derived column, a key) would
+    # land in the window's partitionBy and silently reset the
+    # YoY/rolling/cumulative frames mid-series — wrong numbers, no
+    # error — so it is rejected here instead.
+    allowed_dims = {"country_code", time_col}
+    bad = [c for c in group_by if c not in allowed_dims]
+    if bad:
+        scope = "mixed-grain (annual metric_time)" if mixed else next(iter(grains))
+        raise ValueError(
+            f"unknown group_by dimensions: {bad}; the {scope} query declares "
+            f"{sorted(allowed_dims)}"
+        )
+    windowed = [d.name for d in defs if d.window_derive is not None]
+    if windowed and time_col not in group_by:
+        raise ValueError(
+            f"metrics {sorted(windowed)} need the time "
+            f"dimension {time_col!r} in group_by"
+        )
+
+    if not mixed:
+        frame = _grain_frame(ctx, defs, group_by, where, grains.pop(), time_col)
+        return frame.select(*group_by, *metrics)
+
+    # mixed grain: per-grain frames at the shared annual key, then one
+    # full outer join on the query dimensions (MetricFlow joins metric
+    # frames on the shared dimensions; outer, so a year present in only
+    # one mart still surfaces with nulls for the other grain's metrics)
+    annual = _grain_frame(
+        ctx, [d for d in defs if d.grain == "annual"], group_by, where, "annual", time_col
     )
+    monthly = _grain_frame(
+        ctx, [d for d in defs if d.grain == "monthly"], group_by, where, "monthly", time_col
+    )
+    joined = (
+        annual.join(monthly, group_by, "full") if group_by else annual.crossJoin(monthly)
+    )
+    return joined.select(*group_by, *metrics)

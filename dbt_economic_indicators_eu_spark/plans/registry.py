@@ -108,6 +108,24 @@ class Registry:
     def singular_tests(self) -> dict:
         return dict(self._singulars)
 
+    def singular_test_deps(self, ctx: "Context", name: str) -> set:
+        """Direct model/source refs of one singular test, harvested by
+        building its (lazy) violations plan under a pseudo node name.
+        dbt selects a singular test when any node it depends on is in
+        the selection (eager indirect selection) — the CLI test verb
+        uses these edges to scope the singular layer to ``--select``
+        (ADVICE r6 #2)."""
+        fn = self._singulars[name]
+        key = f"test:{name}"
+        if key not in ctx.deps:
+            ctx._building.append(key)
+            try:
+                fn(ctx)
+            finally:
+                ctx._building.pop()
+            ctx.deps.setdefault(key, set())
+        return set(ctx.deps[key])
+
     # -- declaration -------------------------------------------------
     def model(
         self,

@@ -308,11 +308,11 @@ def test_cli_docs_manifest(spark, tmp_path):
     assert cat6b["fct_economic_indicators"]["row_count"] == 0
     assert cat6b["fct_economic_indicators"]["columns"]["reference_date"] == "date"
     # with NO previous catalog and no bound sources, schema is honestly
-    # unknown — null, not invented
+    # unknown — an EMPTY mapping, iterable by consumers (ADVICE r6 #4)
     os.remove(os.path.join(wh6, "catalog.json"))
     assert main(["docs", "--warehouse", wh6]) == 0
     cat6c = json.load(open(os.path.join(wh6, "catalog.json")))
-    assert cat6c["fct_economic_indicators"] == {"columns": None, "row_count": 0}
+    assert cat6c["fct_economic_indicators"] == {"columns": {}, "row_count": 0}
 
     # a --select docs run must NOT shrink the catalog below warehouse
     # state (catalog documents the warehouse, not the selection)
@@ -321,6 +321,85 @@ def test_cli_docs_manifest(spark, tmp_path):
     ) == 0
     cat4b = json.load(open(os.path.join(wh4, "catalog.json")))
     assert "fct_economic_indicators" in cat4b and "dim_country" in cat4b
+
+
+def test_cli_catalog_namespacing(spark, tmp_path, capsys):
+    """catalog.json lives under the target base (warehouse_base), so a
+    docs run against one target/schema can never erase what a run
+    recorded for another (ADVICE r6 #5)."""
+    import json
+
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    args = ["--warehouse", wh, "--raw-dir", raw, "--schema", "analytics"]
+    assert main(["run", *args]) == 0
+    assert main(["docs", *args]) == 0
+    prod_cpath = os.path.join(wh, "analytics", "catalog.json")
+    prod_cat = json.load(open(prod_cpath))
+    assert prod_cat["fct_economic_indicators"]["row_count"] == 24
+
+    # a dev-target subset run + docs lands in dev_analytics/ and leaves
+    # the prod catalog byte-identical
+    dev = [*args, "--target", "dev"]
+    assert main(["run", *dev, "--select", "dim_country"]) == 0
+    assert main(["docs", *dev]) == 0
+    dev_cat = json.load(open(os.path.join(wh, "dev_analytics", "catalog.json")))
+    assert set(dev_cat) == {"dim_country"}
+    assert json.load(open(prod_cpath)) == prod_cat
+
+
+def test_cli_catalog_round_trip_warehouse_evolution(spark, tmp_path, capsys):
+    """Catalog vs evolving warehouse state (VERDICT r6 item 5): an
+    empty-slice build catalogs every table rowless WITH its derived
+    schema; a later real subset run updates exactly the relations it
+    rebuilt while the still-rowless ones keep their schemas; an
+    incremental merge is reflected on the next docs run."""
+    import datetime as dt
+    import json
+
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    base_args = ["--warehouse", wh, "--raw-dir", raw]
+    cpath = os.path.join(wh, "catalog.json")
+
+    # A: empty-slice full build → every table model rowless, schema derived
+    assert main(["run", *base_args, "--vars", '{"start_year": 2030}']) == 0
+    assert main(["docs", *base_args, "--vars", '{"start_year": 2030}']) == 0
+    cat_a = json.load(open(cpath))
+    # dim_country is seed-driven — 10 rows even over the empty slice;
+    # everything downstream of the scoped staging layer is rowless
+    assert cat_a["dim_country"]["row_count"] == 10
+    for t in ("fct_economic_indicators", "rpt_annual_economic_summary",
+              "py_anomaly_detection", "py_unemployment_forecast",
+              "py_data_quality_scores"):
+        assert cat_a[t]["row_count"] == 0, t
+        assert cat_a[t]["columns"], t  # schema derived, never empty
+    assert cat_a["rpt_annual_economic_summary"]["columns"]["summary_key"] == "string"
+
+    # B: real run of ONLY the fct ancestry → fct gains rows; rpt and
+    # the Python ports remain rowless but keep their schemas
+    assert main(["run", *base_args, "--select", "+fct_economic_indicators"]) == 0
+    assert main(["docs", *base_args]) == 0
+    cat_b = json.load(open(cpath))
+    assert cat_b["fct_economic_indicators"]["row_count"] == 24
+    assert cat_b["fct_economic_indicators"]["columns"]["reference_date"] == "date"
+    assert cat_b["rpt_annual_economic_summary"]["row_count"] == 0
+    assert cat_b["rpt_annual_economic_summary"]["columns"] == \
+        cat_a["rpt_annual_economic_summary"]["columns"]
+
+    # C: incremental evolution — one more raw month, subset re-run,
+    # docs reflects the merged row count
+    ts = dt.datetime(2024, 2, 1)
+    extra_u = [("une_rt_m", 4.5, ts, g, g, "2024-01") for g in ("DE", "FR")]
+    spark.createDataFrame(extra_u, MONTHLY_SCHEMA).write.mode("append").parquet(
+        f"{raw}/raw_unemployment.parquet"
+    )
+    assert main(["run", *base_args, "--select", "fct_economic_indicators"]) == 0
+    assert main(["docs", *base_args]) == 0
+    cat_c = json.load(open(cpath))
+    assert cat_c["fct_economic_indicators"]["row_count"] == 26
 
 
 def test_cli_compile_prints_plans(spark, tmp_path, capsys):
@@ -417,12 +496,15 @@ def test_cli_test_types(spark, tmp_path, capsys):
     capsys.readouterr()
 
     # model selectors scope within layers: unit tests run only for
-    # their model-under-test (dbt attachment), the staging-wide
-    # singular test only when unscoped or explicitly selected
+    # their model-under-test (dbt attachment), singular tests for the
+    # models they ref (dbt eager indirect selection — the EU
+    # consistency test refs stg_eurostat__gdp, so selecting that model
+    # includes it; selecting an unrelated model does not)
     rc = main(["test", "--raw-dir", raw, "--select", "stg_eurostat__gdp"])
     out = capsys.readouterr().out
     assert rc == 0
-    assert "unit:" not in out and "singular:" not in out
+    assert "unit:" not in out
+    assert "singular:assert_eu_aggregate_consistency" in out
     rc = main(["test", "--raw-dir", raw, "--select", "int_country_annual_metrics"])
     out = capsys.readouterr().out
     assert rc == 0
@@ -430,6 +512,19 @@ def test_cli_test_types(spark, tmp_path, capsys):
     assert "unit:test_data_quality_flags" in out
     assert "unit:test_rolling_average_calculation" not in out  # other model
     assert "singular:" not in out
+
+    # test_type:singular combined with a model scope honors BOTH —
+    # a non-ref'd model runs no singular test (ADVICE r6 #2)
+    rc = main(["test", "--raw-dir", raw,
+               "--select", "test_type:singular", "int_country_annual_metrics"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "singular:" not in out and "0 of 0 tests passed" in out
+    rc = main(["test", "--raw-dir", raw,
+               "--select", "test_type:singular", "stg_eurostat__gdp"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "singular:assert_eu_aggregate_consistency" in out
 
     # inject a bad EU27_2020 aggregate (>5% off the member sum) → the
     # singular test returns violation rows and the verb exits 1

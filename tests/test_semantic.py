@@ -99,12 +99,87 @@ def test_monthly_metrics_and_trend(spark, ctx):
 def test_query_validation(spark, ctx):
     with pytest.raises(ValueError, match="unknown metrics"):
         query_metrics(ctx, ["nope"], group_by=["country_code"])
-    with pytest.raises(ValueError, match="mix grains"):
-        query_metrics(ctx, ["total_gdp", "unemployment_rate"], group_by=["country_code"])
     with pytest.raises(ValueError, match="time"):
         query_metrics(ctx, ["gdp_growth"], group_by=["country_code"])
     with pytest.raises(ValueError, match="unknown group_by"):
         query_metrics(ctx, ["total_gdp"], group_by=["nope"])
+    # mixed-grain rules (ADVICE r6 #3): a monthly WINDOW metric cannot
+    # roll up to the annual grain, and a mixed query runs at annual
+    # metric_time — reference_date is not one of its dimensions
+    with pytest.raises(ValueError, match="cannot roll up"):
+        query_metrics(
+            ctx, ["total_gdp", "unemployment_trend"],
+            group_by=["country_code", "reference_year"],
+        )
+    with pytest.raises(ValueError, match="unknown group_by"):
+        query_metrics(
+            ctx, ["total_gdp", "unemployment_rate"],
+            group_by=["country_code", "reference_date"],
+        )
+
+
+def test_mixed_grain_readme_example_matches_duckdb(spark, ctx):
+    """The reference README's own documented mixed-grain query
+    (README.md:292-296: `mf query --metrics unemployment_rate,
+    gdp_growth --group-by country_code,metric_time__year`): monthly
+    unemployment_rate rolls up to the annual grain and joins the
+    annual YoY growth (ADVICE r6 #3)."""
+    out = (
+        query_metrics(
+            ctx,
+            ["unemployment_rate", "gdp_growth"],
+            group_by=["country_code", "reference_year"],
+        )
+        .toPandas()
+        .sort_values(["country_code", "reference_year"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("annual", ctx.ref("int_country_annual_metrics").toPandas())
+    con.register("monthly", ctx.ref("int_country_monthly_indicators").toPandas())
+    exp = con.execute(
+        """
+        WITH a AS (
+          SELECT country_code, reference_year,
+                 (sum(gdp_million_eur) - lag(sum(gdp_million_eur)) OVER w)
+                   / lag(sum(gdp_million_eur)) OVER w * 100 AS gdp_growth
+          FROM annual GROUP BY 1, 2
+          WINDOW w AS (PARTITION BY country_code ORDER BY reference_year)
+        ),
+        m AS (
+          SELECT country_code, reference_year,
+                 avg(unemployment_rate_pct) AS unemployment_rate
+          FROM monthly GROUP BY 1, 2
+        )
+        SELECT coalesce(a.country_code, m.country_code) AS country_code,
+               coalesce(a.reference_year, m.reference_year) AS reference_year,
+               m.unemployment_rate, a.gdp_growth
+        FROM a FULL OUTER JOIN m USING (country_code, reference_year)
+        ORDER BY 1, 2
+        """
+    ).df()
+    assert len(out) == len(exp) > 0
+    for col in ("unemployment_rate", "gdp_growth"):
+        for g, e in zip(out[col].tolist(), exp[col].tolist()):
+            if e != e or e is None:  # first year / grain absent
+                assert g is None or g != g, col
+            else:
+                assert abs(g - e) < 1e-9, (col, g, e)
+    # both grains genuinely contributed
+    assert exp["unemployment_rate"].notna().any()
+    assert exp["gdp_growth"].notna().any()
+
+
+def test_mixed_grain_entity_only(spark, ctx):
+    """A mixed query with no time dimension (entity-level rollup of
+    both grains) is valid when no window metric is requested."""
+    rows = query_metrics(
+        ctx, ["total_gdp", "unemployment_rate"], group_by=["country_code"]
+    ).collect()
+    assert rows
+    by_cc = {r["country_code"]: r for r in rows}
+    assert by_cc["DE"]["total_gdp"] is not None
+    assert by_cc["DE"]["unemployment_rate"] is not None
 
 
 def test_where_filter_and_readme_example(spark, ctx):
