@@ -314,6 +314,7 @@ def cmd_docs(args) -> int:
 
     reg = _registry(args.raw_dir)
     run_vars = _parse_vars(args.vars)
+    _warn_unknown_vars(reg, run_vars)
     deps: dict[str, list[str]] = {}
     if args.raw_dir is not None:
         spark = _spark(args)
@@ -496,7 +497,9 @@ def cmd_compile(args) -> int:
     execute)."""
     reg = _registry(args.raw_dir)
     spark = _spark(args)
-    ctx = reg.context(spark, vars=_parse_vars(args.vars))
+    run_vars = _parse_vars(args.vars)
+    _warn_unknown_vars(reg, run_vars)
+    ctx = reg.context(spark, vars=run_vars)
     names = _model_names(reg, args, spark, exclude=())
     for name in names:
         df = ctx.ref(name)

@@ -307,65 +307,68 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
 # Verification-priority ordering. The correctness harness records
 # verdicts for a ~50-query prefix of dict order, so queries rotate each
 # round to keep every verdict fresh (two-round freshness invariant).
-# Round-6 rotation: (a) the two queries round 6 changed — dedup_exact
-# (deterministic self-union de-vacuousing) and dedup_embedding
-# (threshold 0.5 → 0.35, nonzero verified pairs); then (b) ALL 47
-# queries whose last driver verdict predates round 5 (computed from
-# CORRECTNESS_r05.json keys), r3-stale block first. 2 + 47 = 49 ≤ 50,
-# so after this round every query carries an r5-or-r6 verdict.
+# Round-7 rotation: (a) the three queries riding round-7-touched code
+# paths — staging_projection (econ.py staging builders / vars gate),
+# unit_test_mock and schema_test_suite (plans/registry.py); then
+# (b) ALL 47 queries whose latest driver verdict is r5 (computed as
+# CORRECTNESS_r05 keys minus CORRECTNESS_r06 keys). 3 + 47 = 50, so
+# after this round every query carries an r6-or-r7 verdict.
 _VERIFY_FIRST = (
-    # -- round-6-touched paths (verify first) -------------------------
-    "dedup_exact",
-    "dedup_embedding",
-    # -- stalest verdicts (r3) ----------------------------------------
-    "anomaly_zscore",
-    "quality_scorecard",
-    "forecast_ols",
-    "forecast_ensemble",
-    "label_centroids",
-    "knn_ivf",
-    "lsh_buckets",
-    "knn_lsh",
-    "stream_window_counts",
-    "stream_stateful_totals",
-    "stream_sessionize",
-    "stream_dedup",
-    "stream_join",
-    "stream_enrich",
-    "bucketed_join",
-    "partition_pruned",
-    "range_join_agg",
-    "rollup_time",
-    "sketch_agg",
-    "pivot_events",
-    "training_shuffle",
-    "source_mix_weights",
-    "sessionize",
-    "salted_agg",
-    # -- r4-stale verdicts --------------------------------------------
-    "temperature_resample",
-    "hash_split",
-    "media_features",
-    "media_pipeline",
-    "frame_sample",
-    "sample_stratified",
-    "seed_eu_status",
-    "avail_agg",
-    "notnull_violations",
-    "jsonstat_decode",
-    "rest_ingest",
+    # -- round-7-touched paths (verify first) -------------------------
+    "staging_projection",
     "unit_test_mock",
     "schema_test_suite",
-    "staging_projection",
-    "funnel_steps",
-    "event_transitions",
-    "salted_join",
-    "table_profile",
-    "kmeans_refine",
-    "embedding_normalize",
-    "zorder_layout",
-    "compact_files",
-    "schema_evolve_read",
+    # -- r5-stale verdicts (registry/materialize block first) ---------
+    "registry_pipeline",
+    "incremental_upsert",
+    "scd2_snapshot",
+    "stream_incremental",
+    "contract_check",
+    "freshness_check",
+    "test_unique",
+    "test_relationships",
+    "test_range_nofuture",
+    "singular_consistency",
+    "completeness",
+    "watermark_filter",
+    # -- r5-stale relational/timeseries -------------------------------
+    "annual_agg",
+    "region_share",
+    "left_join_enrich",
+    "case_bands",
+    "monthly_lag",
+    "rolling_avg",
+    "rank_in_year",
+    "latest_per_entity",
+    "distinct_spine",
+    "union_append",
+    "asof_join",
+    "targeted_delete",
+    # -- r5-stale dedup/ANN --------------------------------------------
+    "dedup_minhash",
+    "dedup_cluster",
+    "simhash",
+    "paragraph_dedup",
+    "fingerprint",
+    "knn_brute",
+    "knn_quantized",
+    # -- r5-stale text/curation -----------------------------------------
+    "text_stats",
+    "text_clean",
+    "token_count",
+    "lang_id",
+    "vocab_topk",
+    "tfidf_topk",
+    "unigram_logprob",
+    "repetition_stats",
+    "wordlist_ratio",
+    "pii_redact",
+    "chunk_documents",
+    "corpus_curation",
+    "decontaminate",
+    "bloom_decontaminate",
+    "pack_sequences",
+    "length_buckets",
 )
 
 

@@ -324,6 +324,45 @@ def test_cli_vars_scope_the_run(spark, tmp_path):
     assert fct.count() == 12
 
 
+def test_cli_unrelated_vars_stay_inert_and_warn(spark, tmp_path, capsys):
+    """ADVICE r6 #1: a typo'd / unrelated --vars key (e.g. 'startyear')
+    must NOT activate the staging filter — dbt leaves unconsumed vars
+    inert — and the run warns about it loudly."""
+    from test_cli import _write_raw
+
+    from dbt_economic_indicators_eu_spark.__main__ import main
+
+    import datetime as dt
+
+    from test_cli import MONTHLY_SCHEMA
+
+    raw = str(tmp_path / "raw")
+    _write_raw(spark, raw)
+    # a month OUTSIDE the declared default range (2010-2024): under the
+    # old any-vars gate, the typo'd key would activate the defaults and
+    # silently drop it — the non-vacuous probe for filter inertness
+    # (the fixture's own 2023 DE/FR data survives the defaults anyway)
+    extra = [("une_rt_m", 8.8, dt.datetime(2024, 2, 1), "DE", "DE", "2005-01")]
+    spark.createDataFrame(extra, MONTHLY_SCHEMA).write.mode("append").parquet(
+        f"{raw}/raw_unemployment.parquet"
+    )
+    wh = str(tmp_path / "wh")
+    assert (
+        main(
+            [
+                "run", "--warehouse", wh, "--raw-dir", raw,
+                "--vars", '{"startyear": 2000}',
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "startyear" in out
+    fct = spark.read.parquet(os.path.join(wh, "fct_economic_indicators"))
+    assert fct.count() == 25  # unfiltered: the 2005 row survives
+    assert fct.filter("reference_year = 2005").count() == 1
+
+
 def test_serial_select_is_dependency_ordered(spark, tmp_path):
     """threads=1 with a NON-topological explicit selection: the mart
     must still materialize AFTER its incremental upstream, reading the
