@@ -126,7 +126,10 @@ def cmd_seed(args) -> int:
     return 0
 
 
-def cmd_run(args, *, materializations=None, exclude=("snapshot",), exclude_always=()) -> int:
+def cmd_run(
+    args, *, materializations=None, exclude=("snapshot",), exclude_always=(),
+    warn_vars=True,
+) -> int:
     from .materialize.run import run_models
 
     reg = _registry(args.raw_dir)
@@ -137,7 +140,8 @@ def cmd_run(args, *, materializations=None, exclude=("snapshot",), exclude_alway
         exclude_always=exclude_always,
     )
     run_vars = _parse_vars(args.vars)
-    _warn_unknown_vars(reg, run_vars)
+    if warn_vars:
+        _warn_unknown_vars(reg, run_vars)
     now = args.now
     if now is None and any(reg.get(n).materialization == "snapshot" for n in names):
         # snapshots need a concrete clock for valid_from/valid_to;
@@ -159,8 +163,8 @@ def cmd_run(args, *, materializations=None, exclude=("snapshot",), exclude_alway
     return 0
 
 
-def cmd_snapshot(args) -> int:
-    return cmd_run(args, materializations=("snapshot",), exclude=())
+def cmd_snapshot(args, *, warn_vars=True) -> int:
+    return cmd_run(args, materializations=("snapshot",), exclude=(), warn_vars=warn_vars)
 
 
 def _stored_schema(reg, ctx, name):
@@ -173,7 +177,7 @@ def _stored_schema(reg, ctx, name):
     return stored_schema_for(reg.get(name), ctx.ref(name))
 
 
-def cmd_test(args) -> int:
+def cmd_test(args, *, warn_vars=True) -> int:
     """dbt test over all three layers the reference uses
     (README:343-348): GENERIC column tests (the yml declarations,
     compiled to one unioned plan), UNIT tests (the dbt 1.8
@@ -209,7 +213,8 @@ def cmd_test(args) -> int:
         if model_tokens
         else None
     )
-    _warn_unknown_vars(reg, run_vars)
+    if warn_vars:
+        _warn_unknown_vars(reg, run_vars)
 
     from .materialize.run import warehouse_base
 
@@ -441,12 +446,19 @@ def cmd_docs(args) -> int:
     base = warehouse_base(args.warehouse, args.target, args.schema)
     cpath = os.path.join(base, "catalog.json")
     previous: dict = {}
-    if os.path.exists(cpath):
-        try:
-            with open(cpath) as f:
-                previous = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            previous = {}
+    # read-side legacy fallback: catalogs written before the
+    # namespacing change lived at the warehouse ROOT even for
+    # schema-namespaced runs — a first post-upgrade docs run must not
+    # lose schemas that root catalog recorded
+    legacy_cpath = os.path.join(args.warehouse, "catalog.json")
+    for candidate in (cpath, legacy_cpath):
+        if os.path.exists(candidate):
+            try:
+                with open(candidate) as f:
+                    previous = json.load(f)
+                break
+            except (OSError, json.JSONDecodeError):
+                previous = {}
     catalog: dict = {}
     candidates = [n for n in reg.models if os.path.isdir(os.path.join(base, n))]
     if candidates:
@@ -538,16 +550,19 @@ def cmd_build(args) -> int:
     # validity columns, not a ref-recompute), and a failed stage
     # short-circuits — testing a stale warehouse after a failed run
     # masks the original failure with misleading FAIL rows.
+    # warn about unknown vars ONCE for the whole build, not once per
+    # delegated stage
+    _warn_unknown_vars(_registry(args.raw_dir), _parse_vars(args.vars))
     rc = cmd_seed(args)
     if rc:
         return rc
-    rc = cmd_run(args, exclude_always=("snapshot",))
+    rc = cmd_run(args, exclude_always=("snapshot",), warn_vars=False)
     if rc:
         return rc
-    rc = cmd_snapshot(args)
+    rc = cmd_snapshot(args, warn_vars=False)
     if rc:
         return rc
-    return cmd_test(args)
+    return cmd_test(args, warn_vars=False)
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -79,12 +79,6 @@ _TIME = {"annual": "reference_year", "monthly": "reference_date"}
 _MART = {"annual": "int_country_annual_metrics", "monthly": "int_country_monthly_indicators"}
 
 
-def _entity_window(group_by: list[str], grain: str) -> Window:
-    time_col = _TIME[grain]
-    parts = [c for c in group_by if c != time_col]
-    return Window.partitionBy(*parts).orderBy(time_col)
-
-
 # The README's metric list (README.md:249-258), one definition each.
 METRICS: dict[str, Metric] = {
     m.name: m
@@ -174,7 +168,19 @@ def _grain_frame(
     ``reference_year``, so the rollup is a plain re-aggregation)."""
     df = ctx.ref(_MART[grain])
     if where is not None:
-        df = df.filter(where)
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = df.filter(where)
+        except AnalysisException as e:
+            # a loud, actionable error instead of a raw plan failure —
+            # bites mixed-grain queries whose where uses a column only
+            # one mart carries (e.g. reference_date)
+            raise ValueError(
+                f"where filter does not resolve against the {grain} mart "
+                f"({_MART[grain]}); a mixed-grain query's where must use "
+                f"columns shared by both marts. Underlying error: {e}"
+            ) from e
     aggs: dict[str, Column] = {}
     for d in defs:
         if d.measure is not None:
@@ -223,18 +229,34 @@ def query_metrics(
     defs = [METRICS[m] for m in metrics]
     grains = {d.grain for d in defs}
     mixed = len(grains) > 1
-    # the time dimension the query runs at: the single grain's own, or
-    # the shared ANNUAL metric_time for a mixed query (monthly rolls up)
-    time_col = "reference_year" if mixed else _TIME[next(iter(grains))]
-    if mixed:
+    time_dims_in_query = [c for c in group_by if c in ("reference_year", "reference_date")]
+    if len(time_dims_in_query) > 1:
+        raise ValueError(
+            "group_by carries two time dimensions "
+            f"{time_dims_in_query}; a metric query runs at one metric_time grain"
+        )
+    requested_time = time_dims_in_query[0] if time_dims_in_query else None
+    # the time dimension the query runs at: the shared ANNUAL
+    # metric_time for a mixed query (monthly rolls up), the annual
+    # grain's own for annual metrics, and for monthly-only metrics
+    # whichever the caller asked for — MetricFlow always allows
+    # querying a metric at a COARSER time grain, so
+    # group_by=[..., reference_year] rolls a lone monthly metric up to
+    # annual exactly like the mixed path does
+    if mixed or "annual" in grains:
+        time_col = "reference_year"
+    else:
+        time_col = requested_time or "reference_date"
+    rolling_up = "monthly" in grains and time_col == "reference_year"
+    if rolling_up:
         bad_windows = [
             d.name for d in defs if d.grain == "monthly" and d.window_derive is not None
         ]
         if bad_windows:
             raise ValueError(
                 f"monthly window metrics {sorted(bad_windows)} cannot roll up "
-                "to the annual grain of a mixed-grain query (a rolling/"
-                "monthly-ordered window has no annual meaning)"
+                "to the annual metric_time grain (a rolling/monthly-ordered "
+                "window has no annual meaning)"
             )
     # group_by accepts DECLARED dimensions only — the entity and the
     # query's time column, like MetricFlow's dimension registry. An

@@ -402,6 +402,47 @@ def test_cli_catalog_round_trip_warehouse_evolution(spark, tmp_path, capsys):
     assert cat_c["fct_economic_indicators"]["row_count"] == 26
 
 
+def test_cli_catalog_legacy_root_fallback(spark, tmp_path):
+    """Catalogs written before the namespacing change lived at the
+    warehouse root even for schema-namespaced runs; the first
+    post-upgrade no-raw-dir docs run must still find those recorded
+    schemas instead of erasing them (code-review r7 finding)."""
+    import json
+    import shutil
+
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    args = ["--warehouse", wh, "--raw-dir", raw, "--schema", "analytics"]
+    # rowless warehouse + bound docs run records derived schemas
+    assert main(["run", *args, "--vars", '{"start_year": 2030}']) == 0
+    assert main(["docs", *args, "--vars", '{"start_year": 2030}']) == 0
+    ns_cpath = os.path.join(wh, "analytics", "catalog.json")
+    recorded = json.load(open(ns_cpath))
+    assert recorded["fct_economic_indicators"]["columns"]
+    # simulate the pre-namespacing layout: catalog at the root only
+    shutil.move(ns_cpath, os.path.join(wh, "catalog.json"))
+    # a no-raw-dir refresh must fall back to the legacy root catalog
+    assert main(["docs", "--warehouse", wh, "--schema", "analytics"]) == 0
+    cat = json.load(open(ns_cpath))
+    assert cat["fct_economic_indicators"]["columns"] == \
+        recorded["fct_economic_indicators"]["columns"]
+
+
+def test_cli_build_warns_unknown_vars_once(spark, tmp_path, capsys):
+    """build delegates to run + snapshot + test; the unknown-vars
+    warning must print once, not once per stage."""
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    assert main(
+        ["build", "--warehouse", wh, "--raw-dir", raw,
+         "--now", "2024-03-01T00:00:00", "--vars", '{"startyear": 2000}']
+    ) == 0
+    out = capsys.readouterr().out
+    assert out.count("WARNING  unknown --vars keys") == 1
+
+
 def test_cli_compile_prints_plans(spark, tmp_path, capsys):
     raw = str(tmp_path / "raw")
     _write_raw(spark, raw)

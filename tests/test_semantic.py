@@ -170,6 +170,52 @@ def test_mixed_grain_readme_example_matches_duckdb(spark, ctx):
     assert exp["gdp_growth"].notna().any()
 
 
+def test_single_monthly_metric_rolls_up_to_annual(spark, ctx):
+    """MetricFlow allows querying a metric at a COARSER time grain, so
+    a lone monthly metric grouped by reference_year rolls up exactly
+    like the mixed path (code-review r7 finding)."""
+    out = {
+        (r["country_code"], r["reference_year"]): r["unemployment_rate"]
+        for r in query_metrics(
+            ctx, ["unemployment_rate"], group_by=["country_code", "reference_year"]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("monthly", ctx.ref("int_country_monthly_indicators").toPandas())
+    exp = con.execute(
+        "SELECT country_code, reference_year, avg(unemployment_rate_pct) "
+        "FROM monthly GROUP BY 1, 2"
+    ).fetchall()
+    assert exp
+    for cc, y, v in exp:
+        assert abs(out[(cc, y)] - v) < 1e-9
+    # a monthly WINDOW metric still cannot roll up, even alone
+    with pytest.raises(ValueError, match="cannot roll up"):
+        query_metrics(
+            ctx, ["unemployment_trend"], group_by=["country_code", "reference_year"]
+        )
+    # two time dimensions in one query is a contradiction
+    with pytest.raises(ValueError, match="two time dimensions"):
+        query_metrics(
+            ctx, ["unemployment_rate"],
+            group_by=["reference_year", "reference_date"],
+        )
+
+
+def test_mixed_grain_where_must_be_shared(spark, ctx):
+    """A mixed-grain where on a column only one mart carries fails with
+    an actionable ValueError, not a raw AnalysisException."""
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="does not resolve against the annual mart"):
+        query_metrics(
+            ctx,
+            ["total_gdp", "unemployment_rate"],
+            group_by=["country_code", "reference_year"],
+            where=F.col("reference_date") >= "2023-01-01",
+        )
+
+
 def test_mixed_grain_entity_only(spark, ctx):
     """A mixed query with no time dimension (entity-level rollup of
     both grains) is valid when no window metric is requested."""
