@@ -205,6 +205,64 @@ STORAGE = [
 ]
 
 
+# Registry Python-model ports (models/python_ports.py): plans shown the
+# way the real `run` executes them — refs resolved to STORED parquet
+# relations, not the inlined upstream DAG. Shape pinned by
+# tests/test_python_ports.py::test_ports_plan_shape_on_stored_relations.
+PYTHON_PORTS = [
+    (
+        "py_anomaly_detection",
+        "One fact scan per branch: country-partitioned windows (pad-fill "
+        "+ lag for pct_change) on one side, the per-country stats "
+        "groupBy (map-side partial agg) on the other, joined back "
+        "broadcast — never a sort-merge join, no percentile windows "
+        "buffering whole partitions.",
+    ),
+    (
+        "py_unemployment_forecast",
+        "ES/Holt/OLS recursions as F.aggregate left folds over "
+        "sort_array(collect_list(...)) — zero Python operators (no "
+        "ArrowEvalPython/FlatMapGroupsInPandas); ONE shuffle on "
+        "country_code; collect_list holds one country's monthly "
+        "history, never the table.",
+    ),
+    (
+        "py_data_quality_scores",
+        "Country window for consecutive-value diffs feeds the single "
+        "per-country groupBy, which reuses the window's "
+        "hashpartitioning(country_code) — one shuffle total.",
+    ),
+]
+
+
+def _python_port_frames(spark, tmp_dir):
+    """Stored-relation mocks for the ports: tiny parquet relations with
+    the fact/report columns the ports read, so the emitted plan is the
+    real run's shape (FileScan parquet + the port's own operators)."""
+    import datetime as dt
+    import os as _os
+
+    fct = spark.createDataFrame(
+        [
+            (
+                f"k{i}", "DE", dt.date(2023, 1 + i % 12, 1), 2023, 1 + i % 12,
+                5.0 + i % 3, 0.2 if i % 2 else None,
+            )
+            for i in range(24)
+        ],
+        "indicator_key string, country_code string, reference_date date, "
+        "reference_year int, reference_month int, "
+        "unemployment_rate_pct double, inflation_rate_mom_pct double",
+    )
+    rpt = spark.createDataFrame([("DE", 2023)], "country_code string, reference_year int")
+    paths = {}
+    for name, df in (("fct_economic_indicators", fct), ("rpt_annual_economic_summary", rpt)):
+        p = _os.path.join(tmp_dir, name)
+        df.write.mode("overwrite").parquet(p)
+        paths[name] = spark.read.parquet(p)
+    return paths
+
+
 def _explain(spark, df) -> str:
     jvm = spark.sparkContext._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -268,9 +326,32 @@ def main() -> int:
             )
         out += [f"## {name}", "", note, "", "```", *lines, "```", ""]
 
+    # registry Python-model ports against stored-relation mocks
+    import tempfile
+
+    from dbt_economic_indicators_eu_spark.models.econ import build_registry
+
+    out += [
+        "# Registry Python-model ports",
+        "",
+        "Plans as the real `run` executes them: refs resolve to STORED",
+        "parquet relations (mocked here with the fact columns the ports",
+        "read), not the inlined upstream DAG. Shape pinned by",
+        "`tests/test_python_ports.py`.",
+        "",
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        mocks = _python_port_frames(spark, tmp)
+        ctx = build_registry().context(
+            spark, mocks=mocks, vars={"now": "2025-01-01 00:00:00"}
+        )
+        for name, note in PYTHON_PORTS:
+            plan = _explain(spark, ctx.ref(name))
+            out += [f"## {name}", "", note, "", "```", *plan.rstrip().splitlines(), "```", ""]
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(HEADLINERS + STORAGE)} plans)")
+    print(f"wrote PLANS.md ({len(HEADLINERS + STORAGE) + len(PYTHON_PORTS)} plans)")
     spark.stop()
     return 0
 
