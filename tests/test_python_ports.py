@@ -232,6 +232,106 @@ def test_data_quality_scores_match_reference(ports):
     assert set(mine.quality_grade) <= {"A", "B", "C", "D", "F"}
 
 
+def test_ports_match_reference_on_random_corpus(spark, tmp_path):
+    """Property-style parity on a RANDOMIZED corpus (seeded): 8
+    countries, random series lengths 6-40 months, random nulls, random
+    values — the reference pandas models and the Spark ports must agree
+    on every row. Uses a NEAR now (61 days past the latest month) so
+    the timeliness<=90 → 100 branch and primary_issue='none' run, which
+    the fixed fixture's stale clock never reaches."""
+    rng = np.random.RandomState(1234)
+    ts = dt.datetime(2024, 7, 1)
+    months = [f"{2021 + (i // 12)}-{(i % 12) + 1:02d}" for i in range(40)]
+    unemp, infl = [], []
+    for ci in range(8):
+        cc = f"C{ci}"
+        # C0 pinned to the full 40 months so one country's latest data
+        # lands 61 days before the near clock (timeliness == 100)
+        n = 40 if ci == 0 else int(rng.randint(6, 41))
+        for i in range(n):
+            unemp.append(
+                ("une_rt_m", float(np.round(rng.uniform(2, 15), 2)), ts, cc, cc, months[i])
+            )
+            if rng.rand() > 0.25:  # random inflation gaps
+                v = float(np.round(rng.uniform(-1, 2), 2))
+                if rng.rand() < 0.05:
+                    v = 0.0  # exercise the pct_change 0-divisor path
+                infl.append(("prc_hicp_mmor", v, ts, cc, cc, months[i]))
+    gdp = [
+        ("nama_10_gdp", 1e6, ts, "CP_MEUR", "m", "B1GQ", "GDP", f"C{ci}", f"C{ci}", "2023")
+        for ci in range(8)
+    ]
+    pop = [("demo_pjan", 1e7, ts, f"C{ci}", f"C{ci}", "2023") for ci in range(8)]
+    raw = str(tmp_path / "raw")
+    spark.createDataFrame(gdp, GDP_SCHEMA).write.mode("overwrite").parquet(f"{raw}/raw_gdp.parquet")
+    spark.createDataFrame(unemp, MONTHLY_SCHEMA).write.mode("overwrite").parquet(
+        f"{raw}/raw_unemployment.parquet"
+    )
+    spark.createDataFrame(infl, MONTHLY_SCHEMA).write.mode("overwrite").parquet(
+        f"{raw}/raw_inflation.parquet"
+    )
+    spark.createDataFrame(pop, MONTHLY_SCHEMA).write.mode("overwrite").parquet(
+        f"{raw}/raw_population.parquet"
+    )
+    reg = build_registry()
+    for name in RAW_SOURCES:
+        reg.source(name, lambda s, p=f"{raw}/{name}.parquet": s.read.parquet(p))
+    # latest series month is 2024-04 (40 months from 2021-01); 61 days
+    near_now = "2024-06-01 00:00:00"
+    ctx = reg.context(spark, vars={"now": near_now})
+    fct_pdf = ctx.ref("fct_economic_indicators").toPandas()
+    fct_pdf["reference_date"] = pd.to_datetime(fct_pdf["reference_date"])
+    frames = {
+        "fct_economic_indicators": fct_pdf,
+        "rpt_annual_economic_summary": ctx.ref("rpt_annual_economic_summary").toPandas(),
+    }
+
+    class _NearDT(dt.datetime):
+        @classmethod
+        def now(cls, tz=None):
+            return cls(2024, 6, 1)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with mock.patch("datetime.datetime", _NearDT):
+            ref_anom = _load_reference_model("py_anomaly_detection").model(_FakeDbt(frames), None)
+            ref_fcst = _load_reference_model("py_unemployment_forecast").model(_FakeDbt(frames), None)
+            ref_qual = _load_reference_model("py_data_quality_scores").model(_FakeDbt(frames), None)
+
+    _compare(
+        ref_anom, ctx.ref("py_anomaly_detection").toPandas(), ["indicator_key"],
+        ["unemployment_z_score", "inflation_z_score", "anomaly_severity_score"],
+        ["is_unemployment_anomaly", "is_inflation_anomaly", "is_any_anomaly"],
+        ["reference_date"],
+    )
+    my_fcst = ctx.ref("py_unemployment_forecast").toPandas()
+    _compare(
+        ref_fcst, my_fcst, ["country_code", "forecast_horizon_months"],
+        ["forecast_exp_smoothing", "forecast_holt", "forecast_linear_reg",
+         "forecast_ensemble", "prediction_interval_lower", "prediction_interval_upper"],
+        ["forecast_confidence", "min_training_samples"],
+        ["forecast_date", "last_actual_date"],
+    )
+    my_qual = ctx.ref("py_data_quality_scores").toPandas()
+    _compare(
+        ref_qual, my_qual, ["country_code"],
+        ["completeness_score", "timeliness_score", "validity_score",
+         "consistency_score", "overall_quality_score",
+         "unemployment_validity", "inflation_validity"],
+        ["total_records", "quality_grade", "primary_issue", "requires_attention",
+         "days_since_latest_data"],
+        ["latest_data_date"],
+    )
+    # the near clock actually exercised the <=90-day branch + 'none'
+    assert (my_qual["timeliness_score"] == 100.0).any()
+    assert (my_qual["primary_issue"] == "none").any()
+    # and the randomized lengths exercised the forecast inclusion guard
+    n_eligible = sum(
+        fct_pdf.groupby("country_code")["unemployment_rate_pct"].count() >= 24
+    )
+    assert my_fcst["country_code"].nunique() == n_eligible
+
+
 def test_ports_plan_shape_on_stored_relations(spark, tmp_path):
     """100 TB posture: when the ports read MATERIALIZED relations (the
     real `run` path — refs resolve to stored parquet, not the inlined
