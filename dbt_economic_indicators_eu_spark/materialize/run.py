@@ -86,7 +86,14 @@ def _materialize_one(
         return df
     if model.materialization == "table":
         observed, obs = observe_row_count(df, name)
-        observed.write.mode("overwrite").parquet(path)
+        writer = observed.write.mode("overwrite")
+        if model.partition_by:
+            # tables honor the declared layout too (not just
+            # incrementals): a fact-grain table (py_anomaly_detection)
+            # partitioned by year gives downstream readers partition
+            # pruning instead of full scans
+            writer = writer.partitionBy(model.partition_by)
+        writer.parquet(path)
         log_observed(name, obs)
     elif model.materialization == "incremental":
         assert model.unique_key, f"incremental model {name} needs unique_key"

@@ -93,6 +93,10 @@ def register_python_models(reg: Registry) -> None:
         # dbt.config tags (py_anomaly_detection.py:33-36) ∪ yml config
         # tags (_python_models.yml:16-17)
         tags=("python", "anomaly_detection", "data_quality"),
+        # fact-grain output → year-partitioned layout like the fct it
+        # mirrors (100 TB posture: downstream readers prune partitions;
+        # the reference's DuckDB target has no layout concept)
+        partition_by="reference_year",
         # _python_models.yml:19-26 (not_null on indicator_key + country_code)
         tests=(("not_null", "indicator_key"), ("not_null", "country_code")),
     )

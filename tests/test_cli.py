@@ -95,6 +95,11 @@ def test_cli_build_end_to_end(spark, tmp_path, capsys):
     # 4 unit tests (_intermediate__unit_tests.yml) + 1 singular test
     # (tests/assert_eu_aggregate_consistency.sql)
     assert "59 of 59 tests passed" in out and "FAIL" not in out
+    # fact-grain tables honor their declared layout: the anomaly port
+    # lands year-partitioned like the fct it mirrors
+    assert os.path.isdir(os.path.join(wh, "py_anomaly_detection", "reference_year=2023"))
+    anom = spark.read.parquet(os.path.join(wh, "py_anomaly_detection"))
+    assert anom.count() == 24
     # spot-check the mart content
     fct = spark.read.parquet(os.path.join(wh, "fct_economic_indicators"))
     assert fct.count() == 24  # 2 countries x 12 months
