@@ -143,6 +143,14 @@ def cmd_run(
     if warn_vars:
         _warn_unknown_vars(reg, run_vars)
     now = args.now
+    if now is None and "now" in run_vars:
+        # a run-level `now` var is the same injectable clock as --now
+        # (one clock per run — the snapshot must not silently fall back
+        # to wall time while the Python-model ports honor the var)
+        raw_now = run_vars["now"]
+        now = (
+            dt.datetime.fromisoformat(raw_now) if isinstance(raw_now, str) else raw_now
+        )
     if now is None and any(reg.get(n).materialization == "snapshot" for n in names):
         # snapshots need a concrete clock for valid_from/valid_to;
         # --now pins it for reproducible runs
@@ -283,14 +291,16 @@ def cmd_test(args, *, warn_vars=True) -> int:
             n_total += 1
 
     if "singular" in run_types:
-        for name, fn in reg.singular_tests.items():
+        for name in reg.singular_tests:
             # model scoping: run when any ref'd node intersects the
-            # selection (dbt eager indirect selection)
+            # selection (dbt eager indirect selection); the deps
+            # harvest memoizes the violations frame, so the count below
+            # reuses the same built plan
             if select is not None and not (
                 reg.singular_test_deps(ctx, name) & set(select)
             ):
                 continue
-            violations = fn(ctx).count()
+            violations = reg.singular_test_frame(ctx, name).count()
             passed = violations == 0
             status = "PASS" if passed else f"FAIL ({violations} violations)"
             print(f"{status}  singular:{name}")
@@ -550,13 +560,12 @@ def cmd_build(args) -> int:
     # validity columns, not a ref-recompute), and a failed stage
     # short-circuits — testing a stale warehouse after a failed run
     # masks the original failure with misleading FAIL rows.
-    # warn about unknown vars ONCE for the whole build, not once per
-    # delegated stage
-    _warn_unknown_vars(_registry(args.raw_dir), _parse_vars(args.vars))
+    # the run stage (first vars-aware stage) warns about unknown vars;
+    # the delegated snapshot/test stages keep quiet — once per build
     rc = cmd_seed(args)
     if rc:
         return rc
-    rc = cmd_run(args, exclude_always=("snapshot",), warn_vars=False)
+    rc = cmd_run(args, exclude_always=("snapshot",))
     if rc:
         return rc
     rc = cmd_snapshot(args, warn_vars=False)

@@ -158,6 +158,7 @@ def _grain_frame(
     where: Column | None,
     grain: str,
     time_col: str,
+    mixed: bool = False,
 ) -> DataFrame:
     """One grain's metric frame: a single aggregation pass over the
     grain's mart (every simple measure + every required intermediate,
@@ -175,11 +176,16 @@ def _grain_frame(
         except AnalysisException as e:
             # a loud, actionable error instead of a raw plan failure —
             # bites mixed-grain queries whose where uses a column only
-            # one mart carries (e.g. reference_date)
+            # one mart carries (e.g. reference_date), and plain typos
+            hint = (
+                "a mixed-grain query's where must use columns shared by "
+                "both marts"
+                if mixed
+                else "check the column names against the mart's schema"
+            )
             raise ValueError(
                 f"where filter does not resolve against the {grain} mart "
-                f"({_MART[grain]}); a mixed-grain query's where must use "
-                f"columns shared by both marts. Underlying error: {e}"
+                f"({_MART[grain]}); {hint}. Underlying error: {e}"
             ) from e
     aggs: dict[str, Column] = {}
     for d in defs:
@@ -223,6 +229,8 @@ def query_metrics(
     grain (see module docstring); window-derived MONTHLY metrics cannot
     roll up and are rejected.
     """
+    if not metrics:
+        raise ValueError(f"no metrics requested; available: {sorted(METRICS)}")
     unknown = [m for m in metrics if m not in METRICS]
     if unknown:
         raise ValueError(f"unknown metrics: {unknown}; available: {sorted(METRICS)}")
@@ -288,10 +296,12 @@ def query_metrics(
     # frames on the shared dimensions; outer, so a year present in only
     # one mart still surfaces with nulls for the other grain's metrics)
     annual = _grain_frame(
-        ctx, [d for d in defs if d.grain == "annual"], group_by, where, "annual", time_col
+        ctx, [d for d in defs if d.grain == "annual"], group_by, where,
+        "annual", time_col, mixed=True,
     )
     monthly = _grain_frame(
-        ctx, [d for d in defs if d.grain == "monthly"], group_by, where, "monthly", time_col
+        ctx, [d for d in defs if d.grain == "monthly"], group_by, where,
+        "monthly", time_col, mixed=True,
     )
     joined = (
         annual.join(monthly, group_by, "full") if group_by else annual.crossJoin(monthly)

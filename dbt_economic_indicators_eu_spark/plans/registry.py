@@ -108,23 +108,29 @@ class Registry:
     def singular_tests(self) -> dict:
         return dict(self._singulars)
 
-    def singular_test_deps(self, ctx: "Context", name: str) -> set:
-        """Direct model/source refs of one singular test, harvested by
-        building its (lazy) violations plan under a pseudo node name.
-        dbt selects a singular test when any node it depends on is in
-        the selection (eager indirect selection) — the CLI test verb
-        uses these edges to scope the singular layer to ``--select``
-        (ADVICE r6 #2)."""
-        fn = self._singulars[name]
-        key = f"test:{name}"
-        if key not in ctx.deps:
-            ctx._building.append(key)
+    def singular_test_frame(self, ctx: "Context", name: str) -> DataFrame:
+        """One singular test's (lazy) violations frame, built once per
+        context under a pseudo node name so its refs land in
+        ``ctx.deps`` — the frame is memoized, so a scoped test run that
+        harvests deps first does not construct the plan twice."""
+        key = f"t:{name}"
+        if key not in ctx._cache:
+            ctx._building.append(f"test:{name}")
             try:
-                fn(ctx)
+                ctx._cache[key] = self._singulars[name](ctx)
             finally:
                 ctx._building.pop()
-            ctx.deps.setdefault(key, set())
-        return set(ctx.deps[key])
+            ctx.deps.setdefault(f"test:{name}", set())
+        return ctx._cache[key]
+
+    def singular_test_deps(self, ctx: "Context", name: str) -> set:
+        """Direct model/source refs of one singular test (harvested
+        from its memoized violations plan). dbt selects a singular test
+        when any node it depends on is in the selection (eager indirect
+        selection) — the CLI test verb uses these edges to scope the
+        singular layer to ``--select`` (ADVICE r6 #2)."""
+        self.singular_test_frame(ctx, name)
+        return set(ctx.deps[f"test:{name}"])
 
     # -- declaration -------------------------------------------------
     def model(

@@ -145,6 +145,21 @@ def test_cli_snapshot_rerun_idempotent(spark, tmp_path):
     assert {r.valid_from.isoformat() for r in snap.collect()} == {"2024-03-01T00:00:00"}
 
 
+def test_cli_now_var_pins_snapshot_clock(spark, tmp_path):
+    """A run-level `now` var is the SAME injectable clock as --now: the
+    snapshot must not fall back to wall time while the Python-model
+    ports honor the var (code-review r7 finding)."""
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    assert main(
+        ["snapshot", "--warehouse", wh, "--raw-dir", raw,
+         "--vars", '{"now": "2024-05-01T00:00:00"}']
+    ) == 0
+    snap = spark.read.parquet(os.path.join(wh, "snap_gdp_history"))
+    assert {r.valid_from.isoformat() for r in snap.collect()} == {"2024-05-01T00:00:00"}
+
+
 def test_cli_graph_selectors(spark, tmp_path, capsys):
     """dbt selector parity: +name pulls ancestors, name+ descendants."""
     raw = str(tmp_path / "raw")

@@ -97,6 +97,8 @@ def test_monthly_metrics_and_trend(spark, ctx):
 
 
 def test_query_validation(spark, ctx):
+    with pytest.raises(ValueError, match="no metrics requested"):
+        query_metrics(ctx, [], group_by=["country_code"])
     with pytest.raises(ValueError, match="unknown metrics"):
         query_metrics(ctx, ["nope"], group_by=["country_code"])
     with pytest.raises(ValueError, match="time"):
