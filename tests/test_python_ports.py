@@ -368,6 +368,12 @@ def test_ports_plan_shape_on_stored_relations(spark, tmp_path):
         assert n_shuffle <= budget, (name, n_shuffle, plan)
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, name
+        # the pandas loops are re-expressed JVM-side: no Python
+        # operators anywhere in the ports (the fold-based forecast
+        # included)
+        for py_node in ("ArrowEvalPython", "BatchEvalPython",
+                        "FlatMapGroupsInPandas", "MapInPandas"):
+            assert py_node not in plan, (name, py_node)
 
 
 def test_ports_build_empty_upstream(spark, tmp_path):
