@@ -165,6 +165,7 @@ def cmd_run(
         schema=args.schema,
         threads=args.threads,
         vars=run_vars,
+        full_refresh=getattr(args, "full_refresh", False),
     )
     for name in built:
         print(f"ran {name}  [{reg.get(name).materialization}]")
@@ -607,6 +608,13 @@ def main(argv: list[str] | None = None) -> int:
             help="run-level project variables as a JSON mapping "
             "(reference dbt_project.yml:20-26: start_year, end_year, "
             "focus_countries)",
+        )
+        sp.add_argument(
+            "--full-refresh",
+            action="store_true",
+            help="dbt run --full-refresh: incremental models "
+            "drop-and-rebuild from their current plan instead of "
+            "merging (snapshots keep their history, like dbt)",
         )
     args = p.parse_args(argv)
     return {

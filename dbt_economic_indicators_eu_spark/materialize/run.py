@@ -63,6 +63,20 @@ def log_observed(name: str, obs: Observation) -> int:
     return n
 
 
+def _overwrite_table(df: DataFrame, model, name: str, path: str) -> None:
+    """Overwrite-write a model's frame as its stored relation, honoring
+    the declared partition layout (a fact-grain table partitioned by
+    year gives downstream readers partition pruning instead of full
+    scans). Used by table materializations and by ``--full-refresh``
+    incremental rebuilds."""
+    observed, obs = observe_row_count(df, name)
+    writer = observed.write.mode("overwrite")
+    if model.partition_by:
+        writer = writer.partitionBy(model.partition_by)
+    writer.parquet(path)
+    log_observed(name, obs)
+
+
 def _materialize_one(
     ctx: Context,
     spark: SparkSession,
@@ -71,6 +85,7 @@ def _materialize_one(
     watermark_col,
     now,
     build_lock,
+    full_refresh: bool = False,
 ) -> DataFrame:
     """Build + write one model. Plan construction and cache updates run
     under ``build_lock`` (Context memoization is not thread-safe); the
@@ -85,25 +100,23 @@ def _materialize_one(
             df.createOrReplaceTempView(name)
         return df
     if model.materialization == "table":
-        observed, obs = observe_row_count(df, name)
-        writer = observed.write.mode("overwrite")
-        if model.partition_by:
-            # tables honor the declared layout too (not just
-            # incrementals): a fact-grain table (py_anomaly_detection)
-            # partitioned by year gives downstream readers partition
-            # pruning instead of full scans
-            writer = writer.partitionBy(model.partition_by)
-        writer.parquet(path)
-        log_observed(name, obs)
+        _overwrite_table(df, model, name, path)
     elif model.materialization == "incremental":
         assert model.unique_key, f"incremental model {name} needs unique_key"
-        # per-model watermark (the reference's is_incremental()
-        # predicate); the run-level param is a global override
-        run_incremental(
-            spark, path, df, model.unique_key,
-            watermark_col if watermark_col is not None else model.watermark_col,
-            partition_by=model.partition_by,
-        )
+        if full_refresh:
+            # dbt `run --full-refresh`: drop-and-rebuild the incremental
+            # from the model's current plan — watermark and keyed upsert
+            # skipped, accumulated state replaced (snapshots are NOT
+            # rebuilt, matching dbt: history is immutable)
+            _overwrite_table(df, model, name, path)
+        else:
+            # per-model watermark (the reference's is_incremental()
+            # predicate); the run-level param is a global override
+            run_incremental(
+                spark, path, df, model.unique_key,
+                watermark_col if watermark_col is not None else model.watermark_col,
+                partition_by=model.partition_by,
+            )
     elif model.materialization == "snapshot":
         assert model.unique_key and model.check_cols
         run_snapshot(spark, path, df, model.unique_key, list(model.check_cols), now)
@@ -208,6 +221,7 @@ def run_models(
     schema: str | None = None,
     threads: int = 1,
     vars: dict | None = None,
+    full_refresh: bool = False,
 ) -> dict[str, DataFrame]:
     """Materialize ``select`` (default: all) models. Returns the final
     DataFrame per model (for views: the lazy plan; for written models:
@@ -229,7 +243,12 @@ def run_models(
     ordered scheduler guarantees at any thread count.
 
     ``vars`` are run-level project variables (reference
-    ``dbt_project.yml:20-26``), resolved by models via ``ctx.var``."""
+    ``dbt_project.yml:20-26``), resolved by models via ``ctx.var``.
+
+    ``full_refresh`` mirrors ``dbt run --full-refresh``: incremental
+    models drop-and-rebuild from their current plan instead of
+    merging; tables/views are unaffected (always rebuilt) and
+    snapshots keep their immutable history, exactly like dbt."""
     base = warehouse_base(warehouse, target, schema)
     os.makedirs(base, exist_ok=True)
     names = select if select is not None else list(registry.models)
@@ -289,7 +308,8 @@ def run_models(
             names = ordered
         for name in names:
             out[name] = _materialize_one(
-                ctx, spark, name, base, watermark_col, now, lock
+                ctx, spark, name, base, watermark_col, now, lock,
+                full_refresh=full_refresh,
             )
         return out
 
@@ -318,6 +338,7 @@ def run_models(
                     pool.submit(
                         _materialize_one,
                         ctx, spark, n, base, watermark_col, now, build_lock,
+                        full_refresh=full_refresh,
                     )
                 ] = n
             if not running:

@@ -224,6 +224,44 @@ def test_cli_incremental_watermark_merges_only_new_rows(spark, tmp_path):
     assert spark.read.parquet(fct_path).count() == 26
 
 
+def test_cli_run_full_refresh_rebuilds_incremental(spark, tmp_path):
+    """dbt run --full-refresh: a revision to an ALREADY-MERGED month is
+    invisible to the watermarked merge (is_incremental() drops rows at
+    or before max(reference_date)) but a full refresh rebuilds the
+    incremental from the current plan — dbt's recovery path for
+    backfilled/corrected history."""
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    sel = ["--warehouse", wh, "--raw-dir", raw, "--select", "fct_economic_indicators"]
+    assert main(["run", *sel]) == 0
+    fct_path = os.path.join(wh, "fct_economic_indicators")
+
+    def jan_de():
+        return (
+            spark.read.parquet(fct_path)
+            .filter("country_code = 'DE' AND reference_date = '2023-01-01'")
+            .collect()[0]["unemployment_rate_pct"]
+        )
+
+    before = jan_de()
+    # revise January's value in the raw extract (already merged)
+    pdf = spark.read.parquet(f"{raw}/raw_unemployment.parquet").toPandas()
+    pdf.loc[(pdf.geo_code == "DE") & (pdf.time_code == "2023-01"), "value"] = 9.5
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{raw}/raw_unemployment.parquet"
+    )
+    # watermarked merge: the revision is dropped (row not past max date)
+    assert main(["run", *sel]) == 0
+    assert jan_de() == before
+    # full refresh: rebuilt from the current plan
+    assert main(["run", *sel, "--full-refresh"]) == 0
+    assert jan_de() == 9.5
+    assert spark.read.parquet(fct_path).count() == 24
+    # the rebuilt incremental keeps its declared partition layout
+    assert os.path.isdir(os.path.join(fct_path, "reference_year=2023"))
+
+
 def test_cli_docs_manifest(spark, tmp_path):
     import json
 
