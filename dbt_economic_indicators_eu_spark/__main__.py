@@ -80,16 +80,27 @@ def _spark(args):
     return get_spark(master=args.master)
 
 
+def _excluded_names(reg, args, spark, run_vars) -> set:
+    """dbt ``--exclude``: the same graph-selector syntax as
+    ``--select`` (names, +/graph operators, tag:), subtracted from the
+    selection."""
+    tokens = getattr(args, "exclude_nodes", None)
+    if not tokens:
+        return set()
+    return set(reg.expand_selection(spark, list(tokens), vars=run_vars))
+
+
 def _model_names(
     reg, args, spark, *, materializations=None, exclude=("snapshot",), exclude_always=()
 ):
+    run_vars = _parse_vars(getattr(args, "vars", None))
     if args.select:
         # dbt graph selectors: name, +name (ancestors), name+ (descendants)
-        names = reg.expand_selection(
-            spark, list(args.select), vars=_parse_vars(getattr(args, "vars", None))
-        )
+        names = reg.expand_selection(spark, list(args.select), vars=run_vars)
     else:
         names = list(reg.models)
+    excluded = _excluded_names(reg, args, spark, run_vars)
+    names = [n for n in names if n not in excluded]
     out = []
     for n in names:
         if n not in reg.models:  # sources can't be "run"
@@ -222,6 +233,15 @@ def cmd_test(args, *, warn_vars=True) -> int:
         if model_tokens
         else None
     )
+    excluded = _excluded_names(reg, args, spark, run_vars)
+    if excluded:
+        # dbt --exclude: subtract from the selection (or from the full
+        # node set when nothing was selected); sources stay selectable
+        # so their declared tests still run unless excluded themselves
+        base_names = (
+            select if select is not None else list(reg.models) + list(reg.sources)
+        )
+        select = [n for n in base_names if n not in excluded]
     if warn_vars:
         _warn_unknown_vars(reg, run_vars)
 
@@ -359,6 +379,14 @@ def cmd_docs(args) -> int:
                 print(f"ERROR  unknown models in --select: {unknown}")
                 return 1
             names = list(args.select)
+    if getattr(args, "exclude_nodes", None):
+        if args.raw_dir is not None:
+            excluded = set(
+                reg.expand_selection(spark, list(args.exclude_nodes), vars=run_vars)
+            )
+        else:  # no graph without bound sources; plain name subtraction
+            excluded = set(args.exclude_nodes)
+        names = [n for n in names if n not in excluded]
     emitted = set(names)
 
     def model_node(name, m):
@@ -586,6 +614,14 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--warehouse", default="warehouse")
         sp.add_argument("--raw-dir", default=None)
         sp.add_argument("--select", nargs="+", default=None)
+        sp.add_argument(
+            "--exclude",
+            nargs="+",
+            default=None,
+            dest="exclude_nodes",
+            help="dbt --exclude: graph selectors subtracted from the "
+            "selection (same syntax as --select)",
+        )
         sp.add_argument("--target", default="prod")
         sp.add_argument("--schema", default=None)
         sp.add_argument("--master", default=None)

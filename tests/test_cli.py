@@ -527,6 +527,50 @@ def test_cli_tag_selector(spark, tmp_path, capsys):
     assert "dim_country" not in out and "fct_economic" not in out
 
 
+def test_cli_exclude_selector(spark, tmp_path, capsys):
+    """dbt --exclude parity: same graph-selector syntax as --select,
+    subtracted from the selection — for run, test, and docs."""
+    import json
+
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+
+    # run everything except the marts layer (tag selector)
+    rc = main(["run", "--warehouse", wh, "--raw-dir", raw,
+               "--exclude", "tag:marts"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ran stg_eurostat__gdp" in out and "ran int_country_annual_metrics" in out
+    for m in ("dim_country", "fct_economic_indicators", "rpt_annual_economic_summary"):
+        assert f"ran {m}" not in out, out
+
+    # exclude with graph operator: a model and its descendants
+    rc = main(["run", "--warehouse", wh, "--raw-dir", raw,
+               "--exclude", "int_country_annual_metrics+"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ran stg_eurostat__gdp" in out
+    assert "ran int_country_annual_metrics" not in out
+    assert "ran py_anomaly_detection" not in out  # transitive descendant
+
+    # test --exclude drops the excluded model's generic tests but keeps
+    # everything else (sources included)
+    rc = main(["test", "--raw-dir", raw, "--exclude", "stg_eurostat__gdp"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "stg_eurostat__gdp.gdp_key unique" not in out
+    assert "stg_eurostat__unemployment.unemployment_key unique" in out
+    assert "raw_gdp.geo_code not_null" in out  # source tests still run
+
+    # docs --exclude prunes emitted model nodes
+    assert main(["docs", "--warehouse", wh, "--raw-dir", raw,
+                 "--exclude", "tag:marts"]) == 0
+    m = json.load(open(os.path.join(wh, "manifest.json")))
+    assert "stg_eurostat__gdp" in m["models"]
+    assert "fct_economic_indicators" not in m["models"]
+
+
 def test_cli_test_checks_materialized_relation(spark, tmp_path, capsys):
     """dbt test semantics: the suite must test the STORED relation, so
     a defect accumulated in the warehouse (here: duplicated rows
