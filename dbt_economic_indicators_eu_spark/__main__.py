@@ -120,8 +120,51 @@ def _model_names(
 
 
 def cmd_ls(args) -> int:
+    """dbt ls: list models, honoring --select/--exclude. Plain names
+    and tag: selectors resolve without a SparkSession; +/graph
+    operators need the dependency graph, hence bound sources
+    (--raw-dir)."""
     reg = _registry(args.raw_dir)
-    for name, m in reg.models.items():
+    select = list(args.select or [])
+    exclude = list(getattr(args, "exclude_nodes", None) or [])
+    names = list(reg.models)
+    if select or exclude:
+        if any("+" in t for t in select + exclude):
+            if args.raw_dir is None:
+                print("ERROR  graph selectors (+) in ls need --raw-dir for the dependency graph")
+                return 1
+            spark = _spark(args)
+            if select:
+                names = [
+                    n for n in reg.expand_selection(spark, select) if n in reg.models
+                ]
+            excluded = (
+                set(reg.expand_selection(spark, exclude)) if exclude else set()
+            )
+        else:
+
+            def match(tokens: list[str]) -> set:
+                out: set = set()
+                for t in tokens:
+                    if t.startswith("tag:"):
+                        out |= {n for n, m in reg.models.items() if t[4:] in m.tags}
+                    elif t in reg.models or t in reg.sources:
+                        out.add(t)
+                    else:
+                        raise ValueError(f"unknown model or source {t!r}")
+                return out
+
+            try:
+                if select:
+                    chosen = match(select)
+                    names = [n for n in names if n in chosen]
+                excluded = match(exclude) if exclude else set()
+            except ValueError as e:
+                print(f"ERROR  {e}")
+                return 1
+        names = [n for n in names if n not in excluded]
+    for name in names:
+        m = reg.get(name)
         tags = f" tags={','.join(m.tags)}" if m.tags else ""
         print(f"{name}  [{m.materialization}]  tests={len(m.tests)}{tags}")
     return 0

@@ -68,6 +68,17 @@ def test_cli_ls(capsys):
     assert "snap_gdp_history  [snapshot]" in out
     assert "tests=5" in out  # declared yml tests surfaced
 
+    # ls honors --select / --exclude (tag: and plain names resolve
+    # without a SparkSession)
+    assert main(["ls", "--select", "tag:staging"]) == 0
+    out = capsys.readouterr().out
+    assert "stg_eurostat__gdp" in out and "fct_economic_indicators" not in out
+    assert main(["ls", "--exclude", "tag:python"]) == 0
+    out = capsys.readouterr().out
+    assert "py_anomaly_detection" not in out and "dim_country" in out
+    assert main(["ls", "--select", "nope"]) != 0
+    capsys.readouterr()
+
 
 def test_cli_build_end_to_end(spark, tmp_path, capsys):
     raw = str(tmp_path / "raw")
