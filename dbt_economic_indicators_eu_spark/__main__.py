@@ -330,6 +330,9 @@ def cmd_test(args, *, warn_vars=True) -> int:
     n_pass = n_total = 0
     ok = True
 
+    store = getattr(args, "store_failures", False)
+    audit_base = os.path.join(base, "dbt_test__audit")
+
     if "generic" in run_types:
         g_ok, rows = run_schema_tests(reg, ctx, select, resolve)
         ok &= g_ok
@@ -338,6 +341,15 @@ def cmd_test(args, *, warn_vars=True) -> int:
             print(f"{status}  {r['model']}.{r['column']} {r['test']}")
         n_pass += sum(r["violations"] == 0 for r in rows)
         n_total += len(rows)
+        failed = [r for r in rows if r["violations"] != 0]
+        if store and failed:
+            # dbt --store-failures: violation rows land as audit
+            # relations (unit-test diffs are printed, not stored —
+            # they compare literal given-rows, not warehouse data)
+            from .testing.schedule import store_test_failures
+
+            for p in store_test_failures(reg, ctx, failed, audit_base, resolve):
+                print(f"stored failures -> {p}")
 
     if "unit" in run_types:
         from .models.unit_tests import run_reference_unit_tests
@@ -364,8 +376,13 @@ def cmd_test(args, *, warn_vars=True) -> int:
                 reg.singular_test_deps(ctx, name) & set(select)
             ):
                 continue
-            violations = reg.singular_test_frame(ctx, name).count()
+            frame = reg.singular_test_frame(ctx, name)
+            violations = frame.count()
             passed = violations == 0
+            if store and not passed:
+                p = os.path.join(audit_base, name)
+                frame.write.mode("overwrite").parquet(p)
+                print(f"stored failures -> {p}")
             status = "PASS" if passed else f"FAIL ({violations} violations)"
             print(f"{status}  singular:{name}")
             ok &= passed
@@ -694,6 +711,13 @@ def main(argv: list[str] | None = None) -> int:
             help="dbt run --full-refresh: incremental models "
             "drop-and-rebuild from their current plan instead of "
             "merging (snapshots keep their history, like dbt)",
+        )
+        sp.add_argument(
+            "--store-failures",
+            action="store_true",
+            help="dbt test --store-failures: persist each failing "
+            "test's violation rows as audit relations under "
+            "<warehouse base>/dbt_test__audit/",
         )
     args = p.parse_args(argv)
     return {

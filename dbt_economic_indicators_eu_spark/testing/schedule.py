@@ -172,3 +172,39 @@ def run_schema_tests(
     """Execute the suite; returns (all_passed, report rows)."""
     rows = schema_test_report(registry, ctx, select, resolve).collect()
     return all(r["violations"] == 0 for r in rows), rows
+
+
+def store_test_failures(
+    registry: Registry,
+    ctx: Context,
+    failed_rows: list,
+    audit_base: str,
+    resolve: "Callable[[str], DataFrame | None] | None" = None,
+) -> list[str]:
+    """dbt ``--store-failures``: persist each FAILING generic test's
+    violation rows as an audit relation under
+    ``<audit_base>/<model>__<column>__<test>`` (dbt's
+    ``dbt_test__audit`` schema). Only failing tests are rebuilt and
+    written — the passing suite stays one count-only job. Returns the
+    written paths."""
+    import os
+
+    written: list[str] = []
+    for r in failed_rows:
+        name, kind, col = r["model"], r["test"], r["column"]
+        decls = (
+            registry.sources[name].tests
+            if name in registry.sources and name not in registry.models
+            else registry.get(name).tests
+        )
+        decl = next(d for d in decls if d[0] == kind and d[1] == col)
+        src_df = (
+            ctx.source(name)
+            if name in registry.sources and name not in registry.models
+            else None
+        )
+        _, _, viol = _violations_frame(ctx, name, decl, src_df, resolve)
+        path = os.path.join(audit_base, f"{name}__{col}__{kind}")
+        viol.write.mode("overwrite").parquet(path)
+        written.append(path)
+    return written

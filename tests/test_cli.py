@@ -538,6 +538,31 @@ def test_cli_tag_selector(spark, tmp_path, capsys):
     assert "dim_country" not in out and "fct_economic" not in out
 
 
+def test_cli_store_failures(spark, tmp_path, capsys):
+    """dbt test --store-failures: failing tests persist their violation
+    rows as audit relations; passing runs write nothing."""
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw, dup_gdp=True)  # duplicate surrogate key
+    rc = main(["test", "--warehouse", wh, "--raw-dir", raw, "--store-failures",
+               "--select", "stg_eurostat__gdp"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "stored failures ->" in out
+    audit = os.path.join(wh, "dbt_test__audit", "stg_eurostat__gdp__gdp_key__unique")
+    viol = spark.read.parquet(audit)
+    # dbt unique-test shape: one row per duplicated value, with count
+    assert viol.count() == 1
+    assert "gdp_key" in viol.columns
+
+    # a clean corpus stores nothing
+    raw2 = str(tmp_path / "raw2")
+    wh2 = str(tmp_path / "wh2")
+    _write_raw(spark, raw2)
+    assert main(["test", "--warehouse", wh2, "--raw-dir", raw2,
+                 "--store-failures"]) == 0
+    assert not os.path.isdir(os.path.join(wh2, "dbt_test__audit"))
+
+
 def test_cli_exclude_selector(spark, tmp_path, capsys):
     """dbt --exclude parity: same graph-selector syntax as --select,
     subtracted from the selection — for run, test, and docs."""
