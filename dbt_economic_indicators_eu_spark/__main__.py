@@ -80,13 +80,37 @@ def _spark(args):
     return get_spark(master=args.master)
 
 
+def _match_plain_tokens(reg, tokens: list[str]) -> set:
+    """Resolve name / tag: selector tokens WITHOUT the dependency-graph
+    harvest (no graph operators allowed): unknown names raise like
+    expand_selection does."""
+    from .plans.registry import RegistryError
+
+    out: set = set()
+    for t in tokens:
+        if t.startswith("tag:"):
+            tag = t[4:]
+            hits = {n for n, m in reg.models.items() if tag in m.tags}
+            if not hits:
+                raise RegistryError(f"no model carries tag {tag!r}")
+            out |= hits
+        elif t in reg.models or t in reg.sources:
+            out.add(t)
+        else:
+            raise RegistryError(f"unknown model or source {t!r}")
+    return out
+
+
 def _excluded_names(reg, args, spark, run_vars) -> set:
     """dbt ``--exclude``: the same graph-selector syntax as
     ``--select`` (names, +/graph operators, tag:), subtracted from the
-    selection."""
+    selection. Plain names and tags resolve without the (expensive)
+    dependency-graph probe harvest; only graph operators pay for it."""
     tokens = getattr(args, "exclude_nodes", None)
     if not tokens:
         return set()
+    if not any("+" in t for t in tokens):
+        return _match_plain_tokens(reg, list(tokens))
     return set(reg.expand_selection(spark, list(tokens), vars=run_vars))
 
 
@@ -124,44 +148,42 @@ def cmd_ls(args) -> int:
     and tag: selectors resolve without a SparkSession; +/graph
     operators need the dependency graph, hence bound sources
     (--raw-dir)."""
+    from .plans.registry import RegistryError
+
     reg = _registry(args.raw_dir)
     select = list(args.select or [])
     exclude = list(getattr(args, "exclude_nodes", None) or [])
+    run_vars = _parse_vars(getattr(args, "vars", None))
     names = list(reg.models)
     if select or exclude:
-        if any("+" in t for t in select + exclude):
-            if args.raw_dir is None:
-                print("ERROR  graph selectors (+) in ls need --raw-dir for the dependency graph")
-                return 1
-            spark = _spark(args)
-            if select:
-                names = [
-                    n for n in reg.expand_selection(spark, select) if n in reg.models
-                ]
-            excluded = (
-                set(reg.expand_selection(spark, exclude)) if exclude else set()
-            )
-        else:
-
-            def match(tokens: list[str]) -> set:
-                out: set = set()
-                for t in tokens:
-                    if t.startswith("tag:"):
-                        out |= {n for n, m in reg.models.items() if t[4:] in m.tags}
-                    elif t in reg.models or t in reg.sources:
-                        out.add(t)
-                    else:
-                        raise ValueError(f"unknown model or source {t!r}")
-                return out
-
-            try:
+        try:
+            if any("+" in t for t in select + exclude):
+                if args.raw_dir is None:
+                    print(
+                        "ERROR  graph selectors (+) in ls need --raw-dir "
+                        "for the dependency graph"
+                    )
+                    return 1
+                spark = _spark(args)
                 if select:
-                    chosen = match(select)
+                    names = [
+                        n
+                        for n in reg.expand_selection(spark, select, vars=run_vars)
+                        if n in reg.models
+                    ]
+                excluded = (
+                    set(reg.expand_selection(spark, exclude, vars=run_vars))
+                    if exclude
+                    else set()
+                )
+            else:
+                if select:
+                    chosen = _match_plain_tokens(reg, select)
                     names = [n for n in names if n in chosen]
-                excluded = match(exclude) if exclude else set()
-            except ValueError as e:
-                print(f"ERROR  {e}")
-                return 1
+                excluded = _match_plain_tokens(reg, exclude) if exclude else set()
+        except RegistryError as e:
+            print(f"ERROR  {e}")
+            return 1
         names = [n for n in names if n not in excluded]
     for name in names:
         m = reg.get(name)
@@ -200,11 +222,21 @@ def cmd_run(
     if now is None and "now" in run_vars:
         # a run-level `now` var is the same injectable clock as --now
         # (one clock per run — the snapshot must not silently fall back
-        # to wall time while the Python-model ports honor the var)
+        # to wall time while the Python-model ports honor the var);
+        # validated here so a bad value fails at the flag, not as a
+        # cryptic Spark error deep in the run
         raw_now = run_vars["now"]
-        now = (
-            dt.datetime.fromisoformat(raw_now) if isinstance(raw_now, str) else raw_now
-        )
+        if isinstance(raw_now, str):
+            try:
+                now = dt.datetime.fromisoformat(raw_now)
+            except ValueError as e:
+                raise SystemExit(f"--vars now must be an ISO timestamp: {e}") from None
+        elif isinstance(raw_now, dt.datetime):
+            now = raw_now
+        else:
+            raise SystemExit(
+                f"--vars now must be an ISO timestamp string, got {raw_now!r}"
+            )
     if now is None and any(reg.get(n).materialization == "snapshot" for n in names):
         # snapshots need a concrete clock for valid_from/valid_to;
         # --now pins it for reproducible runs
@@ -332,6 +364,13 @@ def cmd_test(args, *, warn_vars=True) -> int:
 
     store = getattr(args, "store_failures", False)
     audit_base = os.path.join(base, "dbt_test__audit")
+    if store:
+        # recreate the audit schema per run (dbt semantics): a
+        # previously-failing now-passing test must not leave stale
+        # violation rows that read as current
+        import shutil
+
+        shutil.rmtree(audit_base, ignore_errors=True)
 
     if "generic" in run_types:
         g_ok, rows = run_schema_tests(reg, ctx, select, resolve)
@@ -440,12 +479,24 @@ def cmd_docs(args) -> int:
                 return 1
             names = list(args.select)
     if getattr(args, "exclude_nodes", None):
-        if args.raw_dir is not None:
-            excluded = set(
-                reg.expand_selection(spark, list(args.exclude_nodes), vars=run_vars)
-            )
-        else:  # no graph without bound sources; plain name subtraction
-            excluded = set(args.exclude_nodes)
+        from .plans.registry import RegistryError
+
+        try:
+            if args.raw_dir is not None:
+                excluded = _excluded_names(reg, args, spark, run_vars)
+            else:
+                # no graph without bound sources: names and tag: still
+                # resolve (and unknown tokens still error — a silently
+                # ignored exclude would emit an unpruned manifest);
+                # graph operators genuinely need the dependency graph
+                bad = [t for t in args.exclude_nodes if "+" in t]
+                if bad:
+                    print(f"ERROR  graph selectors in --exclude need --raw-dir: {bad}")
+                    return 1
+                excluded = _match_plain_tokens(reg, list(args.exclude_nodes))
+        except RegistryError as e:
+            print(f"ERROR  {e}")
+            return 1
         names = [n for n in names if n not in excluded]
     emitted = set(names)
 
@@ -649,8 +700,11 @@ def cmd_build(args) -> int:
     # validity columns, not a ref-recompute), and a failed stage
     # short-circuits — testing a stale warehouse after a failed run
     # masks the original failure with misleading FAIL rows.
-    # the run stage (first vars-aware stage) warns about unknown vars;
-    # the delegated snapshot/test stages keep quiet — once per build
+    # validate --vars BEFORE the seed stage writes anything: malformed
+    # JSON must abort with zero warehouse mutations, not after the seed
+    # overwrite (the run stage — first vars-aware stage — then warns
+    # about unknown keys once per build)
+    _parse_vars(args.vars)
     rc = cmd_seed(args)
     if rc:
         return rc
@@ -720,17 +774,25 @@ def main(argv: list[str] | None = None) -> int:
             "<warehouse base>/dbt_test__audit/",
         )
     args = p.parse_args(argv)
-    return {
-        "ls": cmd_ls,
-        "seed": cmd_seed,
-        "run": cmd_run,
-        "test": cmd_test,
-        "snapshot": cmd_snapshot,
-        "build": cmd_build,
-        "source-freshness": cmd_source_freshness,
-        "docs": cmd_docs,
-        "compile": cmd_compile,
-    }[args.cmd](args)
+    from .plans.registry import RegistryError
+
+    try:
+        return {
+            "ls": cmd_ls,
+            "seed": cmd_seed,
+            "run": cmd_run,
+            "test": cmd_test,
+            "snapshot": cmd_snapshot,
+            "build": cmd_build,
+            "source-freshness": cmd_source_freshness,
+            "docs": cmd_docs,
+            "compile": cmd_compile,
+        }[args.cmd](args)
+    except RegistryError as e:
+        # selector/model-name errors are user input errors, not
+        # engine crashes — a clean line and exit 1, never a traceback
+        print(f"ERROR  {e}")
+        return 1
 
 
 if __name__ == "__main__":

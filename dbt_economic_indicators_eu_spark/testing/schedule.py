@@ -190,21 +190,40 @@ def store_test_failures(
     import os
 
     written: list[str] = []
+    # one store per DECLARED failing test: the report emits one row per
+    # declaration, so duplicate (name, kind, col) keys mean multiple
+    # declarations (e.g. two relationships tests on one column to
+    # different parents) — each gets its own audit relation, suffixed
+    seen: set = set()
     for r in failed_rows:
         name, kind, col = r["model"], r["test"], r["column"]
-        decls = (
-            registry.sources[name].tests
-            if name in registry.sources and name not in registry.models
-            else registry.get(name).tests
-        )
-        decl = next(d for d in decls if d[0] == kind and d[1] == col)
-        src_df = (
-            ctx.source(name)
-            if name in registry.sources and name not in registry.models
-            else None
-        )
-        _, _, viol = _violations_frame(ctx, name, decl, src_df, resolve)
-        path = os.path.join(audit_base, f"{name}__{col}__{kind}")
-        viol.write.mode("overwrite").parquet(path)
-        written.append(path)
+        if (name, kind, col) in seen:
+            continue
+        seen.add((name, kind, col))
+        # a name may be BOTH a source and a model (Context caches are
+        # namespaced for exactly this); collect matching declarations
+        # from both sides, each resolved against its own frame
+        matches: list[tuple] = []
+        if name in registry.sources:
+            matches += [
+                (d, ctx.source(name))
+                for d in registry.sources[name].tests
+                if d[0] == kind and d[1] == col
+            ]
+        if name in registry.models:
+            matches += [
+                (d, None)
+                for d in registry.get(name).tests
+                if d[0] == kind and d[1] == col
+            ]
+        if not matches:
+            raise RegistryError(
+                f"no declared {kind!r} test on {name}.{col} to store failures for"
+            )
+        for i, (decl, src_df) in enumerate(matches):
+            _, _, viol = _violations_frame(ctx, name, decl, src_df, resolve)
+            suffix = "" if i == 0 else f"__{i + 1}"
+            path = os.path.join(audit_base, f"{name}__{col}__{kind}{suffix}")
+            viol.write.mode("overwrite").parquet(path)
+            written.append(path)
     return written

@@ -562,6 +562,12 @@ def test_cli_store_failures(spark, tmp_path, capsys):
                  "--store-failures"]) == 0
     assert not os.path.isdir(os.path.join(wh2, "dbt_test__audit"))
 
+    # the audit schema is recreated per run: once the data is fixed, a
+    # later --store-failures run prunes the stale violation relations
+    assert main(["test", "--warehouse", wh, "--raw-dir", raw2,
+                 "--store-failures"]) == 0
+    assert not os.path.isdir(os.path.join(wh, "dbt_test__audit"))
+
 
 def test_cli_exclude_selector(spark, tmp_path, capsys):
     """dbt --exclude parity: same graph-selector syntax as --select,
@@ -605,6 +611,20 @@ def test_cli_exclude_selector(spark, tmp_path, capsys):
     m = json.load(open(os.path.join(wh, "manifest.json")))
     assert "stg_eurostat__gdp" in m["models"]
     assert "fct_economic_indicators" not in m["models"]
+
+    # docs --exclude without --raw-dir: tags/names still resolve (never
+    # silently ignored), unknown tokens and graph operators error
+    assert main(["docs", "--warehouse", wh, "--exclude", "tag:marts"]) == 0
+    m = json.load(open(os.path.join(wh, "manifest.json")))
+    assert "fct_economic_indicators" not in m["models"]
+    assert main(["docs", "--warehouse", wh, "--exclude", "nope"]) == 1
+    assert main(["docs", "--warehouse", wh, "--exclude", "+dim_country"]) == 1
+    capsys.readouterr()
+
+    # unknown selector tokens exit 1 with a clean error on run too
+    rc = main(["run", "--warehouse", wh, "--raw-dir", raw, "--exclude", "nope"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "ERROR" in out and "Traceback" not in out
 
 
 def test_cli_test_checks_materialized_relation(spark, tmp_path, capsys):
