@@ -48,7 +48,28 @@ def _parse_vars(spec: str | None) -> dict:
         raise SystemExit(f"--vars must be a JSON mapping: {exc}") from None
     if not isinstance(out, dict):
         raise SystemExit("--vars must be a JSON mapping, e.g. '{\"start_year\": 2015}'")
+    if "now" in out:
+        # the run-level `now` var is the engine's injectable clock
+        # (snapshots + Python-model ports). Validate it HERE so every
+        # verb that builds a context rejects a malformed value at the
+        # flag — compile/docs/test used to cast it Spark-side, where a
+        # bad string becomes a silently-null scored_at (ADVICE r7 #4)
+        out["now"] = _coerce_now_var(out["now"])
     return out
+
+
+def _coerce_now_var(value) -> dt.datetime:
+    """Parse a ``now`` clock value (from ``--vars`` or re-validation)
+    into a datetime, exiting loudly on anything that is not an ISO
+    timestamp."""
+    if isinstance(value, dt.datetime):
+        return value
+    if isinstance(value, str):
+        try:
+            return dt.datetime.fromisoformat(value)
+        except ValueError as exc:
+            raise SystemExit(f"--vars now must be an ISO timestamp: {exc}") from None
+    raise SystemExit(f"--vars now must be an ISO timestamp string, got {value!r}")
 
 
 def _warn_unknown_vars(reg, run_vars: dict) -> None:
@@ -218,25 +239,25 @@ def cmd_run(
     run_vars = _parse_vars(args.vars)
     if warn_vars:
         _warn_unknown_vars(reg, run_vars)
+    # ONE clock per run: --now and a `now` var are the same injectable
+    # clock (snapshot valid_from/valid_to AND the Python-model ports'
+    # scored_at/forecast_generated_at). _parse_vars already coerced the
+    # var to a datetime; a conflicting pair would silently give the
+    # snapshot args.now while the ports read the var (ADVICE r7 #3) —
+    # reject it instead of picking a winner
     now = args.now
-    if now is None and "now" in run_vars:
-        # a run-level `now` var is the same injectable clock as --now
-        # (one clock per run — the snapshot must not silently fall back
-        # to wall time while the Python-model ports honor the var);
-        # validated here so a bad value fails at the flag, not as a
-        # cryptic Spark error deep in the run
-        raw_now = run_vars["now"]
-        if isinstance(raw_now, str):
-            try:
-                now = dt.datetime.fromisoformat(raw_now)
-            except ValueError as e:
-                raise SystemExit(f"--vars now must be an ISO timestamp: {e}") from None
-        elif isinstance(raw_now, dt.datetime):
-            now = raw_now
-        else:
+    if "now" in run_vars:
+        if now is not None and now != run_vars["now"]:
             raise SystemExit(
-                f"--vars now must be an ISO timestamp string, got {raw_now!r}"
+                f"--now {now.isoformat()} conflicts with --vars now "
+                f"{run_vars['now'].isoformat()}: one clock per run — pass "
+                "either flag, or the same value in both"
             )
+        now = run_vars["now"]
+    elif now is not None:
+        # flag-only runs pin the ports' clock too (run_models would
+        # inject this anyway; doing it here keeps the invariant local)
+        run_vars["now"] = now
     if now is None and any(reg.get(n).materialization == "snapshot" for n in names):
         # snapshots need a concrete clock for valid_from/valid_to;
         # --now pins it for reproducible runs
@@ -364,9 +385,14 @@ def cmd_test(args, *, warn_vars=True) -> int:
 
     store = getattr(args, "store_failures", False)
     audit_base = os.path.join(base, "dbt_test__audit")
-    if store:
-        # recreate the audit schema per run (dbt semantics): a
-        # previously-failing now-passing test must not leave stale
+    # dbt drops/recreates each EXECUTED test's audit relation; a scoped
+    # `--select X --store-failures` run must not delete violation
+    # relations for tests outside the selection (ADVICE r7 #1). Only an
+    # unscoped generic run recreates the whole schema (which also
+    # clears relations for tests that no longer exist).
+    audit_scoped = select is not None or "generic" not in run_types
+    if store and not audit_scoped:
+        # a previously-failing now-passing test must not leave stale
         # violation rows that read as current
         import shutil
 
@@ -381,6 +407,21 @@ def cmd_test(args, *, warn_vars=True) -> int:
         n_pass += sum(r["violations"] == 0 for r in rows)
         n_total += len(rows)
         failed = [r for r in rows if r["violations"] != 0]
+        if store and audit_scoped:
+            # scoped run: drop only the EXECUTED tests' audit relations
+            # (incl. any __N declaration suffixes) so a now-passing
+            # selected test leaves no stale rows while unselected
+            # tests' relations survive, like dbt
+            import glob as _glob
+            import shutil
+
+            for r in rows:
+                rel = f"{r['model']}__{r['column']}__{r['test']}"
+                hits = _glob.glob(os.path.join(audit_base, rel)) + _glob.glob(
+                    os.path.join(audit_base, rel + "__[0-9]*")
+                )
+                for p in hits:
+                    shutil.rmtree(p, ignore_errors=True)
         if store and failed:
             # dbt --store-failures: violation rows land as audit
             # relations (unit-test diffs are printed, not stored —

@@ -78,6 +78,14 @@ def _now_ts(ctx: Context) -> Column:
     now = ctx.var("now")
     if now is None:
         return F.current_timestamp()
+    if isinstance(now, str):
+        # CLI paths coerce the var in _parse_vars; a programmatic
+        # context may still hand a string — parse it eagerly so a
+        # malformed clock raises here instead of becoming a
+        # silently-null scored_at via a failed Spark cast
+        import datetime as _dt
+
+        now = _dt.datetime.fromisoformat(now)
     return F.lit(now).cast("timestamp")
 
 

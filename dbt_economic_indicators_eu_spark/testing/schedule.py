@@ -222,6 +222,19 @@ def store_test_failures(
             )
         for i, (decl, src_df) in enumerate(matches):
             _, _, viol = _violations_frame(ctx, name, decl, src_df, resolve)
+            # sibling declarations share (model, column, kind) — e.g.
+            # two relationships tests on one column to different
+            # parents — but the report only says SOME declaration
+            # failed. Probe each sibling and store only the failing
+            # ones: dbt writes an audit relation per failing test, and
+            # an empty relation for a passing sibling would read as "0
+            # current violations" for a test that did not fail at all.
+            # limit(1) early-exits, so passing siblings cost one cheap
+            # probe job, not a full rebuild+write.
+            if viol.limit(1).count() == 0:
+                continue
+            # suffix by declaration ordinal (stable across runs even
+            # when a different sibling fails next time)
             suffix = "" if i == 0 else f"__{i + 1}"
             path = os.path.join(audit_base, f"{name}__{col}__{kind}{suffix}")
             viol.write.mode("overwrite").parquet(path)

@@ -770,3 +770,73 @@ def test_registry_source_rebind_keeps_freshness_policy():
     assert src.loaded_at_field == "extracted_at"
     assert src.tests == (("not_null", "geo_code"),)
     assert src.loader is not None
+
+
+def test_cli_store_failures_scoped_keeps_unselected_audit(spark, tmp_path, capsys):
+    """ADVICE r8 #1: a scoped `test --select X --store-failures` run
+    drops/recreates only the EXECUTED tests' audit relations — an
+    unselected test's stored violations survive (dbt semantics), while
+    a selected now-passing test's stale relation is pruned."""
+    raw_bad = str(tmp_path / "raw_bad")
+    raw_ok = str(tmp_path / "raw_ok")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw_bad, dup_gdp=True)
+    _write_raw(spark, raw_ok)
+
+    # unscoped failing run seeds the audit schema
+    assert main(["test", "--warehouse", wh, "--raw-dir", raw_bad,
+                 "--store-failures"]) == 1
+    capsys.readouterr()
+    gdp_audit = os.path.join(
+        wh, "dbt_test__audit", "stg_eurostat__gdp__gdp_key__unique"
+    )
+    assert os.path.isdir(gdp_audit)
+
+    # scoped run on a DIFFERENT (passing) model: gdp's relation survives
+    assert main(["test", "--warehouse", wh, "--raw-dir", raw_bad,
+                 "--store-failures", "--select", "stg_eurostat__population"]) == 0
+    assert os.path.isdir(gdp_audit)
+
+    # scoped run on gdp itself with fixed data: executed + now passing
+    # -> its stale relation is pruned, and only its relations at that
+    assert main(["test", "--warehouse", wh, "--raw-dir", raw_ok,
+                 "--store-failures", "--select", "stg_eurostat__gdp"]) == 0
+    assert not os.path.isdir(gdp_audit)
+
+
+def test_cli_conflicting_clocks_rejected(spark, tmp_path):
+    """ADVICE r8 #3: --now and a `now` var are ONE injectable clock; a
+    conflicting pair must error instead of silently running the
+    snapshot on args.now while the Python-model ports read the var."""
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    with pytest.raises(SystemExit, match="one clock per run"):
+        main(["run", "--warehouse", wh, "--raw-dir", raw,
+              "--now", "2024-03-01T00:00:00",
+              "--vars", '{"now": "2024-04-01T00:00:00"}'])
+    # agreeing values are fine (same clock spelled twice)
+    assert main(["run", "--warehouse", wh, "--raw-dir", raw,
+                 "--select", "stg_eurostat__gdp",
+                 "--now", "2024-03-01T00:00:00",
+                 "--vars", '{"now": "2024-03-01T00:00:00"}']) == 0
+
+
+def test_cli_malformed_now_var_rejected_everywhere(spark, tmp_path):
+    """ADVICE r8 #4: the `now` var is validated in _parse_vars, so
+    EVERY verb that builds a context rejects a malformed clock at the
+    flag — compile/docs included (they used to cast it Spark-side into
+    a silently-null scored_at)."""
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    for argv in (
+        ["compile", "--raw-dir", raw, "--select", "py_data_quality_scores",
+         "--vars", '{"now": "not-a-timestamp"}'],
+        ["docs", "--raw-dir", raw, "--warehouse", wh,
+         "--vars", '{"now": "not-a-timestamp"}'],
+        ["run", "--warehouse", wh, "--raw-dir", raw,
+         "--vars", '{"now": 1234}'],
+    ):
+        with pytest.raises(SystemExit, match="now must be an ISO timestamp"):
+            main(argv)

@@ -77,3 +77,51 @@ def test_freshness_statuses(spark):
     assert status("2024-01-31") == "pass"
     assert status("2024-01-20") == "warn"   # 12 days > 7
     assert status("2023-12-01") == "error"  # 62 days > 30
+
+
+def test_store_failures_writes_only_failing_sibling_declaration(spark, tmp_path):
+    """ADVICE r8 #2: two relationships tests on ONE column to different
+    parents share a (model, column, kind) report key; when only one
+    fails, store_test_failures must write ONLY the failing
+    declaration's audit relation — an empty relation for the passing
+    sibling would read as a current-zero-violations test result."""
+    import os
+
+    from dbt_economic_indicators_eu_spark.plans.registry import Registry
+    from dbt_economic_indicators_eu_spark.testing.schedule import (
+        schema_test_report,
+        store_test_failures,
+    )
+
+    reg = Registry()
+
+    @reg.model("parent_full")
+    def parent_full(ctx):
+        return spark.createDataFrame([(1,), (2,), (3,)], "id int")
+
+    @reg.model("parent_partial")
+    def parent_partial(ctx):
+        return spark.createDataFrame([(1,), (2,)], "id int")  # 3 missing
+
+    @reg.model(
+        "child",
+        tests=(
+            ("relationships", "id", "parent_full", "id"),     # passes
+            ("relationships", "id", "parent_partial", "id"),  # fails (3)
+        ),
+    )
+    def child(ctx):
+        return spark.createDataFrame([(1,), (2,), (3,)], "id int")
+
+    ctx = reg.context(spark)
+    rows = schema_test_report(reg, ctx, select=["child"]).collect()
+    failed = [r for r in rows if r["violations"] != 0]
+    assert len(failed) == 1  # one report row per declaration
+
+    audit = str(tmp_path / "audit")
+    written = store_test_failures(reg, ctx, failed, audit)
+    # only the SECOND declaration (ordinal suffix __2) is stored
+    assert written == [os.path.join(audit, "child__id__relationships__2")]
+    assert not os.path.isdir(os.path.join(audit, "child__id__relationships"))
+    viol = spark.read.parquet(written[0])
+    assert viol.count() == 1 and viol.collect()[0]["id"] == 3
