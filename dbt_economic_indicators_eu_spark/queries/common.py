@@ -307,68 +307,65 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
 # Verification-priority ordering. The correctness harness records
 # verdicts for a ~50-query prefix of dict order, so queries rotate each
 # round to keep every verdict fresh (two-round freshness invariant).
-# Round-7 rotation: (a) the three queries riding round-7-touched code
-# paths — staging_projection (econ.py staging builders / vars gate),
-# unit_test_mock and schema_test_suite (plans/registry.py); then
-# (b) ALL 47 queries whose latest driver verdict is r5 (computed as
-# CORRECTNESS_r05 keys minus CORRECTNESS_r06 keys). 3 + 47 = 50, so
-# after this round every query carries an r6-or-r7 verdict.
+# Round-8 rotation: (a) the two queries riding round-8-touched code
+# paths — schema_test_suite (testing/schedule.py: store_test_failures
+# sibling-declaration fix) and registry_pipeline (models/python_ports
+# _now_ts hardening); then (b) ALL 47 queries whose latest driver
+# verdict is r6 (CORRECTNESS_r06 keys minus CORRECTNESS_r07 keys).
+# 2 + 47 = 49, so after this round every query carries an r7-or-r8
+# verdict.
 _VERIFY_FIRST = (
-    # -- round-7-touched paths (verify first) -------------------------
-    "staging_projection",
-    "unit_test_mock",
+    # -- round-8-touched paths (verify first) -------------------------
     "schema_test_suite",
-    # -- r5-stale verdicts (registry/materialize block first) ---------
     "registry_pipeline",
-    "incremental_upsert",
-    "scd2_snapshot",
-    "stream_incremental",
-    "contract_check",
-    "freshness_check",
-    "test_unique",
-    "test_relationships",
-    "test_range_nofuture",
-    "singular_consistency",
-    "completeness",
-    "watermark_filter",
-    # -- r5-stale relational/timeseries -------------------------------
-    "annual_agg",
-    "region_share",
-    "left_join_enrich",
-    "case_bands",
-    "monthly_lag",
-    "rolling_avg",
-    "rank_in_year",
-    "latest_per_entity",
-    "distinct_spine",
-    "union_append",
-    "asof_join",
-    "targeted_delete",
-    # -- r5-stale dedup/ANN --------------------------------------------
-    "dedup_minhash",
-    "dedup_cluster",
-    "simhash",
-    "paragraph_dedup",
-    "fingerprint",
-    "knn_brute",
-    "knn_quantized",
-    # -- r5-stale text/curation -----------------------------------------
-    "text_stats",
-    "text_clean",
-    "token_count",
-    "lang_id",
-    "vocab_topk",
-    "tfidf_topk",
-    "unigram_logprob",
-    "repetition_stats",
-    "wordlist_ratio",
-    "pii_redact",
-    "chunk_documents",
-    "corpus_curation",
-    "decontaminate",
-    "bloom_decontaminate",
-    "pack_sequences",
-    "length_buckets",
+    # -- r6-stale: ML ports' oracle twins + streaming drains -----------
+    "annual_summary",
+    "anomaly_zscore",
+    "quality_scorecard",
+    "forecast_ols",
+    "forecast_ensemble",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_join",
+    "stream_sessionize",
+    "stream_stateful_totals",
+    "stream_window_counts",
+    "jsonstat_decode",
+    "rest_ingest",
+    "seed_eu_status",
+    "avail_agg",
+    "notnull_violations",
+    "dedup_exact",
+    "dedup_embedding",
+    "embedding_normalize",
+    "knn_ivf",
+    "knn_lsh",
+    "lsh_buckets",
+    "kmeans_refine",
+    "label_centroids",
+    "media_features",
+    "media_pipeline",
+    "frame_sample",
+    "hash_split",
+    "sample_stratified",
+    "temperature_resample",
+    "training_shuffle",
+    "source_mix_weights",
+    "sessionize",
+    "funnel_steps",
+    "event_transitions",
+    "pivot_events",
+    "rollup_time",
+    "sketch_agg",
+    "range_join_agg",
+    "salted_agg",
+    "salted_join",
+    "partition_pruned",
+    "bucketed_join",
+    "zorder_layout",
+    "compact_files",
+    "schema_evolve_read",
+    "table_profile",
 )
 
 
