@@ -217,3 +217,114 @@ def test_hot_bucket_cap_accounts_drops_at_scale(spark):
     assert all(r.a >= 10_000 for r in got)
     assert obs.get["hot_buckets_dropped"] == 1
     assert obs.get["hot_ids_dropped"] == 2000
+
+
+# ---------------------------------------------------------------------------
+# Python-port registry nodes at scale (VERDICT r7 ask #3): the ml.py
+# twins have oracle verdicts; these smokes certify the REGISTRY path
+# (models/python_ports.py) on a 30-year × many-country panel — the
+# longest realistic per-country series the forecast's collect_list
+# must hold (360 months ≈ a few KB per group, never the table).
+# ---------------------------------------------------------------------------
+
+PORT_MONTHS = 360  # 30 years of monthly history per country
+PORT_NOW = "2025-01-01 00:00:00"
+
+
+def _synth_fct(spark, n_countries: int, n_months: int = PORT_MONTHS):
+    """Deterministic fct_economic_indicators panel: n_countries × 360
+    months, with a spike month (anomaly path), periodic inflation nulls
+    (pad-fill path), and per-country level offsets (distinct stats)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_countries * n_months)
+    cid = (F.col("id") / n_months).cast("long")
+    m = (F.col("id") % n_months).cast("int")
+    date = F.add_months(F.to_date(F.lit("1995-01-01")), m)
+    return base.select(
+        F.concat(F.lit("k"), F.col("id")).alias("indicator_key"),
+        F.concat(F.lit("C"), F.lpad(cid.cast("string"), 4, "0")).alias("country_code"),
+        date.alias("reference_date"),
+        F.year(date).alias("reference_year"),
+        F.month(date).alias("reference_month"),
+        (
+            F.lit(5.0) + (m % 7) * 0.3 + (cid % 5) * 0.1
+            + F.when(m == 100, 9.0).otherwise(0.0)
+        ).alias("unemployment_rate_pct"),
+        F.when(m % 9 == 3, None)
+        .otherwise(F.lit(0.2) + ((m * 3) % 11) * 0.05)
+        .alias("inflation_rate_mom_pct"),
+    )
+
+
+def _port_ctx(spark, n_countries: int):
+    from dbt_economic_indicators_eu_spark.models.econ import build_registry
+
+    reg = build_registry()
+    return reg.context(
+        spark,
+        mocks={"fct_economic_indicators": _synth_fct(spark, n_countries)},
+        vars={"now": PORT_NOW},
+    )
+
+
+def test_port_anomaly_plan_shape_at_scale(spark):
+    """py_anomaly_detection through the registry must keep the plan the
+    100 TB posture claims even when per-country stats grow to 500
+    groups: stats joined back BROADCAST (one tiny row per country —
+    never a sort-merge join against the fact), exactly two hash
+    exchanges (the country window sort + the stats partial-agg), zero
+    Python operators, no cartesian product."""
+    ctx = _port_ctx(spark, 500)
+    df = ctx.ref("py_anomaly_detection")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # every fact row survives the stats join (non-null country key)
+    assert df.count() == 500 * PORT_MONTHS
+
+
+def test_port_forecast_plan_and_bounded_state(spark):
+    """py_unemployment_forecast through the registry: ONE groupBy
+    shuffle (the per-country collect_list fold), zero Python, and the
+    folded state bounded to one country's 360-month history — every
+    country emits exactly its 6 horizons with a finite ensemble."""
+    from pyspark.sql import functions as F
+
+    ctx = _port_ctx(spark, 500)
+    df = ctx.ref("py_unemployment_forecast")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    rows = df.groupBy("country_code").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("forecast_ensemble").alias("lo"),
+    )
+    bad = rows.filter((F.col("n") != 6) | F.col("lo").isNull()).count()
+    assert bad == 0
+    assert rows.count() == 500
+
+
+def test_port_nodes_scale_linearly(spark):
+    """10x countries (50 → 500; 18k → 180k fact rows) must cost ~1x
+    wall time at this size (overhead-dominated) — a quadratic
+    regression (e.g. a stats join degrading to nested-loop, or the
+    fold re-materializing per row) would blow the bound by orders of
+    magnitude. Generous 6x + 1s bound absorbs scheduler noise."""
+    import time
+
+    def run(n: int) -> float:
+        ctx = _port_ctx(spark, n)
+        t0 = time.perf_counter()
+        ctx.ref("py_anomaly_detection").count()
+        ctx.ref("py_unemployment_forecast").count()
+        return time.perf_counter() - t0
+
+    run(50)  # warm the session (codegen + broadcast machinery)
+    t1 = run(50)
+    t10 = run(500)
+    assert t10 <= 6 * t1 + 1.0, f"10x rows cost {t10:.2f}s vs {t1:.2f}s at 1x"
