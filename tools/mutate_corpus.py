@@ -16,6 +16,13 @@ test_unicode_parity.py — at whatever SF you point at):
               LSH buckets, rank ties)
 - ``unicode`` multilingual + whitespace-class + trim-charset edge
               texts rotated through both text edges
+- ``degenerate-history`` every per-user events series takes one of the
+              hard time-series shapes the Python-port parity fixture
+              encodes (tests/test_python_ports.py): constant value
+              (std = 0 → z ≡ 0), all-null series, zero-heavy series
+              with 0 → nonzero steps (the pct_change ±inf / prev == 0
+              guard), singleton users (below every n-obs guard), and
+              gappy alternating-null series (pad-fill / dropna paths)
 """
 
 from __future__ import annotations
@@ -121,7 +128,38 @@ def mutate_unicode(tbl: pa.Table, name: str) -> pa.Table:
     )
 
 
-REGIMES = {"null": mutate_null, "skew": mutate_skew, "unicode": mutate_unicode}
+def mutate_degenerate_history(tbl: pa.Table, name: str) -> pa.Table:
+    """Per-user series shapes keyed by ``user_id % 5`` (the WHOLE series
+    takes the shape — a constant series mixed with live rows would not
+    hit the std = 0 branch): 0 constant, 1 all-null, 2 zero-heavy with
+    occasional 0 → 7.5 steps, 3 singleton users (every event its own
+    user — sub-guard history length), 4 alternating nulls. Values stay
+    2-decimal so the anomaly query's quartile-rounding contract
+    (queries/ml.py r6 note) keeps holding."""
+    if name != "events":
+        return tbl
+    import numpy as np
+
+    df = tbl.to_pandas()
+    uid = df["user_id"].fillna(-1).astype("int64")
+    eid = df["event_id"].astype("int64")
+    cls = (uid % 5).where(uid >= 0, -1)
+    val = df["value"].astype("float64")
+    val = val.mask(cls == 0, 42.0)
+    val = val.mask(cls == 1, np.nan)
+    val = val.mask(cls == 2, np.where(eid % 7 == 0, 7.5, 0.0))
+    val = val.mask((cls == 4) & (eid % 2 == 0), np.nan)
+    df["value"] = val
+    df.loc[cls == 3, "user_id"] = 1_000_000 + eid[cls == 3]
+    return pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
+
+
+REGIMES = {
+    "null": mutate_null,
+    "skew": mutate_skew,
+    "unicode": mutate_unicode,
+    "degenerate-history": mutate_degenerate_history,
+}
 
 
 def build(regime: str, src: str, dst: str) -> None:
