@@ -72,6 +72,27 @@ def _coerce_now_var(value) -> dt.datetime:
     raise SystemExit(f"--vars now must be an ISO timestamp string, got {value!r}")
 
 
+def _resolve_clock(args_now, run_vars: dict):
+    """ONE clock per run: ``--now`` and a ``now`` var are the same
+    injectable clock (snapshot valid_from/valid_to, the Python-model
+    ports' scored_at/forecast_generated_at, source freshness).
+    _parse_vars already coerced the var to a datetime; a conflicting
+    pair would silently hand different consumers different clocks
+    (ADVICE r7 #3) — reject it instead of picking a winner. A flag-only
+    clock is propagated INTO ``run_vars`` so vars consumers agree."""
+    if "now" in run_vars:
+        if args_now is not None and args_now != run_vars["now"]:
+            raise SystemExit(
+                f"--now {args_now.isoformat()} conflicts with --vars now "
+                f"{run_vars['now'].isoformat()}: one clock per run — pass "
+                "either flag, or the same value in both"
+            )
+        return run_vars["now"]
+    if args_now is not None:
+        run_vars["now"] = args_now
+    return args_now
+
+
 def _warn_unknown_vars(reg, run_vars: dict) -> None:
     """dbt leaves unconsumed vars inert; since round 7 the staging
     filter activates only on its three declared keys (ADVICE r6 #1), so
@@ -239,25 +260,7 @@ def cmd_run(
     run_vars = _parse_vars(args.vars)
     if warn_vars:
         _warn_unknown_vars(reg, run_vars)
-    # ONE clock per run: --now and a `now` var are the same injectable
-    # clock (snapshot valid_from/valid_to AND the Python-model ports'
-    # scored_at/forecast_generated_at). _parse_vars already coerced the
-    # var to a datetime; a conflicting pair would silently give the
-    # snapshot args.now while the ports read the var (ADVICE r7 #3) —
-    # reject it instead of picking a winner
-    now = args.now
-    if "now" in run_vars:
-        if now is not None and now != run_vars["now"]:
-            raise SystemExit(
-                f"--now {now.isoformat()} conflicts with --vars now "
-                f"{run_vars['now'].isoformat()}: one clock per run — pass "
-                "either flag, or the same value in both"
-            )
-        now = run_vars["now"]
-    elif now is not None:
-        # flag-only runs pin the ports' clock too (run_models would
-        # inject this anyway; doing it here keeps the invariant local)
-        run_vars["now"] = now
+    now = _resolve_clock(args.now, run_vars)
     if now is None and any(reg.get(n).materialization == "snapshot" for n in names):
         # snapshots need a concrete clock for valid_from/valid_to;
         # --now pins it for reproducible runs
@@ -588,7 +591,12 @@ def cmd_docs(args) -> int:
             }
             for name, s in reg.sources.items()
         },
-        "vars": {**reg.project_vars, **run_vars},
+        # _parse_vars coerces a `now` var to datetime; the manifest is
+        # JSON, so clocks go back out as ISO strings
+        "vars": {
+            k: v.isoformat() if isinstance(v, dt.datetime) else v
+            for k, v in {**reg.project_vars, **run_vars}.items()
+        },
         # reusable dbt doc blocks (reference docs/overview.md)
         "docs": DOC_BLOCKS,
         # semantic-layer metric nodes (reference README.md:226-258;
@@ -716,7 +724,10 @@ def cmd_source_freshness(args) -> int:
 
     reg = _registry(args.raw_dir)
     spark = _spark(args)
-    now = args.now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    run_vars = _parse_vars(args.vars)
+    now = _resolve_clock(args.now, run_vars) or dt.datetime.now(
+        dt.timezone.utc
+    ).replace(tzinfo=None)
     rows = source_freshness_report(reg, reg.context(spark), now).collect()
     if not rows:
         # dbt errors when no source declares freshness; exiting 0 with
@@ -741,11 +752,12 @@ def cmd_build(args) -> int:
     # validity columns, not a ref-recompute), and a failed stage
     # short-circuits — testing a stale warehouse after a failed run
     # masks the original failure with misleading FAIL rows.
-    # validate --vars BEFORE the seed stage writes anything: malformed
-    # JSON must abort with zero warehouse mutations, not after the seed
-    # overwrite (the run stage — first vars-aware stage — then warns
-    # about unknown keys once per build)
-    _parse_vars(args.vars)
+    # validate --vars AND the clock pair BEFORE the seed stage writes
+    # anything: malformed JSON or a conflicting --now / vars-now must
+    # abort with zero warehouse mutations, not after the seed overwrite
+    # (the run stage — first vars-aware stage — then warns about
+    # unknown keys once per build)
+    _resolve_clock(args.now, _parse_vars(args.vars))
     rc = cmd_seed(args)
     if rc:
         return rc

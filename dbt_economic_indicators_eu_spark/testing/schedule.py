@@ -230,8 +230,9 @@ def store_test_failures(
             # an empty relation for a passing sibling would read as "0
             # current violations" for a test that did not fail at all.
             # limit(1) early-exits, so passing siblings cost one cheap
-            # probe job, not a full rebuild+write.
-            if viol.limit(1).count() == 0:
+            # probe job, not a full rebuild+write. A lone declaration
+            # needs no probe — its report row IS the failing verdict.
+            if len(matches) > 1 and viol.limit(1).count() == 0:
                 continue
             # suffix by declaration ordinal (stable across runs even
             # when a different sibling fails next time)

@@ -142,6 +142,11 @@ def test_cli_source_freshness_statuses(spark, tmp_path, capsys):
         out = capsys.readouterr().out
         assert got == rc, (now, out)
         assert out.count(status) == 4, (now, out)  # all four raw sources
+    # a `now` VAR is the same injectable clock as --now here too
+    got = main(["source-freshness", "--raw-dir", raw,
+                "--vars", '{"now": "2024-04-01T00:00:00"}'])
+    out = capsys.readouterr().out
+    assert got == 1 and out.count("ERROR") == 4, out
 
 
 def test_cli_snapshot_rerun_idempotent(spark, tmp_path):
@@ -840,3 +845,32 @@ def test_cli_malformed_now_var_rejected_everywhere(spark, tmp_path):
     ):
         with pytest.raises(SystemExit, match="now must be an ISO timestamp"):
             main(argv)
+
+
+def test_cli_docs_serializes_now_var(spark, tmp_path):
+    """_parse_vars coerces the `now` var to a datetime; the manifest is
+    JSON, so docs must round-trip it back to an ISO string instead of
+    crashing json.dump."""
+    import json
+
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    assert main(["docs", "--warehouse", wh, "--raw-dir", raw,
+                 "--vars", '{"now": "2025-01-01T00:00:00"}']) == 0
+    m = json.load(open(os.path.join(wh, "manifest.json")))
+    assert m["vars"]["now"] == "2025-01-01T00:00:00"
+
+
+def test_cli_build_conflicting_clocks_abort_before_seed(spark, tmp_path):
+    """build validates the clock pair BEFORE the seed stage: a
+    conflicting --now / vars-now must leave zero warehouse mutations,
+    same contract as malformed --vars JSON."""
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    with pytest.raises(SystemExit, match="one clock per run"):
+        main(["build", "--warehouse", wh, "--raw-dir", raw,
+              "--now", "2024-03-01T00:00:00",
+              "--vars", '{"now": "2024-04-01T00:00:00"}'])
+    assert not os.path.isdir(wh)  # seed never ran
