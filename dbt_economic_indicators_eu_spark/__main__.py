@@ -310,6 +310,11 @@ def cmd_test(args, *, warn_vars=True) -> int:
     reg = _registry(args.raw_dir)
     spark = _spark(args)
     run_vars = _parse_vars(args.vars)
+    # same one-clock contract as run/build: --now is accepted here too
+    # (views/unbuilt models ref-recompute through this context, and the
+    # port models read ctx.var("now")), so a conflicting pair must
+    # error and a flag-only clock must reach the context vars
+    _resolve_clock(args.now, run_vars)
     raw_select = list(args.select or [])
     type_tokens = {
         t.split(":", 1)[1] for t in raw_select if t.startswith("test_type:")
@@ -389,14 +394,18 @@ def cmd_test(args, *, warn_vars=True) -> int:
     store = getattr(args, "store_failures", False)
     audit_base = os.path.join(base, "dbt_test__audit")
     # dbt drops/recreates each EXECUTED test's audit relation; a scoped
-    # `--select X --store-failures` run must not delete violation
-    # relations for tests outside the selection (ADVICE r7 #1). Only an
-    # unscoped generic run recreates the whole schema (which also
-    # clears relations for tests that no longer exist).
-    audit_scoped = select is not None or "generic" not in run_types
+    # `--store-failures` run must not delete violation relations for
+    # tests outside the selection (ADVICE r7 #1). "Scoped" means model
+    # tokens/excludes OR a test_type selection: both the generic and
+    # singular layers store relations, so `--select test_type:generic`
+    # must not wipe the singular layer's stored violations (review r8).
+    # Only a fully unscoped run recreates the whole schema (which also
+    # clears relations for tests that no longer exist); scoped runs
+    # prune per executed test instead — a previously-failing
+    # now-passing test must not leave stale violation rows that read
+    # as current.
+    audit_scoped = select is not None or not {"generic", "singular"} <= run_types
     if store and not audit_scoped:
-        # a previously-failing now-passing test must not leave stale
-        # violation rows that read as current
         import shutil
 
         shutil.rmtree(audit_base, ignore_errors=True)
@@ -418,8 +427,10 @@ def cmd_test(args, *, warn_vars=True) -> int:
             import glob as _glob
             import shutil
 
+            from .testing.schedule import audit_relation_name
+
             for r in rows:
-                rel = f"{r['model']}__{r['column']}__{r['test']}"
+                rel = audit_relation_name(r["model"], r["column"], r["test"])
                 hits = _glob.glob(os.path.join(audit_base, rel)) + _glob.glob(
                     os.path.join(audit_base, rel + "__[0-9]*")
                 )
@@ -462,6 +473,14 @@ def cmd_test(args, *, warn_vars=True) -> int:
             frame = reg.singular_test_frame(ctx, name)
             violations = frame.count()
             passed = violations == 0
+            if store and audit_scoped:
+                # executed in a scoped run: drop the stale relation so
+                # a now-passing singular test leaves no violation rows
+                # that read as current (same contract as the generic
+                # layer's per-executed pruning)
+                import shutil
+
+                shutil.rmtree(os.path.join(audit_base, name), ignore_errors=True)
             if store and not passed:
                 p = os.path.join(audit_base, name)
                 frame.write.mode("overwrite").parquet(p)
@@ -493,6 +512,7 @@ def cmd_docs(args) -> int:
 
     reg = _registry(args.raw_dir)
     run_vars = _parse_vars(args.vars)
+    _resolve_clock(args.now, run_vars)  # one clock: conflict-checked here too
     _warn_unknown_vars(reg, run_vars)
     deps: dict[str, list[str]] = {}
     if args.raw_dir is not None:
@@ -709,6 +729,7 @@ def cmd_compile(args) -> int:
     reg = _registry(args.raw_dir)
     spark = _spark(args)
     run_vars = _parse_vars(args.vars)
+    _resolve_clock(args.now, run_vars)  # one clock: conflict-checked here too
     _warn_unknown_vars(reg, run_vars)
     ctx = reg.context(spark, vars=run_vars)
     names = _model_names(reg, args, spark, exclude=())

@@ -174,6 +174,16 @@ def run_schema_tests(
     return all(r["violations"] == 0 for r in rows), rows
 
 
+def audit_relation_name(model: str, column: str, kind: str, ordinal: int = 0) -> str:
+    """Audit relation naming for ``--store-failures`` generic tests —
+    the single definition shared by the writer (store_test_failures)
+    and the scoped-run pruner (__main__.cmd_test), so the two can
+    never drift apart. Sibling declarations beyond the first get a
+    stable ``__N`` ordinal suffix."""
+    suffix = "" if ordinal == 0 else f"__{ordinal + 1}"
+    return f"{model}__{column}__{kind}{suffix}"
+
+
 def store_test_failures(
     registry: Registry,
     ctx: Context,
@@ -236,8 +246,7 @@ def store_test_failures(
                 continue
             # suffix by declaration ordinal (stable across runs even
             # when a different sibling fails next time)
-            suffix = "" if i == 0 else f"__{i + 1}"
-            path = os.path.join(audit_base, f"{name}__{col}__{kind}{suffix}")
+            path = os.path.join(audit_base, audit_relation_name(name, col, kind, i))
             viol.write.mode("overwrite").parquet(path)
             written.append(path)
     return written

@@ -874,3 +874,57 @@ def test_cli_build_conflicting_clocks_abort_before_seed(spark, tmp_path):
               "--now", "2024-03-01T00:00:00",
               "--vars", '{"now": "2024-04-01T00:00:00"}'])
     assert not os.path.isdir(wh)  # seed never ran
+
+
+def test_cli_store_failures_audit_lifecycle_across_layers(spark, tmp_path, capsys):
+    """Review r8: the audit schema is shared by the generic AND
+    singular layers, so (a) a test_type:generic scoped run must not
+    wipe a singular test's stored violations, and (b) a scoped run
+    that executes a now-passing singular test must prune its stale
+    relation."""
+    import datetime as dt
+
+    raw_bad = str(tmp_path / "raw_bad")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw_bad)
+    ts = dt.datetime(2024, 2, 1)
+    bad = [("nama_10_gdp", 1000.0, ts, "CP_MEUR", "m EUR", "B1GQ", "GDP",
+            "EU27_2020", "EU", "2023")]  # >5% off the member sum
+    spark.createDataFrame(bad, GDP_SCHEMA).write.mode("append").parquet(
+        f"{raw_bad}/raw_gdp.parquet"
+    )
+
+    # unscoped store run: the failing singular test lands in the audit
+    assert main(["test", "--warehouse", wh, "--raw-dir", raw_bad,
+                 "--store-failures"]) == 1
+    capsys.readouterr()
+    sing_audit = os.path.join(wh, "dbt_test__audit", "assert_eu_aggregate_consistency")
+    assert os.path.isdir(sing_audit)
+
+    # a generic-layer-only store run is SCOPED for audit purposes: the
+    # singular layer never executed, its stored violations survive
+    assert main(["test", "--warehouse", wh, "--raw-dir", raw_bad,
+                 "--store-failures", "--select", "test_type:generic"]) == 0
+    assert os.path.isdir(sing_audit)
+
+    # fixed data + scoped singular run: the test executes, now passes,
+    # and its stale relation is pruned — nothing else touched
+    raw_ok = str(tmp_path / "raw_ok")
+    _write_raw(spark, raw_ok)
+    assert main(["test", "--warehouse", wh, "--raw-dir", raw_ok,
+                 "--store-failures", "--select", "test_type:singular"]) == 0
+    assert not os.path.isdir(sing_audit)
+
+
+def test_cli_conflicting_clocks_rejected_on_every_context_verb(spark, tmp_path):
+    """Review r8: test/docs/compile build contexts too (views and port
+    models ref-recompute through them), so the one-clock conflict check
+    applies to every verb that accepts both flags."""
+    raw = str(tmp_path / "raw")
+    wh = str(tmp_path / "wh")
+    _write_raw(spark, raw)
+    for verb in ("test", "docs", "compile"):
+        with pytest.raises(SystemExit, match="one clock per run"):
+            main([verb, "--warehouse", wh, "--raw-dir", raw,
+                  "--now", "2024-03-01T00:00:00",
+                  "--vars", '{"now": "2024-04-01T00:00:00"}'])

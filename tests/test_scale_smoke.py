@@ -325,6 +325,10 @@ def test_port_nodes_scale_linearly(spark):
         return time.perf_counter() - t0
 
     run(50)  # warm the session (codegen + broadcast machinery)
-    t1 = run(50)
-    t10 = run(500)
-    assert t10 <= 6 * t1 + 1.0, f"10x rows cost {t10:.2f}s vs {t1:.2f}s at 1x"
+    # min of two draws per size + a generous bound: the signal hunted
+    # here is an order-of-magnitude (quadratic) blowup, not scheduler
+    # jitter on sub-second jobs — plan shape is pinned by the two
+    # sibling tests, this one only guards the wall-clock envelope
+    t1 = min(run(50), run(50))
+    t10 = min(run(500), run(500))
+    assert t10 <= 10 * t1 + 2.0, f"10x rows cost {t10:.2f}s vs {t1:.2f}s at 1x"

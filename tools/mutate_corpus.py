@@ -150,7 +150,12 @@ def mutate_degenerate_history(tbl: pa.Table, name: str) -> pa.Table:
     val = val.mask(cls == 2, np.where(eid % 7 == 0, 7.5, 0.0))
     val = val.mask((cls == 4) & (eid % 2 == 0), np.nan)
     df["value"] = val
-    df.loc[cls == 3, "user_id"] = 1_000_000 + eid[cls == 3]
+    # singleton ids rebase ABOVE the corpus's max user_id: a fixed
+    # offset could collide with a live user at a larger SF, merging a
+    # reassigned row into that user's series and breaking the
+    # whole-series-shape invariant
+    singleton_base = int(uid.max()) + 1
+    df.loc[cls == 3, "user_id"] = singleton_base + eid[cls == 3]
     return pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
 
 
