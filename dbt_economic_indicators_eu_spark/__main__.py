@@ -305,6 +305,8 @@ def cmd_test(args, *, warn_vars=True) -> int:
     dbt's ``test_type:unit|generic|singular`` tokens to run one layer,
     and model/graph selectors to scope the generic layer; default runs
     everything, exactly like bare ``dbt test``."""
+    import shutil
+
     from .testing.schedule import run_schema_tests
 
     reg = _registry(args.raw_dir)
@@ -406,8 +408,6 @@ def cmd_test(args, *, warn_vars=True) -> int:
     # as current.
     audit_scoped = select is not None or not {"generic", "singular"} <= run_types
     if store and not audit_scoped:
-        import shutil
-
         shutil.rmtree(audit_base, ignore_errors=True)
 
     if "generic" in run_types:
@@ -425,17 +425,13 @@ def cmd_test(args, *, warn_vars=True) -> int:
             # selected test leaves no stale rows while unselected
             # tests' relations survive, like dbt
             import glob as _glob
-            import shutil
 
-            from .testing.schedule import audit_relation_name
+            from .testing.schedule import audit_relation_globs
 
             for r in rows:
-                rel = audit_relation_name(r["model"], r["column"], r["test"])
-                hits = _glob.glob(os.path.join(audit_base, rel)) + _glob.glob(
-                    os.path.join(audit_base, rel + "__[0-9]*")
-                )
-                for p in hits:
-                    shutil.rmtree(p, ignore_errors=True)
+                for pat in audit_relation_globs(r["model"], r["column"], r["test"]):
+                    for p in _glob.glob(os.path.join(audit_base, pat)):
+                        shutil.rmtree(p, ignore_errors=True)
         if store and failed:
             # dbt --store-failures: violation rows land as audit
             # relations (unit-test diffs are printed, not stored —
@@ -478,8 +474,6 @@ def cmd_test(args, *, warn_vars=True) -> int:
                 # a now-passing singular test leaves no violation rows
                 # that read as current (same contract as the generic
                 # layer's per-executed pruning)
-                import shutil
-
                 shutil.rmtree(os.path.join(audit_base, name), ignore_errors=True)
             if store and not passed:
                 p = os.path.join(audit_base, name)
@@ -848,6 +842,11 @@ def main(argv: list[str] | None = None) -> int:
             "<warehouse base>/dbt_test__audit/",
         )
     args = p.parse_args(argv)
+    # one-clock contract, enforced for EVERY verb before dispatch: a
+    # conflicting --now / vars-now pair never runs anything (the verbs
+    # re-parse vars themselves; this validation-only pass discards the
+    # propagated dict)
+    _resolve_clock(args.now, _parse_vars(args.vars))
     from .plans.registry import RegistryError
 
     try:

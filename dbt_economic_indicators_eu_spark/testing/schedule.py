@@ -184,6 +184,15 @@ def audit_relation_name(model: str, column: str, kind: str, ordinal: int = 0) ->
     return f"{model}__{column}__{kind}{suffix}"
 
 
+def audit_relation_globs(model: str, column: str, kind: str) -> list[str]:
+    """Glob patterns matching EVERY ordinal of a test's audit relations
+    (base name + ``__N`` siblings) — kept beside audit_relation_name so
+    a suffix-format change can never leave the pruner matching
+    nothing."""
+    base = audit_relation_name(model, column, kind)
+    return [base, base + "__[0-9]*"]
+
+
 def store_test_failures(
     registry: Registry,
     ctx: Context,

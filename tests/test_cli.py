@@ -916,15 +916,17 @@ def test_cli_store_failures_audit_lifecycle_across_layers(spark, tmp_path, capsy
     assert not os.path.isdir(sing_audit)
 
 
-def test_cli_conflicting_clocks_rejected_on_every_context_verb(spark, tmp_path):
-    """Review r8: test/docs/compile build contexts too (views and port
-    models ref-recompute through them), so the one-clock conflict check
-    applies to every verb that accepts both flags."""
+def test_cli_conflicting_clocks_rejected_on_every_verb(tmp_path):
+    """Review r8: the one-clock conflict check runs in main() BEFORE
+    dispatch, so every verb that accepts both flags rejects a
+    conflicting pair — with zero side effects (no Spark session, no
+    warehouse writes: raw/warehouse paths here don't even exist)."""
     raw = str(tmp_path / "raw")
     wh = str(tmp_path / "wh")
-    _write_raw(spark, raw)
-    for verb in ("test", "docs", "compile"):
+    for verb in ("ls", "seed", "run", "test", "snapshot", "build",
+                 "source-freshness", "docs", "compile"):
         with pytest.raises(SystemExit, match="one clock per run"):
             main([verb, "--warehouse", wh, "--raw-dir", raw,
                   "--now", "2024-03-01T00:00:00",
                   "--vars", '{"now": "2024-04-01T00:00:00"}'])
+    assert not os.path.isdir(wh)

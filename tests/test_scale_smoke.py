@@ -314,7 +314,7 @@ def test_port_nodes_scale_linearly(spark):
     wall time at this size (overhead-dominated) — a quadratic
     regression (e.g. a stats join degrading to nested-loop, or the
     fold re-materializing per row) would blow the bound by orders of
-    magnitude. Generous 6x + 1s bound absorbs scheduler noise."""
+    magnitude. Generous 10x + 2s bound absorbs scheduler noise."""
     import time
 
     def run(n: int) -> float:

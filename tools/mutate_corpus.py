@@ -154,7 +154,7 @@ def mutate_degenerate_history(tbl: pa.Table, name: str) -> pa.Table:
     # offset could collide with a live user at a larger SF, merging a
     # reassigned row into that user's series and breaking the
     # whole-series-shape invariant
-    singleton_base = int(uid.max()) + 1
+    singleton_base = int(uid.max()) + 1 if len(uid) else 0
     df.loc[cls == 3, "user_id"] = singleton_base + eid[cls == 3]
     return pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
 
