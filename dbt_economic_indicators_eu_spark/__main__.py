@@ -411,7 +411,11 @@ def cmd_test(args, *, warn_vars=True) -> int:
         shutil.rmtree(audit_base, ignore_errors=True)
 
     if "generic" in run_types:
-        g_ok, rows = run_schema_tests(reg, ctx, select, resolve)
+        # decl ids let --store-failures attribute a failure to its
+        # EXACT declaration (sibling tests sharing a column) with no
+        # probe jobs; the extra column is internal — the oracle-pinned
+        # 4-column report shape belongs to q_schema_test_suite
+        g_ok, rows = run_schema_tests(reg, ctx, select, resolve, with_decl_ids=True)
         ok &= g_ok
         for r in rows:
             status = "PASS" if r["violations"] == 0 else f"FAIL ({r['violations']} violations)"

@@ -87,47 +87,58 @@ def schema_test_report(
     ctx: Context,
     select: list[str] | None = None,
     resolve: "Callable[[str], DataFrame | None] | None" = None,
+    with_decl_ids: bool = False,
 ) -> DataFrame:
     """Lazy report over every declared test of ``select`` models
     (default: all models AND all bound sources that declare tests —
     dbt test covers source tests too). One row per test; the whole
     suite is one unioned plan — collect/write it once to run every
-    test in a single job."""
+    test in a single job.
+
+    ``with_decl_ids=True`` appends a ``decl_id`` column
+    (``model:<i>`` / ``source:<i>`` — the declaration's side and index
+    in its tests tuple), so a consumer can attribute a failing row to
+    its EXACT declaration even when siblings share (model, column,
+    kind). Off by default: the public 4-column report schema is
+    oracle-pinned (queries/engine.py:q_schema_test_suite)."""
     counts: list[DataFrame] = []
 
-    def add(label: str, decl: tuple, df: DataFrame | None = None) -> None:
+    def add(label: str, decl: tuple, df: DataFrame | None = None,
+            decl_id: str | None = None) -> None:
         kind, col, viol = _violations_frame(ctx, label, decl, df, resolve)
-        counts.append(
-            viol.agg(
-                F.lit(label).alias("model"),
-                F.lit(kind).alias("test"),
-                F.lit(col).alias("column"),
-                F.count(F.lit(1)).alias("violations"),
-            )
-        )
+        aggs = [
+            F.lit(label).alias("model"),
+            F.lit(kind).alias("test"),
+            F.lit(col).alias("column"),
+            F.count(F.lit(1)).alias("violations"),
+        ]
+        if with_decl_ids:
+            aggs.append(F.lit(decl_id).alias("decl_id"))
+        counts.append(viol.agg(*aggs))
 
     if select is not None:
         for name in select:
             if name in registry.sources:
                 if registry.sources[name].loader is None:
                     continue  # declared-only source: same skip as the full run
-                for decl in registry.sources[name].tests:
-                    add(name, decl, ctx.source(name))
+                for i, decl in enumerate(registry.sources[name].tests):
+                    add(name, decl, ctx.source(name), f"source:{i}")
             else:
-                for decl in registry.get(name).tests:
-                    add(name, decl)
+                for i, decl in enumerate(registry.get(name).tests):
+                    add(name, decl, decl_id=f"model:{i}")
     else:
         for name, model in registry.models.items():
-            for decl in model.tests:
-                add(name, decl)
+            for i, decl in enumerate(model.tests):
+                add(name, decl, decl_id=f"model:{i}")
         for name, src in registry.sources.items():
             if src.loader is None:
                 continue  # declared-only source: nothing to scan
-            for decl in src.tests:
-                add(name, decl, ctx.source(name))
+            for i, decl in enumerate(src.tests):
+                add(name, decl, ctx.source(name), f"source:{i}")
     spark = ctx.spark
     if not counts:
-        return spark.createDataFrame([], REPORT_SCHEMA)
+        schema = REPORT_SCHEMA + (", decl_id string" if with_decl_ids else "")
+        return spark.createDataFrame([], schema)
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
@@ -168,9 +179,12 @@ def run_schema_tests(
     ctx: Context,
     select: list[str] | None = None,
     resolve: "Callable[[str], DataFrame | None] | None" = None,
+    with_decl_ids: bool = False,
 ) -> tuple[bool, list]:
     """Execute the suite; returns (all_passed, report rows)."""
-    rows = schema_test_report(registry, ctx, select, resolve).collect()
+    rows = schema_test_report(
+        registry, ctx, select, resolve, with_decl_ids=with_decl_ids
+    ).collect()
     return all(r["violations"] == 0 for r in rows), rows
 
 
@@ -188,8 +202,12 @@ def audit_relation_globs(model: str, column: str, kind: str) -> list[str]:
     """Glob patterns matching EVERY ordinal of a test's audit relations
     (base name + ``__N`` siblings) — kept beside audit_relation_name so
     a suffix-format change can never leave the pruner matching
-    nothing."""
-    base = audit_relation_name(model, column, kind)
+    nothing. The literal prefix is glob-escaped: registry names are
+    unvalidated strings, and a ``[``/``*`` in one must not make the
+    pruner silently match nothing (or something else)."""
+    import glob
+
+    base = glob.escape(audit_relation_name(model, column, kind))
     return [base, base + "__[0-9]*"]
 
 
@@ -205,8 +223,46 @@ def store_test_failures(
     ``<audit_base>/<model>__<column>__<test>`` (dbt's
     ``dbt_test__audit`` schema). Only failing tests are rebuilt and
     written — the passing suite stays one count-only job. Returns the
-    written paths."""
+    written paths.
+
+    Rows from a ``with_decl_ids=True`` report carry the failing
+    declaration's exact identity, so exactly that declaration is
+    rebuilt and written — zero extra jobs. Rows without ``decl_id``
+    (e.g. programmatic callers collecting the 4-column report) fall
+    back to probing each sibling declaration sharing
+    (model, column, kind) with a cheap ``limit(1)`` job, storing only
+    the ones that actually fail — an empty relation for a passing
+    sibling would read as "0 current violations" for a test that did
+    not fail at all. Either way the ``__N`` ordinal suffix is the
+    declaration's position among its canonical siblings (source-side
+    declarations first, then model-side), stable across runs even when
+    a different sibling fails next time."""
     import os
+
+    def sibling_decls(name: str, kind: str, col: str) -> list[tuple]:
+        """(side, index, decl, frame) for every declaration matching
+        (name, kind, col), in canonical source-then-model order — the
+        ordinal-suffix ordering shared by both store paths. A name may
+        be BOTH a source and a model (Context caches are namespaced
+        for exactly this); each side resolves against its own frame."""
+        out: list[tuple] = []
+        if name in registry.sources:
+            out += [
+                ("source", i, d, ctx.source(name))
+                for i, d in enumerate(registry.sources[name].tests)
+                if d[0] == kind and d[1] == col
+            ]
+        if name in registry.models:
+            out += [
+                ("model", i, d, None)
+                for i, d in enumerate(registry.get(name).tests)
+                if d[0] == kind and d[1] == col
+            ]
+        if not out:
+            raise RegistryError(
+                f"no declared {kind!r} test on {name}.{col} to store failures for"
+            )
+        return out
 
     written: list[str] = []
     # one store per DECLARED failing test: the report emits one row per
@@ -216,46 +272,36 @@ def store_test_failures(
     seen: set = set()
     for r in failed_rows:
         name, kind, col = r["model"], r["test"], r["column"]
-        if (name, kind, col) in seen:
+        fields = getattr(r, "__fields__", r)
+        decl_id = r["decl_id"] if "decl_id" in fields else None
+        if (name, kind, col, decl_id) in seen:
             continue
-        seen.add((name, kind, col))
-        # a name may be BOTH a source and a model (Context caches are
-        # namespaced for exactly this); collect matching declarations
-        # from both sides, each resolved against its own frame
-        matches: list[tuple] = []
-        if name in registry.sources:
-            matches += [
-                (d, ctx.source(name))
-                for d in registry.sources[name].tests
-                if d[0] == kind and d[1] == col
+        seen.add((name, kind, col, decl_id))
+        siblings = sibling_decls(name, kind, col)
+        if decl_id is not None:
+            side, idx = decl_id.split(":")
+            hits = [
+                (ordinal, s)
+                for ordinal, s in enumerate(siblings)
+                if (s[0], s[1]) == (side, int(idx))
             ]
-        if name in registry.models:
-            matches += [
-                (d, None)
-                for d in registry.get(name).tests
-                if d[0] == kind and d[1] == col
-            ]
-        if not matches:
-            raise RegistryError(
-                f"no declared {kind!r} test on {name}.{col} to store failures for"
-            )
-        for i, (decl, src_df) in enumerate(matches):
+            if not hits:
+                raise RegistryError(
+                    f"decl_id {decl_id!r} does not match a declared "
+                    f"{kind!r} test on {name}.{col}"
+                )
+            todo = hits
+            probe = False
+        else:
+            todo = list(enumerate(siblings))
+            probe = len(siblings) > 1
+        for ordinal, (_, _, decl, src_df) in todo:
             _, _, viol = _violations_frame(ctx, name, decl, src_df, resolve)
-            # sibling declarations share (model, column, kind) — e.g.
-            # two relationships tests on one column to different
-            # parents — but the report only says SOME declaration
-            # failed. Probe each sibling and store only the failing
-            # ones: dbt writes an audit relation per failing test, and
-            # an empty relation for a passing sibling would read as "0
-            # current violations" for a test that did not fail at all.
-            # limit(1) early-exits, so passing siblings cost one cheap
-            # probe job, not a full rebuild+write. A lone declaration
-            # needs no probe — its report row IS the failing verdict.
-            if len(matches) > 1 and viol.limit(1).count() == 0:
+            if probe and viol.limit(1).count() == 0:
                 continue
-            # suffix by declaration ordinal (stable across runs even
-            # when a different sibling fails next time)
-            path = os.path.join(audit_base, audit_relation_name(name, col, kind, i))
+            path = os.path.join(
+                audit_base, audit_relation_name(name, col, kind, ordinal)
+            )
             viol.write.mode("overwrite").parquet(path)
             written.append(path)
     return written

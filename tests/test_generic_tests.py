@@ -125,3 +125,48 @@ def test_store_failures_writes_only_failing_sibling_declaration(spark, tmp_path)
     assert not os.path.isdir(os.path.join(audit, "child__id__relationships"))
     viol = spark.read.parquet(written[0])
     assert viol.count() == 1 and viol.collect()[0]["id"] == 3
+
+
+def test_store_failures_decl_id_fast_path(spark, tmp_path):
+    """With decl ids in the report (the CLI path), the failing sibling
+    is identified exactly — no probe jobs — and gets the same stable
+    ordinal-suffixed relation name as the probe path."""
+    import os
+
+    from dbt_economic_indicators_eu_spark.plans.registry import Registry
+    from dbt_economic_indicators_eu_spark.testing.schedule import (
+        schema_test_report,
+        store_test_failures,
+    )
+
+    reg = Registry()
+
+    @reg.model("parent_full2")
+    def parent_full2(ctx):
+        return spark.createDataFrame([(1,), (2,), (3,)], "id int")
+
+    @reg.model("parent_partial2")
+    def parent_partial2(ctx):
+        return spark.createDataFrame([(1,), (2,)], "id int")
+
+    @reg.model(
+        "child2",
+        tests=(
+            ("relationships", "id", "parent_full2", "id"),     # passes
+            ("relationships", "id", "parent_partial2", "id"),  # fails
+        ),
+    )
+    def child2(ctx):
+        return spark.createDataFrame([(1,), (2,), (3,)], "id int")
+
+    ctx = reg.context(spark)
+    rows = schema_test_report(
+        reg, ctx, select=["child2"], with_decl_ids=True
+    ).collect()
+    failed = [r for r in rows if r["violations"] != 0]
+    assert [r["decl_id"] for r in failed] == ["model:1"]
+    audit = str(tmp_path / "audit")
+    written = store_test_failures(reg, ctx, failed, audit)
+    assert written == [os.path.join(audit, "child2__id__relationships__2")]
+    viol = spark.read.parquet(written[0])
+    assert viol.count() == 1 and viol.collect()[0]["id"] == 3

@@ -331,4 +331,8 @@ def test_port_nodes_scale_linearly(spark):
     # sibling tests, this one only guards the wall-clock envelope
     t1 = min(run(50), run(50))
     t10 = min(run(500), run(500))
-    assert t10 <= 10 * t1 + 2.0, f"10x rows cost {t10:.2f}s vs {t1:.2f}s at 1x"
+    # floor-clamp the baseline: a very fast warm 1x draw must not
+    # shrink the headroom below what scheduler jitter needs
+    assert t10 <= 10 * max(t1, 0.5) + 2.0, (
+        f"10x rows cost {t10:.2f}s vs {t1:.2f}s at 1x"
+    )
