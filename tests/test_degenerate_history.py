@@ -1,0 +1,126 @@
+"""Degenerate-history cross-engine parity: every per-user events
+series takes one of the hard time-series shapes the Python-port parity
+fixture encodes (constant → std = 0, all-null, zero-heavy steps →
+prev == 0 / pct_change guards, singleton users → sub-guard history,
+alternating nulls → pad-fill/dropna paths), then each series-sensitive
+query runs AND its DuckDB oracle on the mutated data and values
+compare. The corpus recipe is imported from tools/mutate_corpus.py
+(the ``degenerate-history`` regime the full gate certifies at
+sf0.01/sf0.1 — VERDICT r7 ask #4), so tool and regression can never
+encode different shapes."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import shutil
+
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from dbt_economic_indicators_eu_spark.queries.common import TABLES, all_queries
+
+SRC = "/root/testdata/sf0.001"
+
+# queries whose semantics hinge on per-user series shape: stats guards
+# (anomaly/forecast/quality), series folds, and the event aggregates
+# whose groups the value/user mutations rewrite
+_SERIES_SENSITIVE = [
+    "anomaly_zscore",
+    "forecast_ols",
+    "forecast_ensemble",
+    "quality_scorecard",
+    "sessionize",
+    "event_transitions",
+    "rollup_time",
+    "sketch_agg",
+    "pivot_events",
+]
+
+
+def _load_mutator():
+    spec = importlib.util.spec_from_file_location(
+        "mutate_corpus",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "mutate_corpus.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.mutate_degenerate_history
+
+
+@pytest.fixture(scope="module")
+def degen_sf(tmp_path_factory):
+    mutate = _load_mutator()
+    d = str(tmp_path_factory.mktemp("sf_degen"))
+    for t in TABLES:
+        src = f"{SRC}/{t}.parquet"
+        if t == "events":
+            pq.write_table(mutate(pq.read_table(src), t), f"{d}/{t}.parquet")
+        else:
+            shutil.copyfile(src, f"{d}/{t}.parquet")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    return d, con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import normalize
+
+    return normalize(df)
+
+
+def test_corpus_encodes_the_hard_shapes(degen_sf):
+    """The fixture really contains every guard-branch shape (else the
+    parametrized parity below certifies nothing)."""
+    d, con = degen_sf
+    shapes = con.execute(
+        """
+        SELECT user_id % 5 AS cls,
+               count(*) AS n,
+               count(value) AS n_obs,
+               min(value) AS lo, max(value) AS hi
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    by = {int(r.cls): r for r in shapes.itertuples()}
+    assert by[0].lo == by[0].hi == 42.0          # constant series
+    assert by[1].n_obs == 0                       # all-null series
+    assert by[2].lo == 0.0 and by[2].hi == 7.5    # zero-heavy + steps
+    assert by[4].n_obs < by[4].n                  # alternating nulls
+    # singleton users: every reassigned row is its own user (post-
+    # mutation class 3 is exactly the reassigned rows — the mutator
+    # keeps the fresh ids ≡ 3 mod 5)
+    single = con.execute(
+        "SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM events "
+        "WHERE user_id % 5 = 3 GROUP BY user_id)"
+    ).fetchone()[0]
+    assert single == 1
+
+
+@pytest.mark.parametrize("name", _SERIES_SENSITIVE)
+def test_degenerate_history_matches_oracle(spark, degen_sf, name):
+    d, con = degen_sf
+    q = all_queries()[name]
+    sdf = q.builder(spark, d).toPandas()
+    odf = con.execute(q.oracle).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    if name == "sketch_agg":
+        # The *_within_* flags compare each engine's own sketch to its
+        # own exact value; on this bimodal corpus ({0, 7.5} atoms) the
+        # interpolated median sits between atoms, so Spark's GK sketch
+        # and DuckDB's t-digest legitimately land on opposite sides of
+        # the 5 % band at this tiny SF. The full gate certifies the
+        # flags at sf0.01/sf0.1; here compare the deterministic columns.
+        flags = [c for c in sdf.columns if "_within_" in c]
+        sdf, odf = sdf.drop(columns=flags), odf.drop(columns=flags)
+    a, b = _normalize(sdf), _normalize(odf)
+    pd.testing.assert_frame_equal(
+        a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+    )

@@ -153,9 +153,12 @@ def mutate_degenerate_history(tbl: pa.Table, name: str) -> pa.Table:
     # singleton ids rebase ABOVE the corpus's max user_id: a fixed
     # offset could collide with a live user at a larger SF, merging a
     # reassigned row into that user's series and breaking the
-    # whole-series-shape invariant
+    # whole-series-shape invariant. The new ids stay ≡ 3 (mod 5) so
+    # ``user_id % 5`` still recovers the class after mutation (the
+    # regression test's shape audit depends on this).
     singleton_base = int(uid.max()) + 1 if len(uid) else 0
-    df.loc[cls == 3, "user_id"] = singleton_base + eid[cls == 3]
+    singleton_base += (3 - singleton_base % 5) % 5
+    df.loc[cls == 3, "user_id"] = singleton_base + 5 * eid[cls == 3]
     return pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
 
 
