@@ -1,5 +1,8 @@
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
 from pyspark.sql import SparkSession
 
@@ -17,3 +20,16 @@ def spark():
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle_normalize():
+    """The gate's own dataframe normalizer (tools/check_oracle.normalize),
+    shared by every cross-engine parity test so the comparison contract
+    lives in exactly one place."""
+    tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    from check_oracle import normalize
+
+    return normalize

@@ -13,11 +13,9 @@ from __future__ import annotations
 
 import importlib.util
 import os
-import shutil
 
 import duckdb
 import pandas as pd
-import pyarrow.parquet as pq
 import pytest
 
 from dbt_economic_indicators_eu_spark.queries.common import TABLES, all_queries
@@ -33,10 +31,12 @@ _SERIES_SENSITIVE = [
     "forecast_ensemble",
     "quality_scorecard",
     "sessionize",
+    "funnel_steps",
     "event_transitions",
     "rollup_time",
     "sketch_agg",
     "pivot_events",
+    "salted_agg",
 ]
 
 
@@ -47,32 +47,20 @@ def _load_mutator():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.mutate_degenerate_history
+    return mod
 
 
 @pytest.fixture(scope="module")
 def degen_sf(tmp_path_factory):
-    mutate = _load_mutator()
+    # build the corpus through the tool's OWN build() so the fixture
+    # can never encode a different table set than the shipped regime
+    mc = _load_mutator()
     d = str(tmp_path_factory.mktemp("sf_degen"))
-    for t in TABLES:
-        src = f"{SRC}/{t}.parquet"
-        if t == "events":
-            pq.write_table(mutate(pq.read_table(src), t), f"{d}/{t}.parquet")
-        else:
-            shutil.copyfile(src, f"{d}/{t}.parquet")
+    mc.build("degenerate-history", SRC, d)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
     return d, con
-
-
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from check_oracle import normalize
-
-    return normalize(df)
 
 
 def test_corpus_encodes_the_hard_shapes(degen_sf):
@@ -104,7 +92,7 @@ def test_corpus_encodes_the_hard_shapes(degen_sf):
 
 
 @pytest.mark.parametrize("name", _SERIES_SENSITIVE)
-def test_degenerate_history_matches_oracle(spark, degen_sf, name):
+def test_degenerate_history_matches_oracle(spark, degen_sf, oracle_normalize, name):
     d, con = degen_sf
     q = all_queries()[name]
     sdf = q.builder(spark, d).toPandas()
@@ -120,7 +108,7 @@ def test_degenerate_history_matches_oracle(spark, degen_sf, name):
         # flags at sf0.01/sf0.1; here compare the deterministic columns.
         flags = [c for c in sdf.columns if "_within_" in c]
         sdf, odf = sdf.drop(columns=flags), odf.drop(columns=flags)
-    a, b = _normalize(sdf), _normalize(odf)
+    a, b = oracle_normalize(sdf), oracle_normalize(odf)
     pd.testing.assert_frame_equal(
         a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
     )

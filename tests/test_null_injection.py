@@ -68,25 +68,15 @@ def null_sf(tmp_path_factory):
     return d, con
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from check_oracle import normalize
-
-    return normalize(df)
-
-
 @pytest.mark.parametrize("name", _DIVERGERS)
-def test_null_semantics_match_oracle(spark, null_sf, name):
+def test_null_semantics_match_oracle(spark, null_sf, oracle_normalize, name):
     d, con = null_sf
     q = all_queries()[name]
     sdf = q.builder(spark, d).toPandas()
     odf = con.execute(q.oracle).df()
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf)
-    a, b = _normalize(sdf), _normalize(odf)
+    a, b = oracle_normalize(sdf), oracle_normalize(odf)
     pd.testing.assert_frame_equal(
         a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
     )

@@ -78,13 +78,8 @@ def skew_sf(tmp_path_factory):
 
 
 @pytest.mark.parametrize("name", _CHECK)
-def test_degenerate_distribution_matches_oracle(spark, skew_sf, name):
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from check_oracle import normalize
-
+def test_degenerate_distribution_matches_oracle(spark, skew_sf, oracle_normalize, name):
+    normalize = oracle_normalize
     d, con = skew_sf
     q = all_queries()[name]
     sdf = q.builder(spark, d).toPandas()

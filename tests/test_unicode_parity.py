@@ -105,13 +105,8 @@ def unicode_sf(tmp_path_factory):
 
 
 @pytest.mark.parametrize("name", _CHECK)
-def test_unicode_corpus_matches_oracle(spark, unicode_sf, name):
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from check_oracle import normalize
-
+def test_unicode_corpus_matches_oracle(spark, unicode_sf, oracle_normalize, name):
+    normalize = oracle_normalize
     d, con = unicode_sf
     q = all_queries()[name]
     sdf = q.builder(spark, d).toPandas()
