@@ -108,19 +108,41 @@ def money4_sum_sql(expr: str) -> str:
     return f"(CAST(floor(({si} + 50) / 100) AS BIGINT) / 100.0)"
 
 
-# NTZ epoch anchor: timestamp_diff/add against it give tz-free epoch
-# micros regardless of the session time zone (unlike unix_micros, which
-# rejects TIMESTAMP_NTZ, and NTZ<->LTZ casts, which shift by session tz).
+# NTZ epoch anchor for the legacy nanos-as-long reconstruction below.
+# NOTE: timestamp_add/timestamp_diff against it are NOT tz-inert —
+# Spark routes NTZ operands through the session zone, so wall times
+# inside a DST gap shift by the gap width (found building
+# tests/test_epoch_twin_exhaustive.py). The legacy branch is safe only
+# because load() pins the session to UTC (fixed offset, no gaps).
 # Built per call — Column construction needs an active SparkContext.
 def EPOCH_NTZ() -> Column:
     return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
 
 
+_US_PER_DAY = 86_400_000_000
+
+
 def epoch_micros(c: Column) -> Column:
     """Microseconds since epoch for TIMESTAMP_NTZ (wall-clock) columns;
-    LTZ inputs coerce. Use this instead of ``unix_micros`` anywhere
-    ``events.ts`` flows — the canonical ``ts`` type is NTZ (see load)."""
-    return F.timestamp_diff("MICROSECOND", EPOCH_NTZ(), c)
+    LTZ inputs coerce through the session zone. Use this instead of
+    ``unix_micros`` anywhere ``events.ts`` flows — the canonical ``ts``
+    type is NTZ (see load).
+
+    Computed from CALENDAR FIELDS (days + time-of-day), never via
+    ``timestamp_diff`` against an epoch anchor: the diff path converts
+    NTZ through the session time zone, so a wall time inside a DST gap
+    (e.g. 2025-03-30 02:30 under Europe/Paris) silently shifts by the
+    gap width — exactly the 2-3 AM region where sessionize gap logic
+    and as-of binning operate. Field extraction is tz-inert by
+    construction (pinned across every zone by
+    tests/test_epoch_twin_exhaustive.py); ``date_part('SECOND')``
+    carries the microsecond fraction as an exact decimal(8,6). All
+    pieces are codegen'd JVM intrinsics on the underlying micros long."""
+    days = F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date")).cast("bigint")
+    micros_of_day = (F.hour(c) * 3600 + F.minute(c) * 60).cast("bigint") * F.lit(
+        1_000_000
+    ) + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("bigint")
+    return days * F.lit(_US_PER_DAY) + micros_of_day
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -307,17 +329,20 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
 # Verification-priority ordering. The correctness harness records
 # verdicts for a ~50-query prefix of dict order, so queries rotate each
 # round to keep every verdict fresh (two-round freshness invariant).
-# Round-8 rotation: (a) the two queries riding round-8-touched code
+# Round-8 rotation: (a) the queries riding round-8-touched code
 # paths — schema_test_suite (testing/schedule.py: store_test_failures
-# sibling-declaration fix) and registry_pipeline (models/python_ports
-# _now_ts hardening); then (b) ALL 47 queries whose latest driver
-# verdict is r6 (CORRECTNESS_r06 keys minus CORRECTNESS_r07 keys).
-# 2 + 47 = 49, so after this round every query carries an r7-or-r8
-# verdict.
+# sibling-declaration fix), registry_pipeline (models/python_ports
+# _now_ts hardening), and asof_join (epoch_micros rewritten to
+# calendar-field arithmetic; its sessionize/range_join_agg co-riders
+# are already in the r6-stale cohort below); then (b) ALL 47 queries
+# whose latest driver verdict is r6 (CORRECTNESS_r06 keys minus
+# CORRECTNESS_r07 keys). 3 + 47 = 50, so after this round every query
+# carries an r7-or-r8 verdict.
 _VERIFY_FIRST = (
     # -- round-8-touched paths (verify first) -------------------------
     "schema_test_suite",
     "registry_pipeline",
+    "asof_join",
     # -- r6-stale: ML ports' oracle twins + streaming drains -----------
     "annual_summary",
     "anomaly_zscore",
