@@ -29,8 +29,11 @@ _BIN = "__range_bin"
 
 
 def _bin_of(ts: Column, bin_seconds: int) -> Column:
-    # epoch_micros is tz-free for DATE, TIMESTAMP_NTZ, and (coerced)
-    # TIMESTAMP inputs alike — unlike unix_micros, which rejects NTZ
+    # epoch_micros is tz-inert for DATE and TIMESTAMP_NTZ inputs
+    # (calendar-field arithmetic — unlike unix_micros, which rejects
+    # NTZ). A TIMESTAMP (LTZ) input is first RENDERED in the session
+    # zone by the cast below, so LTZ callers must pin the zone they
+    # mean; NTZ/DATE callers (all engine queries) need nothing.
     from ..queries.common import epoch_micros
 
     micros = epoch_micros(ts.cast("timestamp_ntz"))

@@ -123,10 +123,17 @@ _US_PER_DAY = 86_400_000_000
 
 
 def epoch_micros(c: Column) -> Column:
-    """Microseconds since epoch for TIMESTAMP_NTZ (wall-clock) columns;
-    LTZ inputs coerce through the session zone. Use this instead of
-    ``unix_micros`` anywhere ``events.ts`` flows — the canonical ``ts``
-    type is NTZ (see load).
+    """Microseconds since epoch for TIMESTAMP_NTZ (wall-clock) columns.
+    Use this instead of ``unix_micros`` anywhere ``events.ts`` flows —
+    the canonical ``ts`` type is NTZ (see load).
+
+    An LTZ input is RENDERED in the session zone first (field
+    extraction on LTZ reads the zone-local calendar), i.e. the result
+    is wall-clock micros of that rendering — the offset at the value's
+    OWN instant, not the epoch's (the old timestamp_diff form used the
+    epoch's offset; the two differ by the DST delta). No engine call
+    site passes LTZ — all are NTZ or pre-cast
+    (tests/test_epoch_twin_exhaustive.py pins both paths).
 
     Computed from CALENDAR FIELDS (days + time-of-day), never via
     ``timestamp_diff`` against an epoch anchor: the diff path converts

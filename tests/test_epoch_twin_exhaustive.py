@@ -106,3 +106,21 @@ def test_epoch_micros_inert_under_session_timezone(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert len(set(vals)) == 1 and vals[0] == _truth_us(probe), vals
+
+
+def test_ltz_input_renders_in_session_zone(spark):
+    """The documented LTZ coercion semantics (no engine call site
+    passes LTZ; this pins the contract for a future caller): the
+    result is wall-clock micros of the SESSION-ZONE rendering — the
+    offset at the value's own instant, not the epoch's."""
+    instant_us = _truth_us(dt.datetime(2025, 7, 1, 10, 0, 0))  # 10:00Z, summer
+    df = spark.range(1).select(
+        F.timestamp_micros(F.lit(instant_us)).alias("ts")  # LTZ instant
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Paris")  # CEST +2
+        got = df.select(epoch_micros(F.col("ts")).alias("us")).collect()[0].us
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got == instant_us + 2 * 3600 * 1_000_000  # 12:00 wall clock
