@@ -9,8 +9,14 @@ Float-parity discipline (SURVEY.md §4), learned the hard way:
    HALF_UP on the decimal repr vs DuckDB scale-multiply — diverge on
    exact ``.xx5`` values). Sums of 2-decimal data are safe at r2
    (true value terminates at 2 → digit 3 is 0); stddev/slope are
-   irrational → any digit is safe; percentile interpolations of
-   2-decimal data terminate ≤5 digits → r6 is safe.
+   irrational → any digit is safe UP TO the engines' accumulation
+   divergence (~1 ulp — a rounded irrational still flips if the true
+   value sits within that of a boundary, so where the data is
+   fixed-decimal, PREFER deriving mean/std from exact integer sums:
+   see q_anomaly_zscore); percentile interpolations of 2-decimal data
+   terminate ≤5 digits → r6 is safe (quarter quantiles are bit-stable
+   cross-engine, non-dyadic ones are not —
+   tests/test_percentile_twin_exhaustive.py).
 2. AVG is never rounded directly: ``round(sum, 2) / count`` is exact
    and order-independent; a rounded avg hits the .5 boundary whenever
    count divides the decimal cleanly.

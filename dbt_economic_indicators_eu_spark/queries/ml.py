@@ -44,9 +44,21 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and AQE broadcasts the stats side when it is small. Exact
     # percentile (matches pandas .quantile / DuckDB quantile_cont) is
     # still required for oracle parity.
+    # mean/std are derived from EXACT integer-cents sums, never raw
+    # avg/stddev_samp: a double sum's value depends on accumulation
+    # order, so the two engines' pre-round doubles differ at ~1 ulp and
+    # a rounded z sits a (tiny but nonzero) boundary-flip risk away —
+    # the same failure mode that bit forecast_ols in round 2. Snapping
+    # each 2-decimal value to integer cents (exact: true value IS the
+    # integer) makes the sums associative and bit-identical at any
+    # scale; mean/variance are then IDENTICAL double expressions of
+    # identical integers in both engines. c*c stays under int64 even at
+    # 1e9 rows per user (cents ≤ ~33k → squares ≤ 1.1e9).
+    c = F.round(F.col("value") * 100).cast("bigint")
     stats = ev.groupBy("user_id").agg(
-        F.avg("value").alias("_mean"),
-        F.stddev_samp("value").alias("_std"),
+        F.sum(c).alias("_si"),
+        F.sum(c * c).alias("_sq"),
+        F.count("value").alias("_nv"),
         F.count(F.lit(1)).alias("_n_obs"),
         F.expr("percentile(value, 0.25)").alias("_q1"),
         F.expr("percentile(value, 0.75)").alias("_q3"),
@@ -63,8 +75,23 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_uid")
     )
 
-    mean = F.col("_mean")
-    std = F.col("_std")
+    # expression ORDER mirrors the oracle SQL verbatim — identical IEEE
+    # ops on identical exact integers are bit-identical across engines.
+    # Guards mirror avg/stddev_samp null semantics: mean NULL when no
+    # non-null values, std NULL below 2 observations; greatest(, 0.0)
+    # clamps the (mathematically impossible, floating-point possible)
+    # tiny negative variance that would otherwise sqrt to NaN.
+    si_d = F.col("_si").cast("double")
+    nv = F.col("_nv")
+    mean = F.when(nv >= 1, (si_d / nv) / F.lit(100.0))
+    var_c = F.when(
+        nv >= 2,
+        F.greatest(
+            (F.col("_sq").cast("double") - si_d * si_d / nv) / (nv - F.lit(1)),
+            F.lit(0.0),
+        ),
+    )
+    std = F.sqrt(var_c) / F.lit(100.0)
     n_obs = F.col("_n_obs")
     q1 = F.col("_q1")
     q3 = F.col("_q3")
@@ -109,17 +136,38 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ANOMALY_ZSCORE = """
-WITH stats AS (
+WITH base AS (
+  SELECT event_id, user_id, event_type, value,
+         CAST(ts AS TIMESTAMP) AS ts,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+-- mean/std from EXACT integer-cents sums (order-independent), then
+-- IDENTICAL double expressions as the Spark side — see q_anomaly_zscore
+sums AS (
   SELECT
     event_id, user_id, event_type, ts, value,
-    avg(value) OVER wu AS mean_v,
-    stddev_samp(value) OVER wu AS std_v,
+    sum(c) OVER wu AS si,
+    sum(c * c) OVER wu AS sq,
+    count(value) OVER wu AS nv,
     count(*) OVER wu AS n_obs,
     quantile_cont(value, 0.25) OVER wu AS q1,
     quantile_cont(value, 0.75) OVER wu AS q3,
     lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
-  FROM (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+  FROM base
   WINDOW wu AS (PARTITION BY user_id)
+),
+stats AS (
+  SELECT
+    event_id, user_id, event_type, ts, value, n_obs, q1, q3, prev_v,
+    CASE WHEN nv >= 1 THEN (CAST(si AS DOUBLE) / nv) / 100.0 END AS mean_v,
+    CASE WHEN nv >= 2 THEN
+      sqrt(greatest(
+        (CAST(sq AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / nv)
+          / (nv - 1),
+        0.0)) / 100.0
+    END AS std_v
+  FROM sums
 ),
 calc AS (
   SELECT
