@@ -52,13 +52,24 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each 2-decimal value to integer cents (exact: true value IS the
     # integer) makes the sums associative and bit-identical at any
     # scale; mean/variance are then IDENTICAL double expressions of
-    # identical integers in both engines. c*c stays under int64 even at
-    # 1e9 rows per user (cents ≤ ~33k → squares ≤ 1.1e9).
-    c = F.round(F.col("value") * 100).cast("bigint")
+    # identical integers in both engines.
+    #
+    # The finite guard maps NaN/Infinity to NULL (skipped like NULLs,
+    # in BOTH engines) instead of crashing the bigint cast — a
+    # deliberate deviation from avg/stddev's NaN-poisoning, chosen
+    # because a crash takes the whole query down. Observed cents at
+    # sf0.1 reach ~56k (squares ~3.2e9), so sum(c*c) has ~3x headroom
+    # to int64 at 1e9 rows per user; past that Spark's ANSI sum aborts
+    # LOUDLY (no silent corruption). The variance NUMERATOR
+    # (nv*sq - si^2) is exact decimal(38,0) integer arithmetic — see
+    # below.
+    v = F.col("value")
+    finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    c = F.when(finite, F.round(v * 100).cast("bigint"))
     stats = ev.groupBy("user_id").agg(
         F.sum(c).alias("_si"),
         F.sum(c * c).alias("_sq"),
-        F.count("value").alias("_nv"),
+        F.count(c).alias("_nv"),
         F.count(F.lit(1)).alias("_n_obs"),
         F.expr("percentile(value, 0.25)").alias("_q1"),
         F.expr("percentile(value, 0.75)").alias("_q3"),
@@ -78,19 +89,23 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression ORDER mirrors the oracle SQL verbatim — identical IEEE
     # ops on identical exact integers are bit-identical across engines.
     # Guards mirror avg/stddev_samp null semantics: mean NULL when no
-    # non-null values, std NULL below 2 observations; greatest(, 0.0)
-    # clamps the (mathematically impossible, floating-point possible)
-    # tiny negative variance that would otherwise sqrt to NaN.
-    si_d = F.col("_si").cast("double")
+    # finite values, std NULL below 2 observations.
+    #
+    # The variance numerator nv*sq - si^2 is computed EXACTLY in
+    # decimal(38,0) (si^2 <= 8.5e37 fits): the naive double form
+    # sq_d - si_d*si_d/nv cancels catastrophically once si^2 > 2^53
+    # (a 1e6-row near-constant series loses ~half the variance), while
+    # the exact integer numerator is immune AND non-negative by
+    # Cauchy-Schwarz, so no NaN clamp is needed. It rounds to double
+    # ONCE, identically in both engines.
     nv = F.col("_nv")
-    mean = F.when(nv >= 1, (si_d / nv) / F.lit(100.0))
-    var_c = F.when(
-        nv >= 2,
-        F.greatest(
-            (F.col("_sq").cast("double") - si_d * si_d / nv) / (nv - F.lit(1)),
-            F.lit(0.0),
-        ),
-    )
+    si_dec = F.col("_si").cast("decimal(38,0)")
+    numer = (
+        F.col("_sq").cast("decimal(38,0)") * nv.cast("decimal(38,0)")
+        - si_dec * si_dec
+    ).cast("double")
+    mean = F.when(nv >= 1, (F.col("_si").cast("double") / nv) / F.lit(100.0))
+    var_c = F.when(nv >= 2, numer / nv / (nv - F.lit(1)))
     std = F.sqrt(var_c) / F.lit(100.0)
     n_obs = F.col("_n_obs")
     q1 = F.col("_q1")
@@ -107,14 +122,20 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct_change = F.when(prev.isNotNull() & (prev != 0), (F.col("value") - prev) / prev)
 
     enough = n_obs >= 10
-    z = r4(z_raw)  # r4 safe: z is irrational (σ is a sqrt), never terminates
+    # z is emitted RAW (doctrine #3): mean/std are now deterministic
+    # identical doubles in both engines, so the quotient is
+    # bit-identical and rounding would only REINTRODUCE the boundary
+    # problem (with exact-rational std, z can terminate and land on a
+    # .xxxx5 half, where Spark's decimal-repr rounding and DuckDB's
+    # binary rounding disagree).
+    z = z_raw
     lo6, hi6 = r6(lo), r6(hi)  # r6 safe: interpolated quartiles of 2-dec data terminate ≤5 digits
     is_z = enough & (F.abs(z) > 3.0)
     is_iqr = enough & ((F.col("value") < lo6) | (F.col("value") > hi6))
     is_rate = F.coalesce(enough & (F.abs(pct_change) > 0.5), F.lit(False))
 
     # clip(|z|,0,5)*20 → 0-100 (reference weights two series at *10 each);
-    # raw — derived from the already-rounded z
+    # raw — derived from the bit-identical raw z
     severity = F.least(F.greatest(F.abs(z), F.lit(0.0)), F.lit(5.0)) * 20.0
 
     return ev.select(
@@ -139,17 +160,22 @@ ORACLE_ANOMALY_ZSCORE = """
 WITH base AS (
   SELECT event_id, user_id, event_type, value,
          CAST(ts AS TIMESTAMP) AS ts,
-         CAST(round(value * 100) AS BIGINT) AS c
+         -- finite guard mirrors the Spark side: NaN/Inf skip as NULL
+         -- instead of crashing the bigint cast
+         CASE WHEN value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
+              THEN CAST(round(value * 100) AS BIGINT) END AS c
   FROM events
 ),
--- mean/std from EXACT integer-cents sums (order-independent), then
--- IDENTICAL double expressions as the Spark side — see q_anomaly_zscore
+-- mean/std from EXACT integer-cents sums (order-independent), the
+-- variance numerator nv*sq - si^2 as exact DECIMAL(38,0) integer
+-- arithmetic (no cancellation), then IDENTICAL double expressions as
+-- the Spark side — see q_anomaly_zscore
 sums AS (
   SELECT
     event_id, user_id, event_type, ts, value,
     sum(c) OVER wu AS si,
     sum(c * c) OVER wu AS sq,
-    count(value) OVER wu AS nv,
+    count(c) OVER wu AS nv,
     count(*) OVER wu AS n_obs,
     quantile_cont(value, 0.25) OVER wu AS q1,
     quantile_cont(value, 0.75) OVER wu AS q3,
@@ -162,18 +188,17 @@ stats AS (
     event_id, user_id, event_type, ts, value, n_obs, q1, q3, prev_v,
     CASE WHEN nv >= 1 THEN (CAST(si AS DOUBLE) / nv) / 100.0 END AS mean_v,
     CASE WHEN nv >= 2 THEN
-      sqrt(greatest(
-        (CAST(sq AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / nv)
-          / (nv - 1),
-        0.0)) / 100.0
+      sqrt(CAST(CAST(sq AS DECIMAL(38,0)) * CAST(nv AS DECIMAL(38,0))
+                - CAST(si AS DECIMAL(38,0)) * CAST(si AS DECIMAL(38,0))
+           AS DOUBLE) / nv / (nv - 1)) / 100.0
     END AS std_v
   FROM sums
 ),
 calc AS (
   SELECT
     event_id, user_id, event_type, ts, value,
-    round(CASE WHEN std_v IS NOT NULL AND std_v != 0
-          THEN (value - mean_v) / std_v ELSE 0.0 END, 4) AS z_score,
+    CASE WHEN std_v IS NOT NULL AND std_v != 0
+          THEN (value - mean_v) / std_v ELSE 0.0 END AS z_score,
     round(q1 - 1.5 * (q3 - q1), 6) AS iqr_lower_bound,
     round(q3 + 1.5 * (q3 - q1), 6) AS iqr_upper_bound,
     CASE WHEN prev_v IS NOT NULL AND prev_v != 0
