@@ -59,21 +59,37 @@ def adversarial_sf(tmp_path_factory):
         if col not in big.columns:
             big[col] = base[col]
     allev = pd.concat([ev, big[ev.columns]], ignore_index=True)
-    pq.write_table(
-        pa.Table.from_pandas(allev, schema=schema, preserve_index=False),
-        f"{d}/events.parquet",
+    tbl = pa.Table.from_pandas(allev, schema=schema, preserve_index=False)
+    # from_pandas silently converts NaN -> NULL; rebuild the value
+    # column through pa.array so a GENUINE NaN double lands in the
+    # parquet and the isnan half of the finite guard actually runs
+    vcol = pa.array(allev["value"].tolist(), type=schema.field("value").type)
+    tbl = tbl.set_column(tbl.column_names.index("value"), "value", vcol)
+    pq.write_table(tbl, f"{d}/events.parquet")
+    # the shipped file really contains the NaN (not a NULL) — else the
+    # isnan guard branch goes unexercised and this pin certifies nothing
+    vals = pq.read_table(f"{d}/events.parquet", columns=["value"])["value"]
+    assert any(
+        v.is_valid and np.isnan(v.as_py()) for v in vals.combine_chunks()
     )
     return d, big_uid
 
 
 def _truth_z() -> float:
-    """Arbitrary-precision ground truth for the 500.01 row's z."""
+    """Ground truth for the 500.01 row's z: sums in exact Python ints,
+    then MIRROR the engines' float operation order exactly — numerator
+    rounds to double once, then /n/(n-1), math.sqrt (the correctly-
+    rounded sqrt the engines use; var**0.5 routes through pow and may
+    differ by 1 ulp on some libms), /100."""
+    import math
+
     cents = [50001] + [50000] * (_N - 1)
     si = sum(cents)
     sq = sum(c * c for c in cents)
-    var = (_N * sq - si * si) / _N / (_N - 1)
-    std = var**0.5 / 100
-    mean = si / _N / 100
+    numer = float(_N * sq - si * si)  # exact int -> one double rounding
+    var = numer / _N / (_N - 1)
+    std = math.sqrt(var) / 100
+    mean = float(si) / _N / 100
     return (500.01 - mean) / std
 
 
