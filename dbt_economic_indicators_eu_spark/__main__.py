@@ -434,7 +434,10 @@ def cmd_test(args, *, warn_vars=True) -> int:
 
             for r in rows:
                 for pat in audit_relation_globs(r["model"], r["column"], r["test"]):
-                    for p in _glob.glob(os.path.join(audit_base, pat)):
+                    # escape the BASE too: a warehouse path containing
+                    # glob metacharacters ('[', '*') must not make the
+                    # prune silently match nothing and leave stale rows
+                    for p in _glob.glob(os.path.join(_glob.escape(audit_base), pat)):
                         shutil.rmtree(p, ignore_errors=True)
         if store and failed:
             # dbt --store-failures: violation rows land as audit

@@ -118,14 +118,22 @@ def schema_test_report(
 
     if select is not None:
         for name in select:
+            # models and sources are separate namespaces that may share
+            # a name — run BOTH sides when both declare tests, exactly
+            # like the unscoped run below (a source-only branch would
+            # silently skip the model's declarations, and the scoped
+            # store-failures pruner would then delete their stored
+            # relations without re-executing them)
             if name in registry.sources:
-                if registry.sources[name].loader is None:
-                    continue  # declared-only source: same skip as the full run
-                for i, decl in enumerate(registry.sources[name].tests):
-                    add(name, decl, ctx.source(name), f"source:{i}")
-            else:
+                src = registry.sources[name]
+                if src.loader is not None:  # declared-only: same skip as full run
+                    for i, decl in enumerate(src.tests):
+                        add(name, decl, ctx.source(name), f"source:{i}")
+            if name in registry.models:
                 for i, decl in enumerate(registry.get(name).tests):
                     add(name, decl, decl_id=f"model:{i}")
+            elif name not in registry.sources:
+                registry.get(name)  # unknown everywhere: raise like before
     else:
         for name, model in registry.models.items():
             for i, decl in enumerate(model.tests):

@@ -11,8 +11,8 @@ encode different shapes."""
 
 from __future__ import annotations
 
-import importlib.util
 import os
+import sys
 
 import duckdb
 import pandas as pd
@@ -41,13 +41,14 @@ _SERIES_SENSITIVE = [
 
 
 def _load_mutator():
-    spec = importlib.util.spec_from_file_location(
-        "mutate_corpus",
-        os.path.join(os.path.dirname(__file__), "..", "tools", "mutate_corpus.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    # same tools-path import pattern as conftest.oracle_normalize and
+    # tools/run_regimes.py — one way to import a tools module
+    tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    import mutate_corpus
+
+    return mutate_corpus
 
 
 @pytest.fixture(scope="module")

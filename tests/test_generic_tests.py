@@ -170,3 +170,45 @@ def test_store_failures_decl_id_fast_path(spark, tmp_path):
     assert written == [os.path.join(audit, "child2__id__relationships__2")]
     viol = spark.read.parquet(written[0])
     assert viol.count() == 1 and viol.collect()[0]["id"] == 3
+
+
+def test_scoped_report_covers_model_and_source_sharing_a_name(spark):
+    """Models and sources are separate registry namespaces, so one name
+    can exist in both. A scoped ``--select name`` run must execute BOTH
+    sides' declarations, exactly like the unscoped run — a source-only
+    branch would silently skip the model's tests (and the scoped
+    store-failures pruner would then delete their stored relations
+    without re-executing them)."""
+    import pytest
+
+    from dbt_economic_indicators_eu_spark.plans.registry import Registry, RegistryError
+    from dbt_economic_indicators_eu_spark.testing.schedule import schema_test_report
+
+    reg = Registry()
+    reg.source(
+        "dual",
+        loader=lambda s: s.createDataFrame([(1,), (None,)], "id int"),
+        tests=(("not_null", "id"),),  # fails: 1 null
+    )
+
+    @reg.model("dual", tests=(("unique", "id"),))  # fails: one duped value
+    def dual(ctx):
+        return spark.createDataFrame([(7,), (7,)], "id int")
+
+    ctx = reg.context(spark)
+    rows = schema_test_report(
+        reg, ctx, select=["dual"], with_decl_ids=True
+    ).collect()
+    got = {(r["decl_id"], r["test"], r["violations"]) for r in rows}
+    assert got == {("source:0", "not_null", 1), ("model:0", "unique", 1)}
+
+    # unscoped run sees the same two declarations
+    all_rows = schema_test_report(reg, ctx, with_decl_ids=True).collect()
+    assert {(r["decl_id"], r["test"]) for r in all_rows if r["model"] == "dual"} == {
+        ("source:0", "not_null"),
+        ("model:0", "unique"),
+    }
+
+    # unknown names still raise
+    with pytest.raises(RegistryError):
+        schema_test_report(reg, ctx, select=["nope"])

@@ -332,7 +332,9 @@ def test_port_nodes_scale_linearly(spark):
     t1 = min(run(50), run(50))
     t10 = min(run(500), run(500))
     # floor-clamp the baseline: a very fast warm 1x draw must not
-    # shrink the headroom below what scheduler jitter needs
-    assert t10 <= 10 * max(t1, 0.5) + 2.0, (
+    # shrink the headroom below what scheduler jitter needs. The bound
+    # is deliberately loose (a quadratic nested-loop on 180k rows costs
+    # minutes, not 15 s) so machine contention can't flake the gate.
+    assert t10 <= 20 * max(t1, 0.5) + 5.0, (
         f"10x rows cost {t10:.2f}s vs {t1:.2f}s at 1x"
     )

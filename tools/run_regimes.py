@@ -66,7 +66,10 @@ def main() -> int:
             m = SUMMARY_RE.search(proc.stdout)
             counts = tuple(int(x) for x in m.groups()) if m else (0, 0, 0)
             ok = proc.returncode == 0 and m is not None
-            worst = max(worst, proc.returncode if proc.returncode else (0 if ok else 2))
+            if not ok:
+                # signal-killed gates have NEGATIVE returncodes — clamp
+                # to >=1 so 'exit 0 iff every regime passed' holds
+                worst = max(worst, proc.returncode if proc.returncode > 0 else 2)
             results[regime] = {
                 "pass": counts[0],
                 "fail": counts[1],
