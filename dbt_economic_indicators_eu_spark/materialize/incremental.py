@@ -62,11 +62,17 @@ def _past_watermark(existing: DataFrame, incoming: DataFrame, wc: str) -> DataFr
     pass EVERYTHING through: ``col > NULL`` is NULL, so without the
     isNull disjunct a once-empty target silently rejects every later
     batch forever."""
-    wm = existing.agg(F.max(wc).alias("__wm"))
+    # pick an internal alias that cannot collide with an incoming
+    # column (a user column literally named __wm would make the
+    # crossJoin duplicate the name and the filter ambiguous)
+    alias = "__wm"
+    while alias in incoming.columns:
+        alias = "_" + alias
+    wm = existing.agg(F.max(wc).alias(alias))
     return (
         incoming.crossJoin(F.broadcast(wm))
-        .filter(F.col("__wm").isNull() | (F.col(wc) > F.col("__wm")))
-        .drop("__wm")
+        .filter(F.col(alias).isNull() | (F.col(wc) > F.col(alias)))
+        .drop(alias)
     )
 
 
@@ -133,7 +139,16 @@ def run_incremental(
         # the full accumulated history. Probe for data files first so
         # the no-footers case never reaches the reader at all.
         if has_parquet_files(target_path):
-            existing = spark.read.parquet(target_path)
+            # mergeSchema: after an append_new_columns batch, the
+            # partition-scoped write only rewrites TOUCHED partitions,
+            # so the table legitimately holds mixed footers — without
+            # schema merging the reader samples ONE footer and an
+            # old-schema sample would hide the evolved column, and the
+            # next merge would rewrite kept rows WITHOUT its values
+            # (silent column loss). Footer-merging cost is per-file
+            # metadata only; a transactional format (Delta/Iceberg)
+            # replaces it with a table schema at cluster scale.
+            existing = spark.read.option("mergeSchema", "true").parquet(target_path)
     if existing is None or partition_by is None:
         merged = merge_upsert(
             existing, incoming, unique_key, watermark_col, broadcast_incoming_keys

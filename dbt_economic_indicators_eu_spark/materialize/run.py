@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import logging
 import os
+import shutil
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -73,7 +74,16 @@ def _overwrite_table(df: DataFrame, model, name: str, path: str) -> None:
     writer = observed.write.mode("overwrite")
     if model.partition_by:
         writer = writer.partitionBy(model.partition_by)
-    writer.parquet(path)
+    # tmp-swap like run_incremental's global path: a plain overwrite
+    # deletes the target BEFORE writing, so a crash mid-write would
+    # destroy the stored relation (fatal for a --full-refresh rebuild
+    # of an incremental's accumulated history) — write beside, then
+    # atomically rename into place
+    tmp = path.rstrip("/") + ".tmp"
+    writer.parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
     log_observed(name, obs)
 
 
@@ -125,7 +135,11 @@ def _materialize_one(
     # STORED-RELATION schema so downstream refs see an empty,
     # correctly-typed relation instead of UNABLE_TO_INFER_SCHEMA.
     if has_parquet_files(path):
-        fresh = spark.read.parquet(path)
+        # mergeSchema: a partition-scoped incremental after an
+        # append_new_columns batch legitimately holds mixed footers
+        # (only touched partitions rewrote) — a single-footer sample
+        # could hide the evolved column from downstream refs
+        fresh = spark.read.option("mergeSchema", "true").parquet(path)
     else:
         fresh = spark.read.schema(stored_schema_for(model, df)).parquet(path)
     with build_lock:
@@ -166,7 +180,9 @@ def make_stored_resolver(registry, spark, base, *, exclude: set[str] | None = No
             return None
         path = os.path.join(base, name)
         if has_parquet_files(path):
-            return spark.read.parquet(path)
+            # mergeSchema for the same mixed-footer reason as the
+            # read-back in _materialize_one
+            return spark.read.option("mergeSchema", "true").parquet(path)
         return None
 
     return stored_resolver
@@ -252,6 +268,10 @@ def run_models(
     base = warehouse_base(warehouse, target, schema)
     os.makedirs(base, exist_ok=True)
     names = select if select is not None else list(registry.models)
+    # dedupe a repeated selection (order-preserving): the threaded
+    # scheduler would otherwise submit the same model twice
+    # CONCURRENTLY — two overwrite writes racing on one table path
+    names = list(dict.fromkeys(names))
 
     # expose the injectable run clock to models via ctx.var("now") (the
     # Python-model ports' scored_at/forecast_generated_at — reference

@@ -75,31 +75,46 @@ def scd2_merge(
     closed_history = snapshot.filter(~F.col("is_current"))
     open_rows = snapshot.filter(F.col("is_current"))
 
+    # Side-presence markers: a NULL unique_key must not read as "row
+    # absent on this side" — a key-isNotNull presence test would fail
+    # every branch filter for an open NULL-key row and silently DELETE
+    # it from the next state (while the first run emitted it). The
+    # join is null-safe for the same reason: NULL tracks as ONE key
+    # value, consistent with groupBy semantics and the duplicate-key
+    # guard in run_snapshot. Marker names dodge user-column collisions.
+    snap_mark, cur_mark = "__snap_present", "__cur_present"
+    while snap_mark in src_cols:
+        snap_mark = "_" + snap_mark
+    while cur_mark in src_cols:
+        cur_mark = "_" + cur_mark
+    open_rows = open_rows.withColumn(snap_mark, F.lit(True))
+    current = current.withColumn(cur_mark, F.lit(True))
+
     joined = open_rows.alias("snap").join(
-        current.alias("cur"), on=F.col(f"snap.{unique_key}") == F.col(f"cur.{unique_key}"), how="full_outer"
+        current.alias("cur"),
+        on=F.col(f"snap.{unique_key}").eqNullSafe(F.col(f"cur.{unique_key}")),
+        how="full_outer",
     )
     changed = _any_check_changed(tuple(check_cols))
-    snap_key = F.col(f"snap.{unique_key}")
-    cur_key = F.col(f"cur.{unique_key}")
+    snap_key = F.col(f"snap.{snap_mark}").isNotNull()
+    cur_key = F.col(f"cur.{cur_mark}").isNotNull()
 
     # 1) carried-through open rows: key present on both sides, unchanged
-    carried = joined.filter(snap_key.isNotNull() & cur_key.isNotNull() & ~changed).select(
+    carried = joined.filter(snap_key & cur_key & ~changed).select(
         *[F.col(f"snap.{c}").alias(c) for c in src_cols],
         F.col("snap.valid_from").alias("valid_from"),
         F.col("snap.valid_to").alias("valid_to"),
         F.col("snap.is_current").alias("is_current"),
     )
     # 2) closed versions: changed or hard-deleted
-    closed_now = joined.filter(
-        snap_key.isNotNull() & (cur_key.isNull() | changed)
-    ).select(
+    closed_now = joined.filter(snap_key & (~cur_key | changed)).select(
         *[F.col(f"snap.{c}").alias(c) for c in src_cols],
         F.col("snap.valid_from").alias("valid_from"),
         now_col.alias("valid_to"),
         F.lit(False).alias("is_current"),
     )
     # 3) fresh open versions: new key or changed check-cols
-    opened = joined.filter(cur_key.isNotNull() & (snap_key.isNull() | changed)).select(
+    opened = joined.filter(cur_key & (~snap_key | changed)).select(
         *[F.col(f"cur.{c}").alias(c) for c in src_cols],
         now_col.alias("valid_from"),
         F.lit(None).cast("timestamp").alias("valid_to"),
@@ -124,6 +139,22 @@ def run_snapshot(
         if has_parquet_files(snapshot_path)
         else None
     )
+    # fail fast on duplicate keys, like the now=None check: duplicates
+    # fan out the full_outer join and compound multiple is_current
+    # rows per key EVERY run — silent history corruption with no error
+    # at write time (dbt likewise requires one snapshot row per key).
+    # One tiny extra job: a map-side-combined groupBy on the key,
+    # short-circuited by limit(1); NULL groups as one key, matching the
+    # merge's null-safe join.
+    dup = (
+        current.groupBy(unique_key).count()
+        .filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"snapshot source has duplicate {unique_key!r} value "
+            f"{dup[0][0]!r}: SCD2 requires one row per key per run"
+        )
     nxt = scd2_merge(prev, current, unique_key, check_cols, now)
     tmp = snapshot_path.rstrip("/") + ".tmp"
     nxt.write.mode("overwrite").parquet(tmp)

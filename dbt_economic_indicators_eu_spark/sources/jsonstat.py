@@ -104,7 +104,9 @@ def decode_jsonstat(payloads: DataFrame, json_col: str = "payload") -> DataFrame
     sparse = F.from_json(F.col(json_col), JSONSTAT_SCHEMA_SPARSE)
     cat = F.from_json(F.col(json_col), JSONSTAT_SCHEMA_CATEGORY)
     carry = [c for c in payloads.columns if c != json_col]
-    clash = {"__js_doc", "__js_cat", "flat_index", "value", "codes"} & set(carry)
+    # 'cell' is the intermediate explode alias below — a carry column
+    # of that name would make the post-explode select ambiguous
+    clash = {"__js_doc", "__js_cat", "cell", "flat_index", "value", "codes"} & set(carry)
     if clash:
         raise ValueError(f"input columns collide with decoder outputs: {sorted(clash)}")
     # unify both physical forms into (flat_index, value) pairs: dense

@@ -137,14 +137,13 @@ def load_raw(
     a shard that is ALREADY a single partition (one payload decoded
     from a local relation) the repartition would be a pure extra
     stage."""
-    # recursive footer probe (shared helper): a raw table whose data
-    # files live under partition subdirectories has no direct-child
-    # *.parquet entries — a flat listdir would misread it as absent
-    # and silently OVERWRITE an intended append
-    from ..materialize.incremental import has_parquet_files
-
-    exists = has_parquet_files(path)
-    mode = "overwrite" if (full_refresh or not exists) else "append"
+    # create-if-absent IS append: parquet append creates a missing
+    # path, so no existence probe is needed — and a probe-then-
+    # overwrite would be a race under the concurrent-shard contract
+    # above (two shards both seeing "absent" would both pick overwrite
+    # and the second would delete the first's committed files). Only
+    # an explicit full_refresh overwrites.
+    mode = "overwrite" if full_refresh else "append"
     if files_per_shard is not None:
         df = df.repartition(files_per_shard)
     df.write.mode(mode).parquet(path)

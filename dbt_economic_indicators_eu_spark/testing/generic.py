@@ -59,7 +59,14 @@ def test_no_future_dates(df: DataFrame, col: str, today: Column | None = None) -
 
 def test_completeness_threshold(df: DataFrame, col: str, threshold: float = 0.95) -> DataFrame:
     """One violation row when non-null ratio < threshold (reference
-    macros/data_quality.sql:30-46)."""
+    macros/data_quality.sql:30-46).
+
+    An EMPTY table passes, faithfully to the reference: its
+    ``non_null_rows::float / total_rows`` is 0.0/0 = NaN and
+    ``NaN < threshold`` is false; here 0/0 is NULL and ``NULL <
+    threshold`` drops the row — same observable outcome. Dead-feed
+    detection is source freshness' job (check_freshness errors on
+    empty), not this test's."""
     return (
         df.agg(
             (F.count(F.col(col)) / F.count(F.lit(1))).alias("completeness"),

@@ -75,9 +75,21 @@ def run_unit_test(
             )
         expect = expect.select(*actual.columns)
 
-    digits = max(0, round(-1 * __import__("math").log10(float_tol)))
+    # float_tol is implemented as ROUNDING to its decimal digit, not a
+    # true |a-b| tolerance: set-difference compare (exceptAll) needs a
+    # canonical per-row value, and literal unit-test fixtures are
+    # authored at a precision where boundary-straddling (two values
+    # within tol rounding apart) does not arise. float_tol=0 or
+    # negative = exact float compare (no rounding).
+    digits = (
+        max(0, round(-1 * __import__("math").log10(float_tol)))
+        if float_tol > 0
+        else None
+    )
 
     def norm(df: DataFrame) -> DataFrame:
+        if digits is None:
+            return df
         cols = []
         for f in df.schema.fields:
             if f.dataType.simpleString() in ("double", "float"):

@@ -376,3 +376,98 @@ def test_snapshot_rowless_prior_recovers(spark, tmp_path):
     )
     rows = out2["snap"].collect()
     assert len(rows) == 3 and all(r.is_current for r in rows)
+
+
+# ---------------- review-pass regressions (round 8) ----------------------
+
+
+def test_scd2_null_key_row_survives_runs(spark):
+    """A NULL unique_key row must TRACK across runs like any other key
+    (null-safe join + side-presence markers), not silently vanish: the
+    old key-isNotNull presence test dropped the open NULL-key row from
+    every post-first run."""
+
+    def rows(df):  # None-safe sort (py3 can't order str vs None)
+        got = [(r["k"], r["v"], r["is_current"]) for r in df.collect()]
+        return sorted(got, key=lambda t: (t[0] is not None, t[0] or "", t[1]))
+
+    cur1 = spark.createDataFrame([(None, 1.0), ("k1", 2.0)], "k string, v double")
+    s1 = scd2_merge(None, cur1, "k", ["v"], T1)
+    assert rows(s1) == [(None, 1.0, True), ("k1", 2.0, True)]
+
+    # unchanged second run: NULL-key row carries through untouched
+    s2 = scd2_merge(s1, cur1, "k", ["v"], T2)
+    assert rows(s2) == [(None, 1.0, True), ("k1", 2.0, True)]
+
+    # changed second run: NULL-key history closes and reopens like a key
+    cur2 = spark.createDataFrame([(None, 9.0), ("k1", 2.0)], "k string, v double")
+    s3 = scd2_merge(s1, cur2, "k", ["v"], T2)
+    assert rows(s3) == [
+        (None, 1.0, False),
+        (None, 9.0, True),
+        ("k1", 2.0, True),
+    ]
+    # hard delete of the NULL-key entity closes it
+    cur3 = spark.createDataFrame([("k1", 2.0)], "k string, v double")
+    s4 = scd2_merge(s1, cur3, "k", ["v"], T2)
+    assert rows(s4) == [(None, 1.0, False), ("k1", 2.0, True)]
+
+
+def test_scd2_run_snapshot_rejects_duplicate_keys(spark, tmp_path):
+    """Duplicate unique_key rows fan out the SCD2 full_outer join and
+    compound multiple open rows per key every run — run_snapshot must
+    fail fast instead (dbt likewise requires one row per key)."""
+    import pytest
+
+    from dbt_economic_indicators_eu_spark.materialize.snapshot import run_snapshot
+
+    dup = spark.createDataFrame([("k1", 1.0), ("k1", 2.0)], "k string, v double")
+    with pytest.raises(ValueError, match="duplicate"):
+        run_snapshot(spark, str(tmp_path / "snap"), dup, "k", ["v"], T1)
+
+
+def test_merge_watermark_survives_wm_column_clash(spark):
+    """An incoming frame already carrying a column literally named
+    __wm must not break the watermark crossJoin (internal alias is
+    chosen collision-free)."""
+    ex = spark.createDataFrame([("k1", 1, 1.0)], "k string, d int, __wm double")
+    inc = spark.createDataFrame(
+        [("k1", 2, 2.0), ("k2", 0, 3.0)], "k string, d int, __wm double"
+    )
+    out = merge_upsert(ex, inc, "k", watermark_col="d")
+    # only the d>1 incoming row passes the watermark (k2's d=0 drops),
+    # and it upserts over the existing k1 row
+    assert _rows(out, "k", "d") == [("k1", 2)]
+    assert set(out.columns) == {"k", "d", "__wm"}
+
+
+def test_partitioned_schema_evolution_survives_mixed_footers(spark, tmp_path):
+    """append_new_columns + partition-scoped merge leaves mixed-schema
+    partitions (only touched partitions rewrite); the target read-back
+    must merge footers or the evolved column silently disappears — and
+    the NEXT merge would rewrite kept rows without its values."""
+    from dbt_economic_indicators_eu_spark.materialize.incremental import (
+        run_incremental,
+    )
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0)], "k string, d int, v double"
+    )
+    run_incremental(spark, target, base, "k", partition_by="d")
+
+    # batch touching ONLY d=2 adds column c
+    batch = spark.createDataFrame([("b", 2, 21.0, "new")], "k string, d int, v double, c string")
+    run_incremental(spark, target, batch, "k", partition_by="d")
+
+    back = spark.read.option("mergeSchema", "true").parquet(target)
+    assert "c" in back.columns
+    got = {(r["k"], r["c"]) for r in back.collect()}
+    assert got == {("a", None), ("b", "new")}
+
+    # a further merge into the UNTOUCHED partition must not lose c
+    batch2 = spark.createDataFrame([("a", 1, 11.0)], "k string, d int, v double")
+    run_incremental(spark, target, batch2, "k", partition_by="d")
+    back2 = spark.read.option("mergeSchema", "true").parquet(target)
+    got2 = {(r["k"], r["v"], r["c"]) for r in back2.collect()}
+    assert got2 == {("a", 11.0, None), ("b", 21.0, "new")}

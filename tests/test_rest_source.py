@@ -174,3 +174,16 @@ def test_cli_source_freshness_without_sources_errors(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "no sources with freshness" in out
+
+
+def test_decode_jsonstat_rejects_cell_carry_column(spark):
+    """'cell' is the decoder's intermediate explode alias — a carry
+    column of that name must hit the designed ValueError, not an
+    AMBIGUOUS_REFERENCE crash mid-plan."""
+    import pytest
+
+    from dbt_economic_indicators_eu_spark.sources.jsonstat import decode_jsonstat
+
+    df = spark.createDataFrame([("x", "{}")], "cell string, payload string")
+    with pytest.raises(ValueError, match="collide"):
+        decode_jsonstat(df, json_col="payload")

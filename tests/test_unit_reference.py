@@ -125,3 +125,28 @@ def test_unit_failure_reports_diff(spark, registry):
             registry, spark, "int_country_annual_metrics", given, expect,
             compare_cols=["country_code", "reference_year", "gdp_per_capita_eur"],
         )
+
+
+def test_unit_float_tol_zero_is_exact_compare(spark, registry):
+    """float_tol=0 means exact float comparison — it must not crash on
+    log10(0) and must flag a tiny difference that default rounding
+    would absorb."""
+    import pytest
+
+    from dbt_economic_indicators_eu_spark.testing.unit import (
+        UnitTestFailure,
+        run_unit_test,
+    )
+
+    reg = type(registry)()
+
+    @reg.model("m")
+    def m(ctx):
+        return spark.createDataFrame([(0.1000000001,)], "v double")
+
+    expect = spark.createDataFrame([(0.1,)], "v double")
+    # default tolerance rounds both to 6 decimals -> passes
+    run_unit_test(reg, spark, "m", given={}, expect=expect)
+    # exact compare flags the 1e-10 difference
+    with pytest.raises(UnitTestFailure):
+        run_unit_test(reg, spark, "m", given={}, expect=expect, float_tol=0)
