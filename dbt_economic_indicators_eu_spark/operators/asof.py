@@ -74,6 +74,14 @@ def asof_join(
     clash = set(values) & set(left.columns)
     if clash:
         raise ValueError(f"value columns collide with left columns: {sorted(clash)}")
+    # reserved internals: an input column with one of these names would
+    # duplicate it in l_tagged/r_tagged and make the window/filter
+    # references ambiguous (or silently bind the wrong column)
+    reserved = {_TS, _SIDE, _VAL} & set(left.columns + right.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with asof_join internals: {sorted(reserved)}"
+        )
 
     left_payload = [c for c in left.columns if c not in on]
     val_struct = F.struct(*[F.col(c) for c in values])

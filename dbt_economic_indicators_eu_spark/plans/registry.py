@@ -115,6 +115,10 @@ class Registry:
         harvests deps first does not construct the plan twice."""
         key = f"t:{name}"
         if key not in ctx._cache:
+            if name not in self._singulars:
+                # RegistryError like every other unknown-name lookup
+                # here, not a bare KeyError
+                raise RegistryError(f"unknown singular test {name!r}")
             ctx._building.append(f"test:{name}")
             try:
                 ctx._cache[key] = self._singulars[name](ctx)
@@ -291,11 +295,20 @@ class Registry:
         a ref gated on ``ctx.var(...)`` resolves during the edge
         harvest exactly as the real run will, so ancestor selection
         and the run agree on the graph."""
-        deps = self.dependency_graph(spark, mocks=mocks, vars=vars)
+        # The edge harvest probe-builds EVERY model's plan (py4j-
+        # measurable) — defer it until a token actually uses a graph
+        # operator; plain names and tag: selections never pay it.
+        deps: dict[str, set] | None = None
         children: dict[str, set] = {}
-        for m, ups in deps.items():
-            for u in ups:
-                children.setdefault(u, set()).add(m)
+
+        def graph() -> dict[str, set]:
+            nonlocal deps
+            if deps is None:
+                deps = self.dependency_graph(spark, mocks=mocks, vars=vars)
+                for m, ups in deps.items():
+                    for u in ups:
+                        children.setdefault(u, set()).add(m)
+            return deps
 
         def walk(start: str, edges: dict[str, set]) -> set:
             out, stack = set(), [start]
@@ -323,12 +336,18 @@ class Registry:
                 raise RegistryError(f"unknown model or source {name!r}")
             chosen.add(name)
             if up:
-                chosen |= walk(name, deps)
+                chosen |= walk(name, graph())
             if down:
+                graph()  # populates children
                 chosen |= walk(name, children)
-        return [n for n in self._models if n in chosen] + [
+        # order-preserving dedupe: a name shared by a model AND a
+        # source would otherwise appear twice, and per-name consumers
+        # (schema_test_report runs BOTH namespaces per occurrence,
+        # `ls` prints per entry) would double-execute/double-print it
+        out = [n for n in self._models if n in chosen] + [
             s for s in self._sources if s in chosen
         ]
+        return list(dict.fromkeys(out))
 
 
 @dataclass
@@ -375,7 +394,13 @@ class Context:
 
     def ref(self, name: str) -> DataFrame:
         self._record_edge(name)
-        if name in self.mocks:  # unit-test given-rows win (OP-TEST-UNIT)
+        # unit-test given-rows win (OP-TEST-UNIT). Mock keys may be
+        # namespaced ('model:x' / 'source:x') to target ONE side of a
+        # name shared by a model and a source; a bare key matches both
+        # (the common case — dbt's given entries are bare refs too)
+        if f"model:{name}" in self.mocks:
+            return self.mocks[f"model:{name}"]
+        if name in self.mocks:
             return self.mocks[name]
         # cache keys are namespaced: a model and a source may share a
         # bare name (register() and source() each only police their own
@@ -449,6 +474,9 @@ class Context:
 
     def source(self, name: str) -> DataFrame:
         self._record_edge(name)
+        # namespaced mock key wins; bare key matches both (see ref())
+        if f"source:{name}" in self.mocks:
+            return self.mocks[f"source:{name}"]
         if name in self.mocks:
             return self.mocks[name]
         if f"s:{name}" in self._cache:

@@ -128,6 +128,23 @@ def EPOCH_NTZ() -> Column:
 _US_PER_DAY = 86_400_000_000
 
 
+def legacy_nanos_to_ntz(c_name: str) -> Column:
+    """Reconstruct TIMESTAMP_NTZ micros from a legacy nanos-as-long
+    column — THE shared twin for batch ``load()`` and the streaming
+    source (one definition, or a change silently diverges batch from
+    stream and both from the oracle).
+
+    Integer ``div`` (ns longs ~1.7e18 overflow double precision),
+    which TRUNCATES TOWARD ZERO for pre-epoch values — deliberately:
+    DuckDB's parquet reader converts TIMESTAMP(NANOS) to its µs
+    timestamp the same way (-1 ns → 1970-01-01 00:00:00.000000,
+    verified empirically), so truncation is the cross-engine parity
+    choice. numpy/pandas ``astype('datetime64[us]')`` FLOORS instead
+    (-1 ns → 23:59:59.999999) — a pandas-side consumer of pre-epoch
+    nanos data diverges by 1 µs on non-integral-µs values."""
+    return F.timestamp_add("MICROSECOND", F.expr(f"{c_name} div 1000"), EPOCH_NTZ())
+
+
 def epoch_micros(c: Column) -> Column:
     """Microseconds since epoch for TIMESTAMP_NTZ (wall-clock) columns.
     Use this instead of ``unix_micros`` anywhere ``events.ts`` flows —
@@ -167,7 +184,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``CAST(ts AS TIMESTAMP)`` sees identical values. Two physical
     encodings are handled: parquet TIMESTAMP(MICROS, no-tz) reads as
     NTZ directly (current testdata), and legacy TIMESTAMP(NANOS) reads
-    as a long (``nanosAsLong``) which we floor to µs.
+    as a long (``nanosAsLong``) truncated to µs (see legacy_nanos_to_ntz).
     """
     key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
     cached = _SCAN_CACHE.get(key)
@@ -190,11 +207,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             continue
         kind = field.dataType.simpleString()
         if kind == "bigint":
-            # legacy nanos-as-long: integer div (ns longs ~1.7e18
-            # overflow double precision), then anchor onto the NTZ epoch
-            df = df.withColumn(
-                "ts", F.timestamp_add("MICROSECOND", F.expr("ts div 1000"), EPOCH_NTZ())
-            )
+            # legacy nanos-as-long (shared twin — truncation semantics
+            # documented on the helper)
+            df = df.withColumn("ts", legacy_nanos_to_ntz("ts"))
         elif kind == "timestamp":
             # only reachable if a driver session disabled NTZ inference;
             # sessions pin UTC so this cast is the identity reinterpret

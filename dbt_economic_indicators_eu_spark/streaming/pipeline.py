@@ -86,7 +86,13 @@ def _events_ts_encoding(path: str) -> str:
         enc = "ltz"
     else:
         arrow_type = str(pf.schema_arrow.field("ts").type)
-        if arrow_type == "timestamp[ns]":
+        # nanos check FIRST: a tz-adjusted nanos column prints as
+        # 'timestamp[ns, tz=UTC]' — the tz branch would route it
+        # through the LTZ micros schema, which cannot read
+        # TIMESTAMP(NANOS) (PARQUET_TYPE_ILLEGAL / long clash). The
+        # nanos-as-long reconstruction is tz-correct for it under the
+        # pinned-UTC session (the raw int64 is the UTC instant).
+        if arrow_type.startswith("timestamp[ns"):
             enc = "nanos"
         elif "tz=" in arrow_type:
             enc = "ltz"
@@ -173,7 +179,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ts`` lands as TIMESTAMP_NTZ, matching the batch normalization in
     ``queries/common.py:load`` — BOTH physical encodings the driver has
     shipped are handled (current: TIMESTAMP(MICROS, no-tz); legacy:
-    TIMESTAMP(NANOS), read as long + floored). A streaming source needs
+    TIMESTAMP(NANOS), read as long + truncated to µs). A streaming source needs
     its schema up front (no inference), so the encoding is sniffed from
     the parquet footer driver-side — a metadata read, not a data scan.
     Event-time pipelines cast to LTZ just for ``withWatermark`` (see
@@ -198,14 +204,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     if encoding == "nanos":
+        from ..queries.common import legacy_nanos_to_ntz
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # shared twin with batch load() — one reconstruction definition
         return _source(EVENTS_SCHEMA_NANOS).withColumn(
-            "ts",
-            F.timestamp_add(
-                "MICROSECOND",
-                F.expr("ts div 1000"),
-                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-            ),
+            "ts", legacy_nanos_to_ntz("ts")
         )
     if encoding == "ltz":
         # INT96 or tz-adjusted (isAdjustedToUTC) micros: read through

@@ -266,3 +266,11 @@ def test_asof_null_timestamps_never_match(spark):
             ).collect()
         }
         assert out == expect, (direction, out)
+
+
+def test_asof_rejects_reserved_internal_columns(spark, quotes):
+    left = quotes.select(
+        "key", F.col("qts").alias("lts"), F.lit(1).alias("__asof_side")
+    )
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(left, quotes, on=["key"], left_ts="lts", right_ts="qts", values=["px"])

@@ -213,3 +213,71 @@ def test_every_query_has_oracle_and_ops():
     for name, q in all_queries().items():
         assert q.ops, name
         assert q.oracle is None or "SELECT" in q.oracle.upper(), name
+
+
+def test_expand_selection_dedupes_shared_model_source_name(spark):
+    """A name registered as BOTH a model and a source must appear once
+    in an expanded selection — per-name consumers (schema_test_report,
+    ls) handle both namespaces per occurrence, so a duplicate would
+    double-run/double-print every test on it."""
+    reg = Registry()
+    reg.source("dual", loader=lambda s: s.range(1).toDF("id"))
+
+    @reg.model("dual")
+    def dual(ctx):
+        return spark.range(2).toDF("id")
+
+    assert reg.expand_selection(spark, ["dual"]) == ["dual"]
+
+
+def test_namespaced_mocks_target_one_side(spark):
+    """'model:x' / 'source:x' mock keys pin ONE namespace of a shared
+    name; a bare key still matches both (back-compat)."""
+    reg = Registry()
+    reg.source("dual", loader=lambda s: s.createDataFrame([(0,)], "id int"))
+
+    @reg.model("dual")
+    def dual(ctx):
+        return spark.createDataFrame([(1,)], "id int")
+
+    m_mock = spark.createDataFrame([(100,)], "id int")
+    s_mock = spark.createDataFrame([(200,)], "id int")
+
+    ctx = reg.context(spark, mocks={"model:dual": m_mock, "source:dual": s_mock})
+    assert ctx.ref("dual").collect()[0][0] == 100
+    assert ctx.source("dual").collect()[0][0] == 200
+
+    bare = reg.context(spark, mocks={"dual": m_mock})
+    assert bare.ref("dual").collect()[0][0] == 100
+    assert bare.source("dual").collect()[0][0] == 100
+
+
+def test_unknown_singular_test_raises_registry_error(spark):
+    reg = Registry()
+    ctx = reg.context(spark)
+    with pytest.raises(RegistryError, match="singular"):
+        reg.singular_test_frame(ctx, "nope")
+
+
+def test_plain_selection_skips_edge_harvest(spark, monkeypatch):
+    """Plain-name and tag: selections must not probe-build the whole
+    dependency graph (it builds EVERY model's plan); only +tokens pay
+    for the harvest."""
+    reg = Registry()
+
+    @reg.model("a", tags=("t1",))
+    def a(ctx):
+        return spark.range(1).toDF("id")
+
+    @reg.model("b")
+    def b(ctx):
+        return ctx.ref("a")
+
+    def boom(*args, **kwargs):
+        raise AssertionError("dependency_graph called for a plain selection")
+
+    monkeypatch.setattr(reg, "dependency_graph", boom)
+    assert reg.expand_selection(spark, ["b"]) == ["b"]
+    assert reg.expand_selection(spark, ["tag:t1"]) == ["a"]
+    with pytest.raises(AssertionError, match="plain selection"):
+        reg.expand_selection(spark, ["+b"])
