@@ -68,8 +68,10 @@ def rolling_average(value: Column, order_by: Column, partition_by: list[Column |
 
 def rank_within_group(order_by: Column, partition_by: list[Column | str], ascending: bool = False) -> Column:
     """``rank()`` (gap semantics, matching DuckDB) within a partition —
-    reference ``macros/calculations.sql:72-88``."""
-    key = order_by.asc() if ascending else order_by.desc()
+    reference ``macros/calculations.sql:72-88``. ASC pins NULLS LAST:
+    DuckDB's default_null_order ranks NULLs last on ASC while Spark's
+    plain asc() sorts them first; DESC agrees between engines."""
+    key = order_by.asc_nulls_last() if ascending else order_by.desc()
     w = Window.partitionBy(*partition_by).orderBy(key)
     return F.rank().over(w)
 

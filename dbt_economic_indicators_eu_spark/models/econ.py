@@ -615,8 +615,15 @@ def build_registry() -> Registry:
             "*",
             F.rank().over(wy.orderBy(F.col("gdp_million_eur").desc())).alias("gdp_rank"),
             F.rank().over(wy.orderBy(F.col("gdp_per_capita_eur").desc())).alias("gdp_per_capita_rank"),
-            F.rank().over(wy.orderBy(F.col("avg_unemployment_rate_pct").asc())).alias("unemployment_rank"),
-            F.rank().over(wy.orderBy(F.col("annual_inflation_rate_pct").asc())).alias("inflation_rank"),
+            # asc_nulls_last, NOT asc: the reference runs on DuckDB,
+            # whose default_null_order ranks NULLs LAST on ASC, while
+            # Spark's plain asc() sorts them FIRST — a country-year
+            # missing from the unemployment/inflation feed (NULL after
+            # the left join) would grab rank 1 and shift every real
+            # rank. DESC needs no override: both engines put NULLs
+            # last there.
+            F.rank().over(wy.orderBy(F.col("avg_unemployment_rate_pct").asc_nulls_last())).alias("unemployment_rank"),
+            F.rank().over(wy.orderBy(F.col("annual_inflation_rate_pct").asc_nulls_last())).alias("inflation_rank"),
             F.lag("gdp_million_eur").over(wc).alias("prev_year_gdp"),
             F.lag("avg_unemployment_rate_pct").over(wc).alias("prev_year_unemployment"),
             F.lag("annual_inflation_rate_pct").over(wc).alias("prev_year_inflation"),

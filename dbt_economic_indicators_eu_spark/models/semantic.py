@@ -60,10 +60,13 @@ class Metric:
     requires: tuple[tuple[str, Callable[[], Column]], ...] = ()
 
     def __post_init__(self):
-        if (self.measure is None) == (self.derive is None and self.window_derive is None):
+        n_set = sum(
+            x is not None for x in (self.measure, self.derive, self.window_derive)
+        )
+        if n_set != 1:
             raise ValueError(
                 f"metric {self.name!r}: exactly one of measure / derive / "
-                "window_derive must be set"
+                f"window_derive must be set (got {n_set})"
             )
 
 

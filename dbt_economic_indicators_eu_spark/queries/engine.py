@@ -11,6 +11,7 @@ output — no filesystem state, rerunnable, order-insensitive.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -216,7 +217,12 @@ FROM int_rev
 # (dim_country.sql:58-62).
 # --------------------------------------------------------------------------
 
-_SEED_CSV = "dbt_economic_indicators_eu_spark/sources/seeds/country_metadata.csv"
+# absolute, derived from __file__ like every other package path — a
+# hardcoded checkout root would break the oracle on any other clone
+_SEED_CSV = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "sources", "seeds", "country_metadata.csv",
+)
 
 
 def q_seed_eu_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,7 +255,7 @@ SELECT
   CASE WHEN eurozone_member THEN 'Eurozone'
        WHEN eu_member_since IS NOT NULL THEN 'EU (non-Euro)'
        ELSE 'Non-EU' END AS eu_status
-FROM read_csv('/root/repo/{_SEED_CSV}', header=true, columns={{
+FROM read_csv('{_SEED_CSV}', header=true, columns={{
   'country_code': 'VARCHAR', 'country_name': 'VARCHAR',
   'eu_member_since': 'DATE', 'eurozone_member': 'BOOLEAN',
   'region': 'VARCHAR', 'subregion': 'VARCHAR'}})
@@ -553,7 +559,11 @@ def q_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one scratch dir per process, reused across invocations
     # (full_refresh=True overwrites in place): an effectful query that
     # mkdtemp'd per call would litter /tmp with one directory per
-    # bench/correctness repetition for the life of the machine
+    # bench/correctness repetition for the life of the machine.
+    # CONTRACT (same as q_stream_incremental): the returned frame reads
+    # this scratch path lazily — materialize it BEFORE the next
+    # q_rest_ingest call, whose overwrite replaces the part files a
+    # held frame would list at action time
     global _REST_SCRATCH
     if _REST_SCRATCH is None:
         _REST_SCRATCH = tempfile.mkdtemp(prefix="rest_raw_")

@@ -80,3 +80,31 @@ def test_rank_within_group_gap_ties(spark):
         ).collect()
     }
     assert out == {"a": 1, "b": 1, "c": 3, "d": 4}
+
+
+def test_rank_ascending_nulls_last_matches_duckdb(spark):
+    """ASC rank pins NULLS LAST: DuckDB's default_null_order ranks
+    NULLs last on ASC (the reference's rank semantics) while Spark's
+    plain asc() would sort them FIRST, handing rank 1 to a NULL-metric
+    row and shifting every real rank."""
+    import duckdb
+
+    from dbt_economic_indicators_eu_spark.functions import rank_within_group
+
+    df = spark.createDataFrame(
+        [("a", 3.0), ("b", None), ("c", 1.0), ("d", 2.0)], "k string, v double"
+    )
+    got = {
+        r["k"]: r["rk"]
+        for r in df.select(
+            "k", rank_within_group(F.col("v"), [F.lit(1)], ascending=True).alias("rk")
+        ).collect()
+    }
+    want = {
+        k: rk
+        for k, rk in duckdb.sql(
+            "SELECT k, rank() OVER (ORDER BY v ASC) rk FROM (VALUES "
+            "('a', 3.0), ('b', NULL), ('c', 1.0), ('d', 2.0)) t(k, v)"
+        ).fetchall()
+    }
+    assert got == want == {"c": 1, "d": 2, "a": 3, "b": 4}
