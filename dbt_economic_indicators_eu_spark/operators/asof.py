@@ -70,6 +70,14 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right = right.filter(F.col(right_ts).isNotNull())
     on = list(on)
+    # NULL join keys never match — SQL equality semantics, same as
+    # DuckDB ASOF JOIN's ON predicate. Window.partitionBy would
+    # otherwise group NULL keys TOGETHER and as-of-match a NULL-key
+    # left row to a NULL-key right row. Dropping NULL-key right rows
+    # implements it: NULL-key left rows land in a partition with no
+    # right rows and pass through unmatched (LEFT-join shape).
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
     values = list(values)
     clash = set(values) & set(left.columns)
     if clash:

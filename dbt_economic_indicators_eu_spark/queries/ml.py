@@ -66,13 +66,19 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("value")
     finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
     c = F.when(finite, F.round(v * 100).cast("bigint"))
+    # quartiles over the FINITE-guarded value too: Spark's percentile
+    # skips NaN but DuckDB's quantile_cont POISONS on it (NaN sorts
+    # greatest and infects the interpolation) — guarding both sides
+    # identically (non-finite → NULL → skipped) is the only encoding
+    # both engines agree on, consistent with the mean/std guard above
+    vf = F.when(finite, v)
     stats = ev.groupBy("user_id").agg(
         F.sum(c).alias("_si"),
         F.sum(c * c).alias("_sq"),
         F.count(c).alias("_nv"),
         F.count(F.lit(1)).alias("_n_obs"),
-        F.expr("percentile(value, 0.25)").alias("_q1"),
-        F.expr("percentile(value, 0.75)").alias("_q3"),
+        F.percentile(vf, F.lit(0.25)).alias("_q1"),
+        F.percentile(vf, F.lit(0.75)).alias("_q3"),
     )
     # null-safe join-back: the groupBy keeps a NULL-user_id stats row
     # and the oracle's PARTITION BY windows keep those events, but a
@@ -177,8 +183,11 @@ sums AS (
     sum(c * c) OVER wu AS sq,
     count(c) OVER wu AS nv,
     count(*) OVER wu AS n_obs,
-    quantile_cont(value, 0.25) OVER wu AS q1,
-    quantile_cont(value, 0.75) OVER wu AS q3,
+    -- finite-guarded like the cents sums: quantile_cont POISONS on a
+    -- NaN in the window (Spark's percentile skips it) — both engines
+    -- quantile only finite values (c IS NOT NULL <=> value finite)
+    quantile_cont(CASE WHEN c IS NOT NULL THEN value END, 0.25) OVER wu AS q1,
+    quantile_cont(CASE WHEN c IS NOT NULL THEN value END, 0.75) OVER wu AS q3,
     lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
   FROM base
   WINDOW wu AS (PARTITION BY user_id)
@@ -593,7 +602,7 @@ def q_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / (md - 1)
     )
-    nd2 = F.col("n").cast("double")
+    nd2 = nd  # same expression as the sx/sxx stage — one definition
     slope = (nd2 * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         nd2 * F.col("sxx") - F.col("sx") * F.col("sx")
     )
@@ -624,20 +633,31 @@ def q_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("f_holt", f_holt).withColumn("f_ols", f_ols)
 
     # np.nanmean over the three methods (OP-FN-NANMEAN): drop NaN fits
-    # (a degenerate OLS emits NaN) before averaging.
+    # (a degenerate OLS emits NaN) before averaging. An ALL-NaN triple
+    # (a NaN in the raw series poisons every fold) averages to NULL,
+    # explicitly — an unguarded sum/size would be 0.0/0.0, whose
+    # result is ENGINE-DEPENDENT (IEEE NaN in Spark, NULL in DuckDB).
     parts = F.filter(
         F.array(F.col("f_es"), F.col("f_holt"), F.col("f_ols")), lambda x: ~F.isnan(x)
     )
-    ens = F.aggregate(parts, F.lit(0.0), lambda acc, v: acc + v) / F.size(parts).cast("double")
+    ens = F.when(
+        F.size(parts) > 0,
+        F.aggregate(parts, F.lit(0.0), lambda acc, v: acc + v)
+        / F.size(parts).cast("double"),
+    )
+    # forecasts are emitted RAW (doctrine #3): the folds are certified
+    # bit-identical across engines (module comment below), so rounding
+    # could only REINTRODUCE a .xxxx5 boundary flip on a terminating
+    # fold value — the same reasoning as anomaly_zscore's raw z
     return horizon.withColumn("ens", ens).select(
         "user_id",
         "horizon_step",
-        r4(F.col("f_es")).alias("forecast_es"),
-        r4(F.col("f_holt")).alias("forecast_holt"),
-        r4(F.col("f_ols")).alias("forecast_ols"),
-        r4(F.col("ens")).alias("forecast_ensemble"),
-        r4(F.col("ens") - F.col("half_width")).alias("pi_lower"),
-        r4(F.col("ens") + F.col("half_width")).alias("pi_upper"),
+        F.col("f_es").alias("forecast_es"),
+        F.col("f_holt").alias("forecast_holt"),
+        F.col("f_ols").alias("forecast_ols"),
+        F.col("ens").alias("forecast_ensemble"),
+        (F.col("ens") - F.col("half_width")).alias("pi_lower"),
+        (F.col("ens") + F.col("half_width")).alias("pi_upper"),
         F.when(F.col("n") >= 24, "high")
         .when(F.col("n") >= 12, "medium")
         .otherwise("low")
@@ -713,21 +733,23 @@ horizon AS (
 ),
 ensed AS (
   SELECT *,
-    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                             list_filter([f_es, f_holt, f_ols], x -> NOT isnan(x))),
-                (acc, v) -> acc + v)
-      / CAST(len(list_filter([f_es, f_holt, f_ols], x -> NOT isnan(x))) AS DOUBLE) AS ens
+    CASE WHEN len(list_filter([f_es, f_holt, f_ols], x -> NOT isnan(x))) > 0 THEN
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list_filter([f_es, f_holt, f_ols], x -> NOT isnan(x))),
+                  (acc, v) -> acc + v)
+        / CAST(len(list_filter([f_es, f_holt, f_ols], x -> NOT isnan(x))) AS DOUBLE)
+    END AS ens
   FROM horizon
 )
 SELECT
   user_id,
   CAST(horizon_step AS INT) AS horizon_step,
-  round(f_es, 4) AS forecast_es,
-  round(f_holt, 4) AS forecast_holt,
-  round(f_ols, 4) AS forecast_ols,
-  round(ens, 4) AS forecast_ensemble,
-  round(ens - half_width, 4) AS pi_lower,
-  round(ens + half_width, 4) AS pi_upper,
+  f_es AS forecast_es,
+  f_holt AS forecast_holt,
+  f_ols AS forecast_ols,
+  ens AS forecast_ensemble,
+  ens - half_width AS pi_lower,
+  ens + half_width AS pi_upper,
   CASE WHEN n >= 24 THEN 'high' WHEN n >= 12 THEN 'medium' ELSE 'low' END AS confidence
 FROM ensed
 """

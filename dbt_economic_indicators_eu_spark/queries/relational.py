@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import rank_within_group, safe_divide, surrogate_key
+from ..functions import (
+    null_safe_pct_change,
+    rank_within_group,
+    safe_divide,
+    surrogate_key,
+)
 from .common import (
     QueryDef,
     epoch_micros,
@@ -294,9 +299,7 @@ def q_monthly_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         prev1.alias("prev_month_revenue"),
         prev12.alias("prev_year_revenue"),
-        F.when(prev1.isNotNull() & (prev1 != 0), (F.col("revenue") - prev1) / prev1 * 100.0).alias(
-            "mom_change_pct"
-        ),
+        null_safe_pct_change(F.col("revenue"), prev1).alias("mom_change_pct"),
         (F.col("revenue") - prev12).alias("yoy_change_abs"),
     )
 
@@ -908,16 +911,19 @@ def q_annual_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lineitems",
         F.rank().over(w_year.orderBy(F.col("revenue").desc())).alias("revenue_rank_in_year"),
         # divide by the r2-ROUNDED window total (as q_region_share does):
-        # the raw windowed sum is an order-dependent double accumulation,
-        # and r4 of a quotient over ulp-divergent totals can flip
-        r4(F.col("revenue") / r2(F.sum("revenue").over(w_year)) * 100.0).alias(
+        # the raw windowed sum is an order-dependent double accumulation.
+        # The quotient is emitted RAW (doctrine #3, like q_region_share
+        # and the reference model itself): both operands are exact
+        # rounded decimals, so the quotient is bit-identical across
+        # engines, and a quotient of terminating decimals CAN terminate
+        # at a rounding boundary — r4 would reintroduce the .xxxx5
+        # divergence it was meant to avoid
+        (F.col("revenue") / r2(F.sum("revenue").over(w_year)) * 100.0).alias(
             "revenue_share_pct"
         ),
-        r4(
-            F.when(
-                prev_rev.isNotNull() & (prev_rev != 0),
-                (F.col("revenue") - prev_rev) / prev_rev * 100.0,
-            )
+        F.when(
+            prev_rev.isNotNull() & (prev_rev != 0),
+            (F.col("revenue") - prev_rev) / prev_rev * 100.0,
         ).alias("yoy_revenue_change_pct"),
     )
 
@@ -946,10 +952,10 @@ SELECT
   n_lineitems,
   rank() OVER (PARTITION BY ship_year ORDER BY revenue DESC)
     AS revenue_rank_in_year,
-  round(revenue / round(sum(revenue) OVER (PARTITION BY ship_year), 2) * 100.0, 4)
+  revenue / round(sum(revenue) OVER (PARTITION BY ship_year), 2) * 100.0
     AS revenue_share_pct,
-  round(CASE WHEN lag(revenue) OVER w IS NOT NULL AND lag(revenue) OVER w != 0
-        THEN (revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 100.0 END, 4)
+  CASE WHEN lag(revenue) OVER w IS NOT NULL AND lag(revenue) OVER w != 0
+        THEN (revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 100.0 END
     AS yoy_revenue_change_pct
 FROM annual
 WINDOW w AS (PARTITION BY nation_name ORDER BY ship_year)

@@ -205,8 +205,14 @@ def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each keep their natural partial-agg hash plan; the join is a
     # broadcast of a handful of rows.
     ev = load(spark, sf_dir, "events")
-    exact_p50 = F.percentile("value", F.lit(0.5))
-    approx_p50 = F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+    # finite-guarded value for the quantiles: DuckDB's quantile_cont
+    # POISONS on a NaN in the group while Spark's percentile skips it —
+    # both engines quantile only finite values (same guard as
+    # q_anomaly_zscore's quartiles)
+    v = F.col("value")
+    vfin = F.when(v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf"))), v)
+    exact_p50 = F.percentile(vfin, F.lit(0.5))
+    approx_p50 = F.percentile_approx(vfin, F.lit(0.5), F.lit(10000))
     sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("_approx_users"),
         exact_p50.alias("_p50_raw"),
@@ -216,7 +222,11 @@ def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_users_exact"))
+        # count(user_id), NOT count(1): SQL count(DISTINCT user_id)
+        # skips NULL users, while counting the distinct ROWS would
+        # include the ('type', NULL) pair — off-by-one vs the oracle
+        # (and vs approx_count_distinct, which also skips NULLs)
+        .agg(F.count("user_id").alias("n_users_exact"))
     )
     # null-safe join key: a NULL event_type group exists on BOTH sides
     # (groupBy keeps it), but a plain equi-join would drop it
@@ -239,15 +249,22 @@ def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SKETCH_AGG = f"""
+-- vf: finite-guarded value for quantiles (quantile_cont poisons on
+-- NaN; Spark's percentile skips it — see q_sketch_agg)
+WITH e AS (
+  SELECT *, CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                  AND NOT isinf(value) THEN value END AS vf
+  FROM {EVENTS_NORM_SQL} t
+)
 SELECT
   event_type,
   count(DISTINCT user_id) AS n_users_exact,
   abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
     <= 0.1 * count(DISTINCT user_id) AS hll_within_10pct,
-  round(quantile_cont(value, 0.5), 6) AS p50_exact,
-  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
-    <= 0.05 * abs(quantile_cont(value, 0.5)) AS p50_within_5pct
-FROM {EVENTS_NORM_SQL} e
+  round(quantile_cont(vf, 0.5), 6) AS p50_exact,
+  abs(approx_quantile(vf, 0.5) - quantile_cont(vf, 0.5))
+    <= 0.05 * abs(quantile_cont(vf, 0.5)) AS p50_within_5pct
+FROM e
 GROUP BY 1
 """
 

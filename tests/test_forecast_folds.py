@@ -57,13 +57,16 @@ def _reference_forecast(ys: list[float]) -> dict[int, dict[str, float]]:
         f_holt = l_t + h * b_t
         f_ols = intercept + slope * (n - 1 + h)
         ens = (f_es + f_holt + f_ols) / 3
+        # RAW values: the engine emits unrounded folds (doctrine #3 —
+        # bit-identical across engines; rounding could only reintroduce
+        # a .xxxx5 boundary flip)
         out[h] = {
-            "forecast_es": round(f_es, 4),
-            "forecast_holt": round(f_holt, 4),
-            "forecast_ols": round(f_ols, 4),
-            "forecast_ensemble": round(ens, 4),
-            "pi_lower": round(ens - half, 4),
-            "pi_upper": round(ens + half, 4),
+            "forecast_es": f_es,
+            "forecast_holt": f_holt,
+            "forecast_ols": f_ols,
+            "forecast_ensemble": ens,
+            "pi_lower": ens - half,
+            "pi_upper": ens + half,
         }
     return out
 
