@@ -114,6 +114,31 @@ def money4_sum_sql(expr: str) -> str:
     return f"(CAST(floor(({si} + 50) / 100) AS BIGINT) / 100.0)"
 
 
+def md5_bucket(key: Column, start: int = 1) -> Column:
+    """THE deterministic membership hash: a 32-bit unsigned value from
+    an 8-hex-char window of ``md5(key :: string)`` — content-
+    independent, RNG-free, bit-identical across engines. Shared by
+    hash_split / pack_sequences / sample_stratified / training_shuffle
+    / temperature_resample; callers apply their own ``% modulus``.
+    ``start`` selects the hex window (9 = an INDEPENDENT second hash
+    from the same digest — sample_stratified's trick to decorrelate
+    from hash_split's buckets). Twin: ``md5_bucket_sql`` — one recipe,
+    one SQL twin, or a width/offset change silently de-synchronizes a
+    query from its oracle."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), start, 8), 16, 10)
+        .cast("bigint")
+    )
+
+
+def md5_bucket_sql(expr: str, start: int = 1) -> str:
+    """DuckDB twin of ``md5_bucket``."""
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), {start}, 8)) "
+        "AS BIGINT)"
+    )
+
+
 # NTZ epoch anchor for the legacy nanos-as-long reconstruction below.
 # NOTE: timestamp_add/timestamp_diff against it are NOT tz-inert —
 # Spark routes NTZ operands through the session zone, so wall times

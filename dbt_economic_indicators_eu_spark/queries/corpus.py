@@ -21,8 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import MICRO, QueryDef, load, widen_narrow_scan
+from .common import MICRO, QueryDef, load, md5_bucket, md5_bucket_sql, widen_narrow_scan
 from .datapipe import (
+    _WS_CLASS,
     ORACLE_WORDS_EXPR,
     _ORACLE_SHINGLES,
     _exclude_infer_filters_from_generate,
@@ -357,12 +358,7 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double"))
     ).alias("thresh")
     rates = counts.crossJoin(F.broadcast(n_min)).select("lang", "n_docs", thresh)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % _MICRO
-    )
+    bucket = md5_bucket(F.col("doc_id")) % _MICRO
     kept = (
         docs.select("doc_id", "lang", bucket.alias("bucket"))
         .join(F.broadcast(rates), "lang")
@@ -395,7 +391,7 @@ rates AS (
 ),
 b AS (
   SELECT doc_id, lang,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         {md5_bucket_sql('doc_id')}
            % {_MICRO} AS bucket
   FROM documents
 )
@@ -430,7 +426,7 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.regexp_replace(text, _PAT_TAG, " "), _PAT_CTRL, ""),
-            r"[ \t\n\x0b\f\r]+",  # explicit: Java \s has \x0b, RE2 \s doesn't
+            _WS_CLASS,  # the shared pinned class (datapipe.py)
             " ",
         )
     )
@@ -451,7 +447,7 @@ c AS (
            regexp_replace(
              regexp_replace(text, '{_PAT_TAG}', ' ', 'g'),
              '{_PAT_CTRL}', '', 'g'),
-           '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS cleaned
+           '{_WS_CLASS}', ' ', 'g'), ' ') AS cleaned
   FROM t
 )
 SELECT doc_id,

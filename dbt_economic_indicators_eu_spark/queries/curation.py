@@ -14,8 +14,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import MICRO, QueryDef, load, widen_narrow_scan
+from .common import MICRO, QueryDef, load, md5_bucket, md5_bucket_sql, widen_narrow_scan
 from .datapipe import (
+    _NON_WS_RE,
     _ORACLE_SHINGLES,
     ORACLE_WORDS_EXPR,
     _with_shingles,
@@ -137,7 +138,7 @@ FROM documents
 
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0b\f\r]+"), 0))
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_NON_WS_RE), 0))
     bucket = F.length(F.bin(n_tokens.cast("bigint")))
     return (
         docs.select(n_tokens.alias("n_tokens"), bucket.alias("bucket"))
@@ -151,9 +152,9 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_LENGTH_BUCKETS = r"""
+ORACLE_LENGTH_BUCKETS = rf"""
 WITH t AS (
-  SELECT CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS INTEGER) AS n_tokens
+  SELECT CAST(len(regexp_extract_all(text, '{_NON_WS_RE}')) AS INTEGER) AS n_tokens
   FROM documents
 )
 SELECT
@@ -184,16 +185,25 @@ _N_SHARDS = 8
 def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
-    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _N_SHARDS).alias(
-        "shard"
-    )
+    shard = (md5_bucket(F.col("doc_id")) % _N_SHARDS).alias("shard")
     w = Window.partitionBy("shard").orderBy("h")
     ranked = docs.select("doc_id", h.alias("h"), shard).withColumn(
         "rank", F.row_number().over(w)
     )
+    # checksum accumulates in DECIMAL(38,0): sum(rank*doc_id) over a
+    # shard is ~2*m^3 for m docs/shard — BIGINT overflows at only
+    # ~13M dense doc_ids (Spark ANSI sum aborts, DuckDB HUGEINT→BIGINT
+    # cast throws), far below the stated scale posture; decimal(38,0)
+    # is exact to ~1e38 (~1e12 docs) in BOTH engines. The product is
+    # cast BEFORE multiplying so the multiply itself cannot overflow.
+    # ... and is EMITTED AS A STRING: a checksum is an identifier, and
+    # the decimal→pandas conversion differs between engines (Decimal
+    # objects vs float64 — the float path would round past 2^53,
+    # re-losing the exactness decimal bought)
+    term = F.col("rank").cast("decimal(38,0)") * F.col("doc_id").cast("decimal(38,0)")
     return ranked.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("rank") * F.col("doc_id")).alias("order_checksum"),
+        F.sum(term).cast("decimal(38,0)").cast("string").alias("order_checksum"),
     )
 
 
@@ -201,17 +211,20 @@ ORACLE_TRAINING_SHUFFLE = f"""
 WITH ranked AS (
   SELECT
     doc_id,
-    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    {md5_bucket_sql('doc_id')}
       % {_N_SHARDS} AS shard,
     row_number() OVER (
-      PARTITION BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      PARTITION BY {md5_bucket_sql('doc_id')}
         % {_N_SHARDS}
       ORDER BY md5(CAST(doc_id AS VARCHAR))
     ) AS rank
   FROM documents
 )
 SELECT shard, count(*) AS n_docs,
-       CAST(sum(rank * doc_id) AS BIGINT) AS order_checksum
+       -- DECIMAL(38,0) accumulation, STRING emission, like the Spark
+       -- side: exact far past BIGINT's ~13M-dense-doc overflow point
+       CAST(CAST(sum(CAST(rank AS DECIMAL(38,0)) * CAST(doc_id AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS VARCHAR) AS order_checksum
 FROM ranked
 GROUP BY shard
 """
@@ -228,7 +241,7 @@ GROUP BY shard
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0b\f\r]+"), 0))
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_NON_WS_RE), 0))
     n_chars = F.length("text")
     quality = (n_tokens >= 5) & (n_chars >= 20)
     w = Window.partitionBy("content_hash")
@@ -243,12 +256,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CORPUS_CURATION = r"""
+ORACLE_CORPUS_CURATION = rf"""
 WITH flagged AS (
   SELECT
     doc_id, lang,
-    (len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) >= 5 AND length(text) >= 20) AS q,
-    min(CASE WHEN (len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) >= 5 AND length(text) >= 20)
+    (len(regexp_extract_all(text, '{_NON_WS_RE}')) >= 5 AND length(text) >= 20) AS q,
+    min(CASE WHEN (len(regexp_extract_all(text, '{_NON_WS_RE}')) >= 5 AND length(text) >= 20)
              THEN doc_id END)
       OVER (PARTITION BY md5(text)) AS canon_id
   FROM documents

@@ -16,8 +16,22 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import QueryDef, load, r4, widen_narrow_scan
+from .common import QueryDef, load, md5_bucket, md5_bucket_sql, r4, widen_narrow_scan
 from ..operators.banding import HOT_BUCKET_CAP, candidate_pairs
+
+# --------------------------------------------------------------------------
+# THE canonical whitespace classes — written EXPLICITLY, never as
+# \s/\S: Java regex \s includes \x0b (vertical tab) but DuckDB's RE2
+# \s does not, so text containing \x0b would tokenize differently
+# across engines. Single point of truth for every tokenizer twin in
+# this module AND in curation.py/corpus.py (imported there); change it
+# HERE and only here, or engines silently diverge
+# (tests/test_tokenizer_exhaustive.py certifies the full codepoint
+# space against these).
+# --------------------------------------------------------------------------
+_WS_CHAR = r"[ \t\n\x0b\f\r]"  # one whitespace char
+_WS_CLASS = _WS_CHAR + "+"  # a whitespace RUN (collapse/split unit)
+_NON_WS_RE = r"[^ \t\n\x0b\f\r]+"  # a TOKEN (maximal non-ws run)
 
 # --------------------------------------------------------------------------
 # q_text_stats — EXT-TEXT-QUALITY: token count, char-class ratios — the
@@ -38,20 +52,23 @@ def _python_pass_width(spark) -> int:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
-    # explicit non-whitespace class: Java \S excludes \x0b, RE2 \S keeps it
-    tokens = F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0b\f\r]+"), 0)
+    # the shared pinned class (Java \S excludes \x0b, RE2 \S keeps it)
+    tokens = F.regexp_extract_all(F.col("text"), F.lit(_NON_WS_RE), 0)
     n_tokens = F.size(tokens)
     n_chars = F.length("text")
     n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
     n_digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
-    n_spaces = F.length(F.regexp_replace(F.col("text"), r"[^ ]", ""))
+    # token mass = chars minus ALL whitespace (the same 5-char class
+    # the tokenizer splits on) — subtracting only 0x20 spaces would
+    # attribute tabs/newlines to the tokens and inflate avg_token_len
+    n_token_chars = F.length(F.regexp_replace(F.col("text"), _WS_CHAR, ""))
     return docs.select(
         "doc_id",
         "lang",
         "source",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.when(n_tokens > 0, (n_chars - n_spaces).cast("double") / n_tokens).alias(
+        F.when(n_tokens > 0, n_token_chars.cast("double") / n_tokens).alias(
             "avg_token_len"
         ),
         F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0).alias("punct_ratio"),
@@ -60,23 +77,24 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TEXT_STATS = r"""
+ORACLE_TEXT_STATS = rf"""
 SELECT
   doc_id,
   lang,
   source,
   length(text) AS n_chars,
-  len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS n_tokens,
-  CASE WHEN len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) > 0
-        THEN CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
-             / len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) END AS avg_token_len,
+  len(regexp_extract_all(text, '{_NON_WS_RE}')) AS n_tokens,
+  -- token mass subtracts ALL whitespace (see q_text_stats)
+  CASE WHEN len(regexp_extract_all(text, '{_NON_WS_RE}')) > 0
+        THEN CAST(length(regexp_replace(text, '{_WS_CHAR}', '', 'g')) AS DOUBLE)
+             / len(regexp_extract_all(text, '{_NON_WS_RE}')) END AS avg_token_len,
   CASE WHEN length(text) > 0
         THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
         ELSE 0.0 END AS punct_ratio,
   CASE WHEN length(text) > 0
         THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
         ELSE 0.0 END AS digit_ratio,
-  (len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) >= 5 AND length(text) >= 20) AS passes_min_length
+  (len(regexp_extract_all(text, '{_NON_WS_RE}')) >= 5 AND length(text) >= 20) AS passes_min_length
 FROM documents
 """
 
@@ -188,18 +206,14 @@ def ascii_fold(c: F.Column) -> F.Column:
     return F.translate(c, _ASCII_UP, _ASCII_LO)
 
 
-# The whitespace class is written EXPLICITLY ([ \t\n\x0b\f\r]+), never
-# as \s: Java regex \s includes \x0b (vertical tab) but DuckDB's RE2
-# \s does not — text containing \x0b would tokenize differently across
-# engines. The explicit class is identical in Java, RE2, and Python
-# (see _shingles_py). The TRIM charset is pinned the same way: Spark's
-# trim strips only 0x20, but DuckDB's one-arg trim strips Unicode
-# space-category chars (NBSP, EM SPACE, IDEOGRAPHIC SPACE, ...) and
-# Python's bare .strip() strips the full Unicode isspace set (U+2028,
-# NEL, \x1c-\x1f, ...) — so the oracle twin uses trim(x, ' ') and the
-# Python twin .strip(' '), stripping EXACTLY 0x20 in all three
-# engines. Pinned by tests/test_unicode_parity.py.
-_WS_CLASS = r"[ \t\n\x0b\f\r]+"
+# _WS_CLASS (module top) is the split unit here; identical in Java,
+# RE2, and Python (see _shingles_py). The TRIM charset is pinned the
+# same way: Spark's trim strips only 0x20, but DuckDB's one-arg trim
+# strips Unicode space-category chars (NBSP, EM SPACE, IDEOGRAPHIC
+# SPACE, ...) and Python's bare .strip() strips the full Unicode
+# isspace set (U+2028, NEL, \x1c-\x1f, ...) — so the oracle twin uses
+# trim(x, ' ') and the Python twin .strip(' '), stripping EXACTLY 0x20
+# in all three engines. Pinned by tests/test_unicode_parity.py.
 
 
 def normalized_words() -> F.Column:
@@ -218,7 +232,7 @@ def normalized_words() -> F.Column:
 ORACLE_WORDS_EXPR = (
     r"string_split(trim(regexp_replace(translate(coalesce(text, ''), "
     r"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
-    r"'[ \t\n\x0b\f\r]+', ' ', 'g'), ' '), ' ')"
+    rf"'{_WS_CLASS}', ' ', 'g'), ' '), ' ')"
 )
 
 
@@ -232,7 +246,18 @@ def _exclude_infer_filters_from_generate(spark) -> None:
     into a Filter at the scan — for the shingle array that resurrects
     the O(words^2) regex pathology (measured 17s -> 1.5s at sf0.1 for
     simhash with the rule off). Our generators always produce >= 1
-    element, so the inferred filter is vacuous anyway."""
+    element, so the inferred filter is vacuous anyway.
+
+    DELIBERATELY session-wide and never restored: the optimizer runs
+    at ACTION time, not build time, so a build-scoped set/restore
+    would not protect the plan — and a cached shingle plan can execute
+    arbitrarily later. Cost of losing the rule for OTHER queries in
+    the session: only the inferred ``size(generator) > 0``/IsNotNull
+    pre-filters on explodes (a minor scan-side optimization none of
+    this engine's explode queries depend on — their plans are pinned
+    in PLANS.md with the rule off); benefit: the O(words^2) cliff
+    above can never resurface when query order varies. A per-plan
+    exclusion knob does not exist in Spark."""
     cur = spark.conf.get("spark.sql.optimizer.excludedRules", None)
     rules = [r for r in (cur.split(",") if cur else []) if r]
     if _INFER_GEN_RULE not in rules:
@@ -372,7 +397,7 @@ def _shingles_py(text: str, k: int = 3) -> list[str]:
     import re
 
     words = (
-        re.sub(r"[ \t\n\x0b\f\r]+", " ", text.translate(_PY_FOLD)).strip(" ").split(" ")
+        re.sub(_WS_CLASS, " ", text.translate(_PY_FOLD)).strip(" ").split(" ")
     )
     if len(words) < k:
         return [" ".join(words)]
@@ -695,10 +720,10 @@ FROM scored
 # GPT-2-style split approximation), chars-per-token ratio.
 # --------------------------------------------------------------------------
 
-# Explicit whitespace class, same reason as _WS_CLASS: \s (and \S)
-# disagree between Java regex and DuckDB's RE2 on \x0b.
+# Explicit whitespace class inside, same reason as _WS_CLASS (module
+# top, where _NON_WS_RE also lives): \s and \S disagree between Java
+# regex and DuckDB's RE2 on \x0b.
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]+"
-_NON_WS_RE = r"[^ \t\n\x0b\f\r]+"
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,11 +947,7 @@ FROM comps
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = md5_bucket(F.col("doc_id")) % 100
     return docs.select(
         "doc_id",
         bucket.alias("bucket"),
@@ -936,10 +957,10 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_HASH_SPLIT = """
+ORACLE_HASH_SPLIT = f"""
 WITH b AS (
   SELECT doc_id,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+         {md5_bucket_sql('doc_id')} % 100
            AS bucket
   FROM documents
 )
@@ -1147,12 +1168,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0b\f\r]+"), 0))
-    shard = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % _PACK_SHARDS
-    )
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_NON_WS_RE), 0))
+    shard = md5_bucket(F.col("doc_id")) % _PACK_SHARDS
     base = docs.select(
         "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
     )
@@ -1176,9 +1193,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PACK_SEQUENCES = rf"""
 WITH t AS (
   SELECT doc_id,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         {md5_bucket_sql('doc_id')}
            % {_PACK_SHARDS} AS shard,
-         len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS n_tokens
+         len(regexp_extract_all(text, '{_NON_WS_RE}')) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -1270,9 +1287,7 @@ _STRAT_RATES = {"en": 25, "de": 100, "es": 100, "fr": 100, "zh": 50}  # pct kept
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
-        .cast("bigint")
-        % 100
+        md5_bucket(F.col("doc_id"), start=9) % 100
     )
     rate = F.coalesce(
         *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _STRAT_RATES.items()],
@@ -1287,7 +1302,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SAMPLE_STRATIFIED = f"""
 WITH b AS (
   SELECT doc_id, lang, source,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) % 100
+         {md5_bucket_sql('doc_id', start=9)} % 100
            AS bucket,
          CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in _STRAT_RATES.items())}
               ELSE 0 END AS keep_pct

@@ -513,6 +513,16 @@ _REST_FIXTURES = {"nama_10_gdp": _JS_PAYLOAD, "une_rt_m": _JS2_PAYLOAD}
 
 
 _REST_SCRATCH: str | None = None
+
+
+@__import__("atexit").register
+def _cleanup_rest_scratch() -> None:
+    # same leak class as storage._LAYOUT_CACHE: per-process scratch
+    # must not accumulate in /tmp across gate/bench invocations
+    import shutil
+
+    if _REST_SCRATCH is not None:
+        shutil.rmtree(_REST_SCRATCH, ignore_errors=True)
 # (appId, session identity) → per-dataset decoded extract frames. The
 # extract chain is a PURE plan over static fixture payloads (~50 py4j
 # Column constructions through the JSON-stat decoder, built twice per

@@ -51,6 +51,19 @@ def _hyperplane(j: int, dim: int = _DIM) -> list[float]:
 _PLANES = [_hyperplane(j) for j in range(_N_PLANES)]
 
 
+def embeddings_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE embeddings source for every query in this module: vectors
+    with a NULL ``embedding`` are dropped AT THE SCAN. The numpy Arrow
+    passes (``np.stack`` in _topk_reduce/_plane_bucket_udf/
+    _dedup_buckets_udf) CRASH on a None row where the SQL oracles
+    would merely drop it through their norm filters — one explicit,
+    mirrored ``WHERE embedding IS NOT NULL`` on both sides makes the
+    contract visible and the behaviors identical. A doc without an
+    embedding has nothing to search/dedup on; it is upstream's row,
+    not this module's."""
+    return load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+
+
 def _vec_double() -> Column:
     return F.transform("embedding", lambda x: x.cast("double"))
 
@@ -229,7 +242,7 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is output-invariant here. (HOFs are not codegen'd: an
     ``aggregate(zip_with)`` fold per row measured ~0.6s/query at
     sf0.1 vs ~0.1s for the Arrow GEMM.)"""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = embeddings_scan(spark, sf_dir).select("vec_id", "embedding")
     qa = _query_artifacts(emb)
     if qa is None:  # empty corpus/workload: total, returns the empty result
         return _empty_topk(spark)
@@ -239,7 +252,7 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_KNN_BRUTE = f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
 ),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
       WHERE sqrt(list_dot_product(v, v)) > 0),
@@ -291,7 +304,7 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     hook — quantization runs BEFORE the norm/zero-norm guard, matching
     the oracle's quantized-norm filters). Output is the raw quantized
     cosine (bit-identical across engines, see block comment)."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = embeddings_scan(spark, sf_dir).select("vec_id", "embedding")
     qa = _query_artifacts(emb, transform=_quantize_i8)
     if qa is None:  # empty corpus/workload: total, returns the empty result
         return _empty_topk(spark, score_name="qcos")
@@ -304,7 +317,7 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_KNN_QUANTIZED = f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
 ),
 s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
 qz AS (
@@ -340,7 +353,7 @@ WHERE rnk <= {_TOP_K}
 
 
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = embeddings_scan(spark, sf_dir)
     return (
         emb.select(_plane_bucket_udf(_PLANES)("embedding").alias("bucket_id"))
         .groupBy("bucket_id")
@@ -357,7 +370,8 @@ def _oracle_bucket_sql(vcol: str) -> str:
 
 
 ORACLE_LSH_BUCKETS = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL)
 SELECT {_oracle_bucket_sql("v")} AS bucket_id, count(*) AS n_vecs
 FROM e
 GROUP BY 1
@@ -381,7 +395,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucket_of(v: np.ndarray) -> np.ndarray:
         return _plane_buckets_np(_PLANES, v).astype(np.int64)
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = embeddings_scan(spark, sf_dir).select("vec_id", "embedding")
     qa = _query_artifacts(emb)
     if qa is None:  # empty corpus/workload: total, returns the empty result
         return _empty_topk(spark, extra_q_cols=[("bucket_id", None, "int")])
@@ -396,7 +410,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_KNN_LSH = f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
 ),
 n AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
@@ -484,9 +498,9 @@ def _dedup_buckets_udf():
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    emb = embeddings_scan(spark, sf_dir).select("vec_id", _vec_double().alias("v"))
     emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    raw = load(spark, sf_dir, "embeddings")
+    raw = embeddings_scan(spark, sf_dir)
     banded = raw.select(
         "vec_id", F.posexplode(_dedup_buckets_udf()("embedding")).alias("table_idx", "bucket")
     )
@@ -531,7 +545,7 @@ def _oracle_dedup_bucket_sql(vcol: str, t: int) -> str:
 
 ORACLE_DEDUP_EMBEDDING = f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
 ),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 src AS (
@@ -577,6 +591,16 @@ WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= {_DEDUP_COS_THRESHOLD}
 # --------------------------------------------------------------------------
 
 _IVF_CENTROID_STRIDE = 125  # 500 vecs → 4 centroids; 2000 → 16
+# HARD CAP on the centroid count: the stride alone grows the centroid
+# set linearly with the corpus, and centroids are a driver-side,
+# task-closure-shipped artifact — unbounded, a 1e9-row corpus would
+# collect ~8M rows to the driver (GBs) and make per-batch assignment
+# O(n²/stride). The cap keeps it a true bounded workload artifact
+# (< ~256 KB) at ANY corpus size; id-orderedness keeps the selection
+# deterministic and identical in SQL. Real deployments train centroids
+# (see q_kmeans_refine) instead of sampling by id.
+_IVF_MAX_CENTROIDS = 512
+_IVF_CENTROID_ID_BOUND = _IVF_CENTROID_STRIDE * _IVF_MAX_CENTROIDS
 _IVF_NPROBE = 2
 _TOP_K_IVF = 5
 
@@ -593,13 +617,13 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie-breaks replicate the oracle's (ccos DESC, c_id ASC) ordering
     via lexsort; sign/rounding margins as in ``q_knn_brute``."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = embeddings_scan(spark, sf_dir).select("vec_id", "embedding")
     # one scan collects BOTH driver-side artifacts (centroid set + query
     # workload); they are then split locally
-    small = emb.filter(
-        (F.col("vec_id") % _IVF_CENTROID_STRIDE == 7)
-        | (F.col("vec_id") % _QUERY_MOD == 0)
-    ).collect()
+    is_centroid = (F.col("vec_id") % _IVF_CENTROID_STRIDE == 7) & (
+        F.col("vec_id") < _IVF_CENTROID_ID_BOUND
+    )
+    small = emb.filter(is_centroid | (F.col("vec_id") % _QUERY_MOD == 0)).collect()
     small.sort(key=lambda r: r.vec_id)
     # zero-norm guard on every driver artifact (cosine undefined);
     # the oracle filters nrm > 0 in its base CTE
@@ -607,7 +631,11 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return [r for r in rows if any(x != 0.0 for x in r.embedding)]
 
     small = _nz(small)
-    cent_rows = [r for r in small if r.vec_id % _IVF_CENTROID_STRIDE == 7]
+    cent_rows = [
+        r
+        for r in small
+        if r.vec_id % _IVF_CENTROID_STRIDE == 7 and r.vec_id < _IVF_CENTROID_ID_BOUND
+    ]
     if not cent_rows or not any(r.vec_id % _QUERY_MOD == 0 for r in small):
         # empty corpus (or no centroids/queries): total, empty result
         return spark.createDataFrame(
@@ -650,13 +678,13 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_KNN_IVF = f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
 ),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
       WHERE sqrt(list_dot_product(v, v)) > 0),
 cent AS (
   SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
-  WHERE vec_id % {_IVF_CENTROID_STRIDE} = 7
+  WHERE vec_id % {_IVF_CENTROID_STRIDE} = 7 AND vec_id < {_IVF_CENTROID_ID_BOUND}
 ),
 assigned AS (
   SELECT vec_id, c_id AS cluster FROM (
@@ -710,7 +738,7 @@ WHERE rnk <= {_TOP_K_IVF}
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = embeddings_scan(spark, sf_dir).select(
         "vec_id", "label", _vec_double().alias("v")
     )
     cells = emb.select("label", F.posexplode("v").alias("dim", "val"))
@@ -750,6 +778,7 @@ ORACLE_LABEL_CENTROIDS = f"""
 WITH cells AS (
   SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
   FROM embeddings, (SELECT unnest(range(1, {_DIM} + 1)) AS i)
+  WHERE embedding IS NOT NULL
 ),
 per_dim AS (
   SELECT label, dim, count(*) AS n,
@@ -801,7 +830,7 @@ _KM_K = 8
 
 
 def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    emb = embeddings_scan(spark, sf_dir).select("vec_id", _vec_double().alias("v"))
     seed_rows = sorted(
         emb.filter(F.col("vec_id") < _KM_K).collect(), key=lambda r: r.vec_id
     )
@@ -881,7 +910,7 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_KMEANS_REFINE = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 c AS (SELECT vec_id AS k, v AS cv FROM e WHERE vec_id < {_KM_K}),
 d AS (
@@ -943,7 +972,7 @@ GROUP BY k
 
 
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    emb = embeddings_scan(spark, sf_dir).select("vec_id", _vec_double().alias("v"))
     cells = emb.select(F.posexplode("v").alias("dim", "val"))
     per_dim = cells.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
@@ -985,7 +1014,7 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EMBEDDING_NORMALIZE = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 cells AS (
   SELECT i - 1 AS dim, v[i] AS val

@@ -35,6 +35,17 @@ def _layout_key(spark: SparkSession, kind: str, sf_dir: str) -> tuple[str, str, 
     return (spark.sparkContext.applicationId, kind, sf_dir)
 
 
+@__import__("atexit").register
+def _cleanup_layout_dirs() -> None:
+    # layout dirs hold FULL table copies; without cleanup every
+    # gate/bench/regime process on a long-lived machine leaves a new
+    # set in /tmp until the OS intervenes
+    import shutil
+
+    for base in _LAYOUT_CACHE.values():
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket both join sides on the key → SortMergeJoin with ZERO
     exchanges: each bucket pair joins in place. At 100 TB this is the
@@ -153,10 +164,15 @@ _DEL_USER_MOD = 53
 
 
 def delete_where_partition_scoped(
-    spark: SparkSession, path: str, window, row_pred, schema=None
+    spark: SparkSession,
+    path: str,
+    window,
+    row_pred,
+    schema=None,
+    partition_col: str = "event_date",
 ) -> None:
     """Rewrite only the partitions selected by ``window`` (a predicate
-    on the partition column), dropping rows matching ``row_pred``.
+    on ``partition_col``), dropping rows matching ``row_pred``.
     ``window`` must reference ONLY partition columns — that is what
     makes the read prune and the overwrite partition-scoped.
     ``schema`` (the catalog schema in production) makes the read total
@@ -188,17 +204,17 @@ def delete_where_partition_scoped(
         tgt = reader.parquet(path)
         in_window = [
             r[0]
-            for r in tgt.filter(window).select("event_date").distinct().collect()
+            for r in tgt.filter(window).select(partition_col).distinct().collect()
         ]
         keep = tgt.filter(window).filter(~row_pred | row_pred.isNull())
         surviving = {
-            r[0] for r in keep.select("event_date").distinct().collect()
+            r[0] for r in keep.select(partition_col).distinct().collect()
         }
-        keep.write.mode("overwrite").partitionBy("event_date").parquet(path)
+        keep.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         for v in in_window:
             if v in surviving:
                 continue
-            part_dir = f"{path}/event_date={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            part_dir = f"{path}/{partition_col}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
             if _os.path.isdir(part_dir):
                 _shutil.rmtree(part_dir)
     finally:

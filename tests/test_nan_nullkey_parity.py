@@ -26,7 +26,23 @@ from dbt_economic_indicators_eu_spark.queries.common import TABLES, all_queries
 
 SRC = "/root/testdata/sf0.001"
 
-_QUERIES = ["forecast_ensemble", "anomaly_zscore", "sketch_agg", "asof_join"]
+_QUERIES = [
+    "forecast_ensemble",
+    "anomaly_zscore",
+    "sketch_agg",
+    "asof_join",
+    # NULL-embedding rows: numpy np.stack crashes where the oracles
+    # drop the row — both sides now filter at the scan (embeddings_scan)
+    "knn_brute",
+    "knn_quantized",
+    "knn_lsh",
+    "lsh_buckets",
+    "knn_ivf",
+    "dedup_embedding",
+    "embedding_normalize",
+    "kmeans_refine",
+    "label_centroids",
+]
 
 
 @pytest.fixture(scope="module")
@@ -47,6 +63,12 @@ def mutated_sf(tmp_path_factory):
             null_mask = pa.array([(i % 13) == 7 for i in range(n)])
             uid = pc.if_else(null_mask, pa.nulls(n, uid.type), uid)
             tbl = tbl.set_column(tbl.column_names.index("user_id"), "user_id", uid)
+        if t == "embeddings":
+            n = tbl.num_rows
+            emb = tbl.column("embedding").combine_chunks()
+            mask = pa.array([(i % 17) == 3 for i in range(n)])
+            emb = pc.if_else(mask, pa.nulls(n, emb.type), emb)
+            tbl = tbl.set_column(tbl.column_names.index("embedding"), "embedding", emb)
         pq.write_table(tbl, f"{d}/{t}.parquet")
     con = duckdb.connect()
     for t in TABLES:
