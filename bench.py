@@ -321,6 +321,15 @@ def main() -> int:
             elapsed = time_one(name, qs[name])
             if elapsed >= 0:
                 per_query[name] = min(per_query[name], elapsed)
+        # re-sample the ORACLE side for the same names too: a
+        # Spark-only retry could only lower Spark minima, biasing the
+        # ratio in Spark's favor — the same asymmetry the interleaved
+        # passes above exist to eliminate
+        if oracle_on:
+            try:
+                _oracle_pass(sf_dir, set(retry), oracle_best)
+            except Exception as exc:
+                print(f"bench: oracle retry failed: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in per_query.values() if t >= 0), 3)
     sf = None
@@ -401,8 +410,13 @@ def _oracle_pass(sf_dir: str, names: set[str], best: dict[str, float]) -> None:
 
     if _ORACLE_CON is None:
         _ORACLE_CON = duckdb.connect()
+        # tolerate non-integer SPARK_GRAFT_CPUS (e.g. '*', which the
+        # Spark master string accepts): a raise here would be swallowed
+        # by one_full_pass's blanket except EVERY pass and silently
+        # drop ratio_vs_oracle from the payload
+        _cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         _ORACLE_CON.execute(
-            f"SET threads={int(os.environ.get('SPARK_GRAFT_CPUS', '32'))}"
+            f"SET threads={int(_cpus) if _cpus.isdigit() else os.cpu_count() or 8}"
         )
         from dbt_economic_indicators_eu_spark.queries.common import TABLES
 

@@ -60,6 +60,14 @@ def range_join(
     clash = set(facts.columns) & set(intervals.columns)
     if clash:
         raise ValueError(f"column collision between facts and intervals: {sorted(clash)}")
+    # reserved internal: withColumn would silently OVERWRITE a user
+    # column of this name and drop(_BIN) would then delete the user's
+    # data from the output — fail loudly like asof_join's guard
+    reserved = {_BIN} & set(facts.columns + intervals.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with range_join internals: {sorted(reserved)}"
+        )
 
     f_binned = facts.withColumn(_BIN, _bin_of(F.col(fact_ts), bin_seconds))
     i_binned = (

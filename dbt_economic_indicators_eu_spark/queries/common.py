@@ -132,9 +132,12 @@ def md5_bucket(key: Column, start: int = 1) -> Column:
 
 
 def md5_bucket_sql(expr: str, start: int = 1) -> str:
-    """DuckDB twin of ``md5_bucket``."""
+    """DuckDB twin of ``md5_bucket``. ``||``, NOT concat(): concat
+    SKIPS null args, so a NULL key would yield the literal '0x' and
+    CAST('0x' AS BIGINT) aborts the query — while the Spark twin
+    returns NULL. ``||`` propagates NULL, matching Spark exactly."""
     return (
-        f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), {start}, 8)) "
+        f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), {start}, 8) "
         "AS BIGINT)"
     )
 
