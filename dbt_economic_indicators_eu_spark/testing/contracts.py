@@ -26,7 +26,7 @@ class ContractProblem(NamedTuple):
     ``kind`` instead of parsing the human-readable message."""
 
     name: str  # column name
-    kind: str  # 'missing' | 'type' | 'nullability' | 'unexpected'
+    kind: str  # 'missing' | 'type' | 'nullability' | 'unexpected' | 'duplicate'
     detail: str  # human-readable message
 
     def __str__(self) -> str:  # keeps "; ".join(problems) readable

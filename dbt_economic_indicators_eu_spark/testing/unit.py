@@ -92,8 +92,21 @@ def run_unit_test(
             return df
         cols = []
         for f in df.schema.fields:
-            if f.dataType.simpleString() in ("double", "float"):
+            kind = f.dataType.simpleString()
+            if kind in ("double", "float"):
                 cols.append(F.round(F.col(f.name), digits).alias(f.name))
+            elif kind in ("array<double>", "array<float>"):
+                # tolerance applies INSIDE float arrays too — leaving
+                # them exact would flake on platform FP-ordering noise
+                # with no hint the tolerance was never applied. (Floats
+                # nested in structs/maps are still compared exactly —
+                # no fixture model emits those; flatten before
+                # comparing if one ever does.)
+                cols.append(
+                    F.transform(F.col(f.name), lambda x: F.round(x, digits)).alias(
+                        f.name
+                    )
+                )
             else:
                 cols.append(F.col(f.name))
         return df.select(*cols)

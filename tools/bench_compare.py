@@ -98,6 +98,10 @@ def main() -> int:
                 moved.append((name, a, b, "FAILED"))
             elif a <= 0 < b:
                 moved.append((name, a, b, "fixed"))
+            else:
+                # failed in BOTH runs: a persistent breakage must not
+                # read as "no per-query move" — keep the signal
+                moved.append((name, a, b, "still FAILED"))
             continue
         ratio = b / a
         if ratio > thresh or ratio < 1 / thresh:

@@ -37,7 +37,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(9)
         elif str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("datetime64[us]").astype(str)
+            # canonicalize NULLs here too: a nullable DATE column comes
+            # back as object-of-datetime.date from Spark (NULL →
+            # '<NULL>' above) but datetime64 from DuckDB (NULL → 'NaT'
+            # under astype(str)) — identical data must not diff
+            df[c] = (
+                df[c].astype("datetime64[us]").astype(str).replace("NaT", "<NULL>")
+            )
     # sort floats at a COARSER grain (6dp) than the 1e-9 compare
     # tolerance: sorting on the compared values directly would let
     # within-tolerance engine noise reorder rows and diff row A

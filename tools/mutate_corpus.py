@@ -34,10 +34,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+# THE table list comes from the engine package — check_oracle.py (the
+# downstream consumer of mutated corpora) registers views for exactly
+# queries.common.TABLES, so a hardcoded copy here would let a new
+# table silently fall out of every regime corpus
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from dbt_economic_indicators_eu_spark.queries.common import TABLES  # noqa: E402
 
 NULLABLE = {
     "documents": ["text", "lang", "source"],

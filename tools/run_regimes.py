@@ -41,8 +41,13 @@ SUMMARY_RE = re.compile(r"(\d+) pass, (\d+) fail, (\d+) rows-only")
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    regimes = args[1:] or list(REGIMES)
+    # `run_regimes.py null` means "the null regime at the default SF",
+    # not sf_dir='null' — a first arg that names a regime is a regime
+    if args and args[0] in REGIMES:
+        sf_dir, regimes = "/root/testdata/sf0.01", args
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        regimes = args[1:] or list(REGIMES)
     unknown = [r for r in regimes if r not in REGIMES]
     if unknown:
         print(f"ERROR unknown regimes: {unknown} (known: {sorted(REGIMES)})")
