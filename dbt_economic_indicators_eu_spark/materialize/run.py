@@ -78,12 +78,20 @@ def _overwrite_table(df: DataFrame, model, name: str, path: str) -> None:
     # deletes the target BEFORE writing, so a crash mid-write would
     # destroy the stored relation (fatal for a --full-refresh rebuild
     # of an incremental's accumulated history) — write beside, then
-    # atomically rename into place
+    # swap via two renames. rename-aside + rename-into-place leaves a
+    # window of only two metadata ops with no live table (vs the whole
+    # rmtree of the old layout); a crash inside it is recoverable from
+    # either the .old or the .tmp directory.
     tmp = path.rstrip("/") + ".tmp"
+    old = path.rstrip("/") + ".old"
     writer.parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     log_observed(name, obs)
 
 

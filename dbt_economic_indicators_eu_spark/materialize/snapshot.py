@@ -146,9 +146,12 @@ def run_snapshot(
     # One tiny extra job: a map-side-combined groupBy on the key,
     # short-circuited by limit(1); NULL groups as one key, matching the
     # merge's null-safe join.
+    # collision-free alias: a key literally named "count" would make
+    # .count()'s output ambiguous and raise AMBIGUOUS_REFERENCE instead
+    # of the intended duplicate-key ValueError
     dup = (
-        current.groupBy(unique_key).count()
-        .filter(F.col("count") > 1).limit(1).collect()
+        current.groupBy(unique_key).agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1).limit(1).collect()
     )
     if dup:
         raise ValueError(
@@ -156,8 +159,16 @@ def run_snapshot(
             f"{dup[0][0]!r}: SCD2 requires one row per key per run"
         )
     nxt = scd2_merge(prev, current, unique_key, check_cols, now)
+    # two-rename swap (same recovery posture as run._overwrite_table):
+    # never a window where the only copy of accumulated history is
+    # mid-rmtree — a crash leaves either .old or .tmp intact
     tmp = snapshot_path.rstrip("/") + ".tmp"
+    old = snapshot_path.rstrip("/") + ".old"
     nxt.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(snapshot_path):
-        shutil.rmtree(snapshot_path)
+        os.rename(snapshot_path, old)
     os.rename(tmp, snapshot_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)

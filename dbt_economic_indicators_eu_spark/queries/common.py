@@ -34,18 +34,11 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
+# canonical list lives in the dependency-free ``tableset`` module so
+# the pyarrow-only tools (mutate_corpus) can share it without a
+# pyspark import; re-exported here because the engine/tests/tools
+# historically import it from this module
+from ..tableset import TABLES  # noqa: F401
 
 
 # (applicationId, session identity, sf_dir, table) → analyzed scan

@@ -426,6 +426,23 @@ def test_scd2_run_snapshot_rejects_duplicate_keys(spark, tmp_path):
         run_snapshot(spark, str(tmp_path / "snap"), dup, "k", ["v"], T1)
 
 
+def test_scd2_dup_guard_survives_key_named_count(spark, tmp_path):
+    """The duplicate-key guard must use a collision-free agg alias: a
+    unique_key literally named 'count' would otherwise make the
+    groupBy().count() output ambiguous (AMBIGUOUS_REFERENCE) instead
+    of raising the intended duplicate-key ValueError — and a clean
+    run on such a key must simply succeed."""
+    import pytest
+
+    from dbt_economic_indicators_eu_spark.materialize.snapshot import run_snapshot
+
+    ok = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "count string, v double")
+    run_snapshot(spark, str(tmp_path / "snap_ok"), ok, "count", ["v"], T1)
+    dup = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "count string, v double")
+    with pytest.raises(ValueError, match="duplicate"):
+        run_snapshot(spark, str(tmp_path / "snap_dup"), dup, "count", ["v"], T1)
+
+
 def test_merge_watermark_survives_wm_column_clash(spark):
     """An incoming frame already carrying a column literally named
     __wm must not break the watermark crossJoin (internal alias is

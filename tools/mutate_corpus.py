@@ -34,12 +34,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-# THE table list comes from the engine package — check_oracle.py (the
-# downstream consumer of mutated corpora) registers views for exactly
-# queries.common.TABLES, so a hardcoded copy here would let a new
-# table silently fall out of every regime corpus
+# THE table list comes from the engine package's dependency-free
+# ``tableset`` module — check_oracle.py (the downstream consumer of
+# mutated corpora) registers views for exactly this list, so a
+# hardcoded copy here would let a new table silently fall out of
+# every regime corpus. Importing tableset (not queries.common) keeps
+# this tool pyarrow-only: no pyspark import cost, and a broken
+# pyspark install can't break corpus mutation.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from dbt_economic_indicators_eu_spark.queries.common import TABLES  # noqa: E402
+from dbt_economic_indicators_eu_spark.tableset import TABLES  # noqa: E402
 
 NULLABLE = {
     "documents": ["text", "lang", "source"],
