@@ -12,9 +12,12 @@ Plain-parquet strategy (no Delta in this environment):
    replaced — ``existing LEFT ANTI JOIN incoming ON key``, then
    ``unionByName(..., allowMissingColumns=True)`` which implements
    ``append_new_columns`` schema evolution in both directions;
-3. atomic-ish swap: write to ``<path>.tmp`` then rename. True
-   atomicity needs a transactional table format (Delta/Iceberg) — at
-   cluster scale swap via metastore table-pointer flip instead.
+3. crash-safe swap (``swap_into_place``): write to ``<path>.tmp``,
+   rename the live table aside, rename ``.tmp`` into place —
+   ``recover_interrupted_swap`` resolves every crash window before the
+   next read. True atomicity needs a transactional table format
+   (Delta/Iceberg) — at cluster scale swap via metastore
+   table-pointer flip instead.
 
 Scale posture: the anti-join shuffles on the unique key (uniform
 surrogate md5 → no skew); the incoming batch is typically small →
@@ -53,6 +56,67 @@ def has_parquet_files(path: str) -> bool:
         ):
             return True
     return False
+
+
+def recover_interrupted_swap(path: str) -> None:
+    """Finish (or roll back) a ``swap_into_place`` that crashed mid-swap.
+
+    Callers invoke this BEFORE READING ``path`` — a crash between the
+    two renames leaves ``path`` missing, and a reader that sees that as
+    first-run semantics would then rebuild without history and destroy
+    both recovery copies on its own swap (the silent-history-loss
+    failure mode this module exists to prevent).
+
+    States and their resolution:
+    - ``path`` live + stale ``.old``: crash after the swap completed
+      but before cleanup — drop ``.old``.
+    - ``path`` missing + ``.old`` present: crash between the renames.
+      ``.tmp``, if present, is the COMPLETE new state (the rename-aside
+      happens strictly after the tmp write returns), so promote it and
+      finish the swap; otherwise restore ``.old``.
+    - ``path`` missing + only ``.tmp``: a FIRST write crashed mid-write
+      — ``.tmp`` may be partial, so it is NOT promoted; the caller
+      rebuilds from scratch and the next swap overwrites it.
+    """
+    path = path.rstrip("/")
+    tmp, old = path + ".tmp", path + ".old"
+    if os.path.exists(path):
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        return
+    if os.path.exists(old):
+        if os.path.exists(tmp):
+            os.rename(tmp, path)
+        else:
+            os.rename(old, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+
+def swap_into_place(writer, path: str) -> None:
+    """Crash-safe directory swap shared by every overwrite-style
+    materialization (table overwrite, incremental global merge, SCD2
+    snapshot): write the new state beside the live table, then swap via
+    two renames. There is never a window where the only copy of
+    accumulated state is mid-``rmtree`` — a crash at any point leaves
+    ``path``, ``.old``, or a complete ``.tmp`` on disk, and
+    ``recover_interrupted_swap`` (run here and before every read of
+    ``path``) resolves each state. True atomicity needs a transactional
+    table format; at cluster scale swap via a metastore table-pointer
+    flip instead.
+
+    ``writer`` is a configured ``DataFrameWriter`` in overwrite mode
+    (so a stale ``.tmp`` from a previous crash is simply overwritten).
+    """
+    path = path.rstrip("/")
+    recover_interrupted_swap(path)
+    tmp, old = path + ".tmp", path + ".old"
+    writer.parquet(tmp)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def _past_watermark(existing: DataFrame, incoming: DataFrame, wc: str) -> DataFrame:
@@ -128,6 +192,10 @@ def run_incremental(
     partitions' files are never rewritten. A monthly batch into a
     years-deep fact table costs O(batch partitions), not O(table).
     """
+    # finish any crashed swap FIRST: a missing target with a live .old
+    # must read as the old table, never as first-run (which would merge
+    # only the incoming batch — permanent loss of accumulated history)
+    recover_interrupted_swap(target_path)
     existing = None
     if os.path.exists(target_path):
         # A rowless (e.g. first-run-on-empty-source) partitioned target
@@ -153,14 +221,10 @@ def run_incremental(
         merged = merge_upsert(
             existing, incoming, unique_key, watermark_col, broadcast_incoming_keys
         )
-        tmp = target_path.rstrip("/") + ".tmp"
         w = merged.write.mode("overwrite")
         if partition_by is not None:
             w = w.partitionBy(partition_by)
-        w.parquet(tmp)
-        if os.path.exists(target_path):
-            shutil.rmtree(target_path)
-        os.rename(tmp, target_path)
+        swap_into_place(w, target_path)
         return
 
     # -- partition-scoped path ----------------------------------------

@@ -16,13 +16,12 @@ from __future__ import annotations
 
 import logging
 import os
-import shutil
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import Context, Registry
-from .incremental import has_parquet_files, run_incremental
+from .incremental import has_parquet_files, run_incremental, swap_into_place
 from .snapshot import run_snapshot, scd2_merge
 
 logger = logging.getLogger(__name__)
@@ -74,24 +73,11 @@ def _overwrite_table(df: DataFrame, model, name: str, path: str) -> None:
     writer = observed.write.mode("overwrite")
     if model.partition_by:
         writer = writer.partitionBy(model.partition_by)
-    # tmp-swap like run_incremental's global path: a plain overwrite
-    # deletes the target BEFORE writing, so a crash mid-write would
-    # destroy the stored relation (fatal for a --full-refresh rebuild
-    # of an incremental's accumulated history) — write beside, then
-    # swap via two renames. rename-aside + rename-into-place leaves a
-    # window of only two metadata ops with no live table (vs the whole
-    # rmtree of the old layout); a crash inside it is recoverable from
-    # either the .old or the .tmp directory.
-    tmp = path.rstrip("/") + ".tmp"
-    old = path.rstrip("/") + ".old"
-    writer.parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    # crash-safe swap shared with run_incremental and run_snapshot: a
+    # plain overwrite deletes the target BEFORE writing, so a crash
+    # mid-write would destroy the stored relation (fatal for a
+    # --full-refresh rebuild of an incremental's accumulated history)
+    swap_into_place(writer, path)
     log_observed(name, obs)
 
 

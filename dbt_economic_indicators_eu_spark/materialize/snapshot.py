@@ -26,14 +26,12 @@ changes, matching dbt's check strategy.
 
 from __future__ import annotations
 
-import os
-import shutil
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .incremental import has_parquet_files
+from .incremental import has_parquet_files, recover_interrupted_swap, swap_into_place
 
 
 def _any_check_changed(check_cols: tuple[str, ...] | list[str]) -> Column:
@@ -131,6 +129,11 @@ def run_snapshot(
     check_cols: list[str],
     now,
 ) -> None:
+    # finish any crashed swap BEFORE the footer probe: a missing path
+    # with a live .old must read as the prior snapshot, never as
+    # first-run (which would rebuild without history and destroy both
+    # recovery copies on its own swap)
+    recover_interrupted_swap(snapshot_path)
     # footer probe, not a bare exists(): a rowless prior snapshot (an
     # empty source slice wrote a directory with no parquet data files)
     # must read as first-run, not crash UNABLE_TO_INFER_SCHEMA forever
@@ -146,12 +149,16 @@ def run_snapshot(
     # One tiny extra job: a map-side-combined groupBy on the key,
     # short-circuited by limit(1); NULL groups as one key, matching the
     # merge's null-safe join.
-    # collision-free alias: a key literally named "count" would make
-    # .count()'s output ambiguous and raise AMBIGUOUS_REFERENCE instead
-    # of the intended duplicate-key ValueError
+    # collision-free alias (same loop as the presence markers in
+    # scd2_merge): a key literally named "count" — or "__n" — would
+    # otherwise make the agg output ambiguous and raise
+    # AMBIGUOUS_REFERENCE instead of the intended ValueError
+    n_alias = "__n"
+    while n_alias == unique_key:
+        n_alias = "_" + n_alias
     dup = (
-        current.groupBy(unique_key).agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1).limit(1).collect()
+        current.groupBy(unique_key).agg(F.count(F.lit(1)).alias(n_alias))
+        .filter(F.col(n_alias) > 1).limit(1).collect()
     )
     if dup:
         raise ValueError(
@@ -159,16 +166,4 @@ def run_snapshot(
             f"{dup[0][0]!r}: SCD2 requires one row per key per run"
         )
     nxt = scd2_merge(prev, current, unique_key, check_cols, now)
-    # two-rename swap (same recovery posture as run._overwrite_table):
-    # never a window where the only copy of accumulated history is
-    # mid-rmtree — a crash leaves either .old or .tmp intact
-    tmp = snapshot_path.rstrip("/") + ".tmp"
-    old = snapshot_path.rstrip("/") + ".old"
-    nxt.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(snapshot_path):
-        os.rename(snapshot_path, old)
-    os.rename(tmp, snapshot_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    swap_into_place(nxt.write.mode("overwrite"), snapshot_path)

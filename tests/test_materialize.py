@@ -426,6 +426,127 @@ def test_scd2_run_snapshot_rejects_duplicate_keys(spark, tmp_path):
         run_snapshot(spark, str(tmp_path / "snap"), dup, "k", ["v"], T1)
 
 
+def test_swap_recovery_resolves_every_crash_state(spark, tmp_path):
+    """recover_interrupted_swap must resolve each state a crashed
+    swap_into_place can leave: promote a complete .tmp when the
+    rename-aside happened (the .old directory proves the tmp write
+    finished), restore .old when .tmp is gone, drop a stale .old
+    beside a live table, and NOT promote a lone .tmp (it may be a
+    partial first write)."""
+    import os
+    import shutil
+
+    from dbt_economic_indicators_eu_spark.materialize.incremental import (
+        recover_interrupted_swap,
+    )
+
+    def write(path, tag):
+        spark.createDataFrame([(tag,)], "tag string").write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    def tag(path):
+        return spark.read.parquet(path).collect()[0]["tag"]
+
+    # crash between the renames: .old = old state, .tmp = complete new
+    p = str(tmp_path / "between")
+    write(p + ".old", "old")
+    write(p + ".tmp", "new")
+    recover_interrupted_swap(p)
+    assert tag(p) == "new"
+    assert not os.path.exists(p + ".old") and not os.path.exists(p + ".tmp")
+
+    # crash after tmp promoted but before .old cleanup... represented
+    # by: .old present, no .tmp → restore .old (rollback)
+    p = str(tmp_path / "rollback")
+    write(p + ".old", "old")
+    recover_interrupted_swap(p)
+    assert tag(p) == "old"
+    assert not os.path.exists(p + ".old")
+
+    # live table + stale .old → drop the stale copy, table untouched
+    p = str(tmp_path / "stale_old")
+    write(p, "live")
+    write(p + ".old", "old")
+    recover_interrupted_swap(p)
+    assert tag(p) == "live"
+    assert not os.path.exists(p + ".old")
+
+    # lone .tmp with no .old: a first write that may have crashed
+    # mid-write — must NOT be promoted to a live table
+    p = str(tmp_path / "lone_tmp")
+    write(p + ".tmp", "maybe_partial")
+    recover_interrupted_swap(p)
+    assert not os.path.exists(p)
+    assert os.path.exists(p + ".tmp")
+    shutil.rmtree(p + ".tmp")
+
+
+def test_run_snapshot_survives_crash_between_renames(spark, tmp_path):
+    """End-to-end: a run_snapshot rerun after a crash between the two
+    swap renames must recover the completed new state and rerun
+    idempotently — NOT read the missing path as first-run and install
+    a history-less snapshot (the silent-history-loss failure mode)."""
+    import os
+    import shutil
+
+    from dbt_economic_indicators_eu_spark.materialize.snapshot import run_snapshot
+
+    snap = str(tmp_path / "snap")
+    v1 = spark.createDataFrame([("k1", 1.0)], "k string, v double")
+    v2 = spark.createDataFrame([("k1", 2.0)], "k string, v double")
+    run_snapshot(spark, snap, v1, "k", ["v"], T1)
+    run_snapshot(spark, snap, v2, "k", ["v"], T2)
+    want = _rows(spark.read.parquet(snap), "k", "v", "is_current")
+    assert len(want) == 2  # closed v1 row + open v2 row
+
+    # simulate the crash window: state2 fully written to .tmp, state1
+    # renamed aside, path missing
+    shutil.move(snap, snap + ".tmp")
+    run_snapshot(spark, snap, v1, "k", ["v"], T1)
+    os.rename(snap, snap + ".old")
+
+    # unattended rerun of the same v2 batch: must promote .tmp
+    # (state2), read it as prev, and stay idempotent
+    run_snapshot(spark, snap, v2, "k", ["v"], T2)
+    assert _rows(spark.read.parquet(snap), "k", "v", "is_current") == want
+    assert not os.path.exists(snap + ".old")
+    assert not os.path.exists(snap + ".tmp")
+
+
+def test_run_incremental_survives_crash_between_renames(spark, tmp_path):
+    """The global-merge path's swap gets the same recovery guarantee:
+    after a simulated crash between the renames, the next batch must
+    merge against the recovered accumulated table, not treat the
+    missing path as first-run (permanent loss of prior batches)."""
+    import os
+    import shutil
+
+    from dbt_economic_indicators_eu_spark.materialize.incremental import (
+        run_incremental,
+    )
+
+    tgt = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([("k1", 1, 1.0)], "k string, d int, v double")
+    b2 = spark.createDataFrame([("k2", 2, 2.0)], "k string, d int, v double")
+    b3 = spark.createDataFrame([("k3", 3, 3.0)], "k string, d int, v double")
+    run_incremental(spark, tgt, b1, "k")
+    run_incremental(spark, tgt, b2, "k")
+
+    # crash window: merged {b1,b2} sits complete in .tmp, the b1-only
+    # table was renamed aside, path is missing
+    shutil.move(tgt, tgt + ".tmp")
+    run_incremental(spark, str(tmp_path / "only_b1"), b1, "k")
+    shutil.move(str(tmp_path / "only_b1"), tgt + ".old")
+
+    run_incremental(spark, tgt, b3, "k")
+    assert _rows(spark.read.parquet(tgt), "k", "v") == [
+        ("k1", 1.0), ("k2", 2.0), ("k3", 3.0),
+    ]
+    assert not os.path.exists(tgt + ".old")
+    assert not os.path.exists(tgt + ".tmp")
+
+
 def test_scd2_dup_guard_survives_key_named_count(spark, tmp_path):
     """The duplicate-key guard must use a collision-free agg alias: a
     unique_key literally named 'count' would otherwise make the
@@ -441,6 +562,12 @@ def test_scd2_dup_guard_survives_key_named_count(spark, tmp_path):
     dup = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "count string, v double")
     with pytest.raises(ValueError, match="duplicate"):
         run_snapshot(spark, str(tmp_path / "snap_dup"), dup, "count", ["v"], T1)
+    # and the guard's own internal alias as the key
+    ok2 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "__n string, v double")
+    run_snapshot(spark, str(tmp_path / "snap_ok2"), ok2, "__n", ["v"], T1)
+    dup2 = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "__n string, v double")
+    with pytest.raises(ValueError, match="duplicate"):
+        run_snapshot(spark, str(tmp_path / "snap_dup2"), dup2, "__n", ["v"], T1)
 
 
 def test_merge_watermark_survives_wm_column_clash(spark):
