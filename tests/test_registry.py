@@ -201,8 +201,43 @@ def test_verify_rotation_names_consistent():
     names = all_queries()
     assert len(set(_VERIFY_FIRST)) == len(_VERIFY_FIRST)
     assert set(_VERIFY_FIRST) <= set(names)
+    # the driver records verdicts for EXACTLY a 50-query prefix — an
+    # over-long tuple silently drops its tail out of verification, a
+    # short one fills the remaining slots nondeterministically
+    assert len(_VERIFY_FIRST) == 50
     # rotation order is the dict order the driver samples
     assert list(names)[: len(_VERIFY_FIRST)] == list(_VERIFY_FIRST)
+
+
+def test_verify_rotation_covers_stale_cohort():
+    """Self-enforcing two-round freshness invariant: every query whose
+    latest driver verdict is one round stale (keys of the second-newest
+    CORRECTNESS artifact minus the newest's) must sit in the
+    _VERIFY_FIRST prefix, so after the coming round every query carries
+    a verdict from the last two rounds. Skips when fewer than two
+    artifacts exist (fresh clone)."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    from dbt_economic_indicators_eu_spark.queries.common import _VERIFY_FIRST
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if len(arts) < 2:
+        pytest.skip("needs two driver verdict artifacts")
+    with open(arts[-2]) as f:
+        prev = set(json.load(f))
+    with open(arts[-1]) as f:
+        newest = set(json.load(f))
+    stale = prev - newest
+    missing = stale - set(_VERIFY_FIRST)
+    assert not missing, (
+        f"{len(missing)} stale queries outside the verification prefix "
+        f"(would go >2 rounds unverified): {sorted(missing)}"
+    )
 
 
 def test_every_query_has_oracle_and_ops():
