@@ -122,38 +122,23 @@ def _spark(args):
     return get_spark(master=args.master)
 
 
-def _match_plain_tokens(reg, tokens: list[str]) -> set:
-    """Resolve name / tag: selector tokens WITHOUT the dependency-graph
-    harvest (no graph operators allowed): unknown names raise like
-    expand_selection does."""
-    from .plans.registry import RegistryError
-
-    out: set = set()
-    for t in tokens:
-        if t.startswith("tag:"):
-            tag = t[4:]
-            hits = {n for n, m in reg.models.items() if tag in m.tags}
-            if not hits:
-                raise RegistryError(f"no model carries tag {tag!r}")
-            out |= hits
-        elif t in reg.models or t in reg.sources:
-            out.add(t)
-        else:
-            raise RegistryError(f"unknown model or source {t!r}")
-    return out
-
-
-def _excluded_names(reg, args, spark, run_vars) -> set:
+def _excluded_names(reg, args, spark, run_vars, stored_resolver=None) -> set:
     """dbt ``--exclude``: the same graph-selector syntax as
     ``--select`` (names, +/graph operators, tag:), subtracted from the
-    selection. Plain names and tags resolve without the (expensive)
-    dependency-graph probe harvest; only graph operators pay for it."""
+    selection. expand_selection defers the (expensive) dependency-graph
+    probe harvest until a token actually carries a graph operator, so
+    plain names and tags never pay for it — and session-less callers
+    pass ``spark=None``. Warehouse-aware callers pass the run's
+    ``stored_resolver`` so graph probes analyze against stored
+    relations (see expand_selection)."""
     tokens = getattr(args, "exclude_nodes", None)
     if not tokens:
         return set()
-    if not any("+" in t for t in tokens):
-        return _match_plain_tokens(reg, list(tokens))
-    return set(reg.expand_selection(spark, list(tokens), vars=run_vars))
+    return set(
+        reg.expand_selection(
+            spark, list(tokens), vars=run_vars, stored_resolver=stored_resolver
+        )
+    )
 
 
 def _model_names(
@@ -219,10 +204,13 @@ def cmd_ls(args) -> int:
                     else set()
                 )
             else:
+                # session-less: plain names / tag: never need the graph
                 if select:
-                    chosen = _match_plain_tokens(reg, select)
+                    chosen = set(reg.expand_selection(None, select))
                     names = [n for n in names if n in chosen]
-                excluded = _match_plain_tokens(reg, exclude) if exclude else set()
+                excluded = (
+                    set(reg.expand_selection(None, exclude)) if exclude else set()
+                )
         except RegistryError as e:
             print(f"ERROR  {e}")
             return 1
@@ -334,12 +322,25 @@ def cmd_test(args, *, warn_vars=True) -> int:
     # selection runs a singular test when any of its parents is
     # selected — ADVICE r6 #2).
     run_types = type_tokens or {"generic", "unit", "singular"}
+    # the warehouse-aware resolver is built BEFORE selection so graph
+    # selectors (+name) probe-analyze against stored relations — a
+    # downstream plan may select columns that exist only in the stored
+    # upstream (SCD2 bookkeeping, append_new_columns survivors) and
+    # would fail analysis against a fresh rebuild's schema
+    from .materialize.run import make_stored_resolver, warehouse_base
+
+    base = warehouse_base(args.warehouse, args.target, args.schema)
+    stored_resolver = make_stored_resolver(reg, spark, base)
     select = (
-        reg.expand_selection(spark, model_tokens, vars=run_vars)
+        reg.expand_selection(
+            spark, model_tokens, vars=run_vars, stored_resolver=stored_resolver
+        )
         if model_tokens
         else None
     )
-    excluded = _excluded_names(reg, args, spark, run_vars)
+    excluded = _excluded_names(
+        reg, args, spark, run_vars, stored_resolver=stored_resolver
+    )
     if excluded:
         # dbt --exclude: subtract from the selection (or from the full
         # node set when nothing was selected); sources stay selectable
@@ -351,9 +352,6 @@ def cmd_test(args, *, warn_vars=True) -> int:
     if warn_vars:
         _warn_unknown_vars(reg, run_vars)
 
-    from .materialize.run import warehouse_base
-
-    base = warehouse_base(args.warehouse, args.target, args.schema)
     # same vars as the run that built the warehouse: views/unbuilt
     # models ref-recompute through this context, and mixing an
     # unscoped recompute with vars-scoped artifacts would test
@@ -361,12 +359,7 @@ def cmd_test(args, *, warn_vars=True) -> int:
     # resolves refs to WRITTEN upstreams from the warehouse (dbt ref
     # semantics): a view under test that refs an incremental must see
     # its accumulated stored relation, not a single-batch recompute.
-    from .materialize.run import make_stored_resolver
-
-    ctx = reg.context(
-        spark, vars=run_vars,
-        stored_resolver=make_stored_resolver(reg, spark, base),
-    )
+    ctx = reg.context(spark, vars=run_vars, stored_resolver=stored_resolver)
 
     def resolve(name):
         """dbt test checks the MATERIALIZED relation: prefer the
@@ -383,11 +376,13 @@ def cmd_test(args, *, warn_vars=True) -> int:
         materialize/run's rowless read-back)."""
         from .materialize.incremental import has_parquet_files
 
+        from .materialize.run import read_stored
+
         path = os.path.join(base, name)
         if not os.path.isdir(path):
             return None
         if has_parquet_files(path):
-            return spark.read.parquet(path)
+            return read_stored(spark, path)
         return spark.read.schema(_stored_schema(reg, ctx, name)).parquet(path)
 
     n_pass = n_total = 0
@@ -558,7 +553,7 @@ def cmd_docs(args) -> int:
                 if bad:
                     print(f"ERROR  graph selectors in --exclude need --raw-dir: {bad}")
                     return 1
-                excluded = _match_plain_tokens(reg, list(args.exclude_nodes))
+                excluded = set(reg.expand_selection(None, list(args.exclude_nodes)))
         except RegistryError as e:
             print(f"ERROR  {e}")
             return 1
@@ -661,7 +656,7 @@ def cmd_docs(args) -> int:
     # else an empty mapping (honestly unknown, but iterable — a
     # consumer walking columns must not trip over null; ADVICE r6 #4).
     from .materialize.incremental import has_parquet_files
-    from .materialize.run import make_stored_resolver, warehouse_base
+    from .materialize.run import make_stored_resolver, read_stored, warehouse_base
 
     base = warehouse_base(args.warehouse, args.target, args.schema)
     cpath = os.path.join(base, "catalog.json")
@@ -699,7 +694,7 @@ def cmd_docs(args) -> int:
         for name in candidates:
             p = os.path.join(base, name)
             if has_parquet_files(p):
-                df = spark.read.parquet(p)
+                df = read_stored(spark, p)
                 catalog[name] = {
                     "columns": {
                         f.name: f.dataType.simpleString() for f in df.schema.fields

@@ -129,11 +129,7 @@ def _materialize_one(
     # STORED-RELATION schema so downstream refs see an empty,
     # correctly-typed relation instead of UNABLE_TO_INFER_SCHEMA.
     if has_parquet_files(path):
-        # mergeSchema: a partition-scoped incremental after an
-        # append_new_columns batch legitimately holds mixed footers
-        # (only touched partitions rewrote) — a single-footer sample
-        # could hide the evolved column from downstream refs
-        fresh = spark.read.option("mergeSchema", "true").parquet(path)
+        fresh = read_stored(spark, path)
     else:
         fresh = spark.read.schema(stored_schema_for(model, df)).parquet(path)
     with build_lock:
@@ -157,6 +153,18 @@ def stored_schema_for(model, build_df: DataFrame):
     return build_df.schema
 
 
+def read_stored(spark: SparkSession, path: str) -> DataFrame:
+    """THE reader for stored relations (shared by the run read-back,
+    the stored resolver, the CLI test verb, and docs catalog): always
+    footer-merging. A partition-scoped incremental after an
+    append_new_columns batch legitimately holds mixed parquet footers
+    (only touched partitions rewrote) — a single-footer sample would
+    hide the evolved column from whoever reads the relation next, and
+    each consumer re-implementing the read is how one of them drifts
+    to a plain read and crashes on exactly that table."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def make_stored_resolver(registry, spark, base, *, exclude: set[str] | None = None):
     """THE warehouse stored-relation resolver (dbt ref semantics),
     shared by run_models' real context, the probe edge harvest, and
@@ -174,9 +182,7 @@ def make_stored_resolver(registry, spark, base, *, exclude: set[str] | None = No
             return None
         path = os.path.join(base, name)
         if has_parquet_files(path):
-            # mergeSchema for the same mixed-footer reason as the
-            # read-back in _materialize_one
-            return spark.read.option("mergeSchema", "true").parquet(path)
+            return read_stored(spark, path)
         return None
 
     return stored_resolver

@@ -229,6 +229,22 @@ class Registry:
     def sources(self) -> dict[str, "SourceDef"]:
         return dict(self._sources)
 
+    # membership/access helpers that do NOT copy the backing dicts —
+    # the ``models``/``sources`` properties return defensive copies,
+    # which is wasted allocation on per-declaration hot loops (suite
+    # compile checks membership once per declared test)
+    def has_model(self, name: str) -> bool:
+        return name in self._models
+
+    def has_source(self, name: str) -> bool:
+        return name in self._sources
+
+    def get_source(self, name: str) -> "SourceDef":
+        try:
+            return self._sources[name]
+        except KeyError:
+            raise RegistryError(f"unknown source {name!r}") from None
+
     # -- resolution --------------------------------------------------
     def context(
         self,
@@ -280,31 +296,53 @@ class Registry:
 
     def expand_selection(
         self,
-        spark: SparkSession,
+        spark: SparkSession | None,
         tokens: list[str],
         *,
         mocks: dict[str, DataFrame] | None = None,
         vars: dict | None = None,
+        stored_resolver=None,
     ) -> list[str]:
         """dbt graph selectors: ``name``, ``+name`` (with ancestors),
         ``name+`` (with descendants), ``+name+``, and ``tag:<tag>``
-        (every model carrying the tag — dbt_project.yml layer tags).
+        (every model carrying the tag — dbt_project.yml layer tags),
+        including graph-operator combinations like ``+tag:marts`` /
+        ``tag:marts+`` (every tagged model plus its ancestors /
+        descendants, as dbt expands them).
         Names may be models or sources. Returns matching models in
         registry declaration order (already topological), then matching
         sources. ``mocks``/``vars`` must mirror the run configuration:
         a ref gated on ``ctx.var(...)`` resolves during the edge
         harvest exactly as the real run will, so ancestor selection
-        and the run agree on the graph."""
+        and the run agree on the graph. ``stored_resolver`` likewise:
+        a warehouse-aware caller passes the same resolver the run
+        uses, so the probe harvest can analyze plans that select
+        stored-only columns (SCD2 bookkeeping, append_new_columns
+        survivors) instead of failing on a fresh rebuild's schema.
+
+        ``spark`` may be None for plain-name / ``tag:`` selections —
+        the dependency-graph harvest is only needed (and a session
+        only required) when a token carries a graph operator, so
+        session-less callers (``ls`` without ``--raw-dir``) share this
+        one implementation instead of re-implementing token parsing."""
         # The edge harvest probe-builds EVERY model's plan (py4j-
         # measurable) — defer it until a token actually uses a graph
         # operator; plain names and tag: selections never pay it.
         deps: dict[str, set] | None = None
         children: dict[str, set] = {}
 
-        def graph() -> dict[str, set]:
+        def graph(tok: str) -> dict[str, set]:
             nonlocal deps
             if deps is None:
-                deps = self.dependency_graph(spark, mocks=mocks, vars=vars)
+                if spark is None:
+                    raise RegistryError(
+                        f"graph selector {tok!r} needs the dependency "
+                        "graph (a SparkSession with bound sources)"
+                    )
+                deps = self.dependency_graph(
+                    spark, mocks=mocks, vars=vars,
+                    stored_resolver=stored_resolver,
+                )
                 for m, ups in deps.items():
                     for u in ups:
                         children.setdefault(u, set()).add(m)
@@ -322,24 +360,29 @@ class Registry:
 
         chosen: set = set()
         for tok in tokens:
-            if tok.startswith("tag:"):
-                tag = tok[4:]
-                hits = [n for n, m in self._models.items() if tag in m.tags]
-                if not hits:
-                    raise RegistryError(f"no model carries tag {tag!r}")
-                chosen.update(hits)
-                continue
+            # parse the graph operators FIRST so they compose with
+            # tag: selectors (dbt: `+tag:x` = tagged models and their
+            # ancestors); a tag-first parse would fold the trailing
+            # '+' into the tag name and error on a nonexistent tag
             up = tok.startswith("+")
             down = tok.endswith("+")
-            name = tok.strip("+")
-            if name not in self._models and name not in self._sources:
-                raise RegistryError(f"unknown model or source {name!r}")
-            chosen.add(name)
-            if up:
-                chosen |= walk(name, graph())
-            if down:
-                graph()  # populates children
-                chosen |= walk(name, children)
+            core = tok.strip("+")
+            if core.startswith("tag:"):
+                tag = core[4:]
+                targets = [n for n, m in self._models.items() if tag in m.tags]
+                if not targets:
+                    raise RegistryError(f"no model carries tag {tag!r}")
+            else:
+                if core not in self._models and core not in self._sources:
+                    raise RegistryError(f"unknown model or source {core!r}")
+                targets = [core]
+            chosen.update(targets)
+            for name in targets:
+                if up:
+                    chosen |= walk(name, graph(tok))
+                if down:
+                    graph(tok)  # populates children
+                    chosen |= walk(name, children)
         # order-preserving dedupe: a name shared by a model AND a
         # source would otherwise appear twice, and per-name consumers
         # (schema_test_report runs BOTH namespaces per occurrence,

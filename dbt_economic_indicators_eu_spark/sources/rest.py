@@ -24,7 +24,6 @@ fixture-backed fake instead.
 
 from __future__ import annotations
 
-import os
 from typing import Callable, Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession

@@ -57,9 +57,13 @@ def _violations_frame(
             if stored is not None:
                 return stored
         # a relationships parent may be a SOURCE, not a model (dbt
-        # supports `to: source(...)`): resolve through the source
-        # binding before ref() raises unknown-model
-        if name in ctx.registry.sources and name not in ctx.registry.models:
+        # supports `to: source(...)`): an explicit `source:` namespace
+        # forces the source side even when a model shares the name
+        # (models win the bare-name lookup below, so a shared name
+        # would otherwise silently validate against the wrong relation)
+        if name.startswith("source:"):
+            return ctx.source(name[len("source:"):])
+        if ctx.registry.has_source(name) and not ctx.registry.has_model(name):
             return ctx.source(name)
         return ctx.ref(name)
 
@@ -124,15 +128,15 @@ def schema_test_report(
             # silently skip the model's declarations, and the scoped
             # store-failures pruner would then delete their stored
             # relations without re-executing them)
-            if name in registry.sources:
-                src = registry.sources[name]
+            if registry.has_source(name):
+                src = registry.get_source(name)
                 if src.loader is not None:  # declared-only: same skip as full run
                     for i, decl in enumerate(src.tests):
                         add(name, decl, ctx.source(name), f"source:{i}")
-            if name in registry.models:
+            if registry.has_model(name):
                 for i, decl in enumerate(registry.get(name).tests):
                     add(name, decl, decl_id=f"model:{i}")
-            elif name not in registry.sources:
+            elif not registry.has_source(name):
                 registry.get(name)  # unknown everywhere: raise like before
     else:
         for name, model in registry.models.items():
@@ -254,13 +258,13 @@ def store_test_failures(
         be BOTH a source and a model (Context caches are namespaced
         for exactly this); each side resolves against its own frame."""
         out: list[tuple] = []
-        if name in registry.sources:
+        if registry.has_source(name):
             out += [
                 ("source", i, d, ctx.source(name))
-                for i, d in enumerate(registry.sources[name].tests)
+                for i, d in enumerate(registry.get_source(name).tests)
                 if d[0] == kind and d[1] == col
             ]
-        if name in registry.models:
+        if registry.has_model(name):
             out += [
                 ("model", i, d, None)
                 for i, d in enumerate(registry.get(name).tests)

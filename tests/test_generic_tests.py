@@ -127,6 +127,38 @@ def test_store_failures_writes_only_failing_sibling_declaration(spark, tmp_path)
     assert viol.count() == 1 and viol.collect()[0]["id"] == 3
 
 
+def test_relationships_parent_source_namespace(spark):
+    """A relationships parent named like BOTH a model and a source
+    resolves to the model on the bare name (models win _frame's
+    lookup); the explicit `source:` namespace must force the source
+    side — dbt's `to: source(...)` — so a child key present in the
+    model but missing from the raw source is caught."""
+    from dbt_economic_indicators_eu_spark.plans.registry import Registry
+    from dbt_economic_indicators_eu_spark.testing.schedule import schema_test_report
+
+    reg = Registry()
+    # source 'dual' has keys {1}; model 'dual' has keys {1, 2}
+    reg.source("dual", lambda s: s.createDataFrame([(1,)], "id int"))
+
+    @reg.model("dual")
+    def dual(ctx):
+        return spark.createDataFrame([(1,), (2,)], "id int")
+
+    @reg.model(
+        "child",
+        tests=(
+            ("relationships", "id", "dual", "id"),         # model side: passes
+            ("relationships", "id", "source:dual", "id"),  # source side: fails
+        ),
+    )
+    def child(ctx):
+        return spark.createDataFrame([(1,), (2,)], "id int")
+
+    rows = schema_test_report(reg, reg.context(spark), select=["child"]).collect()
+    by_violations = sorted(r["violations"] for r in rows)
+    assert by_violations == [0, 1]  # bare name → model (pass); source: → fail
+
+
 def test_store_failures_decl_id_fast_path(spark, tmp_path):
     """With decl ids in the report (the CLI path), the failing sibling
     is identified exactly — no probe jobs — and gets the same stable

@@ -316,3 +316,86 @@ def test_plain_selection_skips_edge_harvest(spark, monkeypatch):
     assert reg.expand_selection(spark, ["tag:t1"]) == ["a"]
     with pytest.raises(AssertionError, match="plain selection"):
         reg.expand_selection(spark, ["+b"])
+
+
+def test_expand_selection_sessionless_plain_tokens(spark):
+    """Plain names and tag: selectors resolve with spark=None (the ls
+    verb without --raw-dir shares the one implementation instead of
+    re-implementing token parsing); a graph operator without a session
+    raises a clear RegistryError, not an AttributeError."""
+    reg = Registry()
+
+    @reg.model("a", tags=("t1",))
+    def a(ctx):
+        return spark.range(1).toDF("id")
+
+    @reg.model("b")
+    def b(ctx):
+        return ctx.ref("a")
+
+    assert reg.expand_selection(None, ["b", "tag:t1"]) == ["a", "b"]
+    with pytest.raises(RegistryError, match="dependency graph"):
+        reg.expand_selection(None, ["+b"])
+    with pytest.raises(RegistryError, match="unknown model or source"):
+        reg.expand_selection(None, ["nope"])
+    with pytest.raises(RegistryError, match="no model carries tag"):
+        reg.expand_selection(None, ["tag:nope"])
+
+
+def test_expand_selection_tag_graph_operators(spark):
+    """dbt supports graph operators on tag selectors: `+tag:x` adds
+    every tagged model's ancestors, `tag:x+` its descendants — the
+    token must parse operators before the tag, not fold the trailing
+    '+' into the tag name."""
+    reg = Registry()
+    reg.source("raw", lambda s: s.range(1).toDF("id"))
+
+    @reg.model("up")
+    def up(ctx):
+        return ctx.source("raw")
+
+    @reg.model("mid", tags=("hot",))
+    def mid(ctx):
+        return ctx.ref("up")
+
+    @reg.model("down")
+    def down(ctx):
+        return ctx.ref("mid")
+
+    assert reg.expand_selection(spark, ["+tag:hot"]) == ["up", "mid", "raw"]
+    assert reg.expand_selection(spark, ["tag:hot+"]) == ["mid", "down"]
+    assert reg.expand_selection(spark, ["+tag:hot+"]) == [
+        "up", "mid", "down", "raw",
+    ]
+
+
+def test_expand_selection_graph_probe_uses_stored_resolver(spark):
+    """A graph selector on a DAG whose downstream selects a column
+    that exists ONLY in the stored upstream relation (SCD2 bookkeeping,
+    append_new_columns survivors) must succeed when the caller passes
+    the run's stored_resolver — without it the probe harvest analyzes
+    against the fresh rebuild's schema and dies on UNRESOLVED_COLUMN
+    (the CLI crash on a selection the real run executes fine)."""
+    reg = Registry()
+    reg.source("raw", lambda s: s.createDataFrame([(1, 1.0)], "id int, v double"))
+
+    @reg.model("acc", materialization="incremental", unique_key="id")
+    def acc(ctx):
+        return ctx.source("raw")
+
+    @reg.model("reader")
+    def reader(ctx):
+        # selects a column only the STORED acc carries (accumulated
+        # via append_new_columns from an earlier batch)
+        return ctx.ref("acc").select("id", "evolved")
+
+    stored = spark.createDataFrame([(1, 1.0, "x")], "id int, v double, evolved string")
+
+    def resolver(name):
+        return stored if name == "acc" else None
+
+    with pytest.raises(Exception, match="evolved|UNRESOLVED"):
+        reg.expand_selection(spark, ["+reader"])
+    assert reg.expand_selection(
+        spark, ["+reader"], stored_resolver=resolver
+    ) == ["acc", "reader", "raw"]
