@@ -145,12 +145,29 @@ def _model_names(
     reg, args, spark, *, materializations=None, exclude=("snapshot",), exclude_always=()
 ):
     run_vars = _parse_vars(getattr(args, "vars", None))
+    # graph selectors probe-analyze against STORED relations (same
+    # resolver the run itself uses): a downstream plan may select
+    # columns that exist only in the warehouse (SCD2 bookkeeping,
+    # append_new_columns survivors) and would fail analysis against a
+    # fresh rebuild's schema — cmd_test got this fix first; run/build/
+    # snapshot/compile share it here
+    resolver = None
+    wh = getattr(args, "warehouse", None)
+    if wh is not None:
+        from .materialize.run import make_stored_resolver, warehouse_base
+
+        base = warehouse_base(
+            wh, getattr(args, "target", "prod"), getattr(args, "schema", None)
+        )
+        resolver = make_stored_resolver(reg, spark, base)
     if args.select:
         # dbt graph selectors: name, +name (ancestors), name+ (descendants)
-        names = reg.expand_selection(spark, list(args.select), vars=run_vars)
+        names = reg.expand_selection(
+            spark, list(args.select), vars=run_vars, stored_resolver=resolver
+        )
     else:
         names = list(reg.models)
-    excluded = _excluded_names(reg, args, spark, run_vars)
+    excluded = _excluded_names(reg, args, spark, run_vars, stored_resolver=resolver)
     names = [n for n in names if n not in excluded]
     out = []
     for n in names:
@@ -376,9 +393,13 @@ def cmd_test(args, *, warn_vars=True) -> int:
         materialize/run's rowless read-back)."""
         from .materialize.incremental import has_parquet_files
 
+        from .materialize.incremental import recover_interrupted_swap
         from .materialize.run import read_stored
 
         path = os.path.join(base, name)
+        # a crashed swap must resolve to the recovered relation, not
+        # fall through to a single-batch ref-recompute
+        recover_interrupted_swap(path)
         if not os.path.isdir(path):
             return None
         if has_parquet_files(path):
@@ -511,13 +532,25 @@ def cmd_docs(args) -> int:
     _resolve_clock(args.now, run_vars)  # one clock: conflict-checked here too
     _warn_unknown_vars(reg, run_vars)
     deps: dict[str, list[str]] = {}
+    spark = None
+    _doc_resolver = None
     if args.raw_dir is not None:
         spark = _spark(args)
+        # probes resolve against stored relations, like run/test: a
+        # model selecting a stored-only column (SCD2 bookkeeping,
+        # append_new_columns survivors) must not fail the edge harvest
+        from .materialize.run import make_stored_resolver, warehouse_base
+
+        _doc_resolver = make_stored_resolver(
+            reg, spark, warehouse_base(args.warehouse, args.target, args.schema)
+        )
         # same vars the run would use: a vars-conditional ref must
         # document the edge the run will actually take
         deps = {
             k: sorted(v)
-            for k, v in reg.dependency_graph(spark, vars=run_vars).items()
+            for k, v in reg.dependency_graph(
+                spark, vars=run_vars, stored_resolver=_doc_resolver
+            ).items()
         }
     names = list(reg.models)
     if args.select:
@@ -526,7 +559,8 @@ def cmd_docs(args) -> int:
 
             try:
                 expanded = reg.expand_selection(
-                    spark, list(args.select), vars=run_vars
+                    spark, list(args.select), vars=run_vars,
+                    stored_resolver=_doc_resolver,
                 )
             except RegistryError as e:
                 print(f"ERROR  {e}")
@@ -543,7 +577,9 @@ def cmd_docs(args) -> int:
 
         try:
             if args.raw_dir is not None:
-                excluded = _excluded_names(reg, args, spark, run_vars)
+                excluded = _excluded_names(
+                    reg, args, spark, run_vars, stored_resolver=_doc_resolver
+                )
             else:
                 # no graph without bound sources: names and tag: still
                 # resolve (and unknown tokens still error — a silently
@@ -655,7 +691,7 @@ def cmd_docs(args) -> int:
     # refresh must not erase a schema a bound run already recorded),
     # else an empty mapping (honestly unknown, but iterable — a
     # consumer walking columns must not trip over null; ADVICE r6 #4).
-    from .materialize.incremental import has_parquet_files
+    from .materialize.incremental import has_parquet_files, recover_interrupted_swap
     from .materialize.run import make_stored_resolver, read_stored, warehouse_base
 
     base = warehouse_base(args.warehouse, args.target, args.schema)
@@ -693,6 +729,7 @@ def cmd_docs(args) -> int:
         )
         for name in candidates:
             p = os.path.join(base, name)
+            recover_interrupted_swap(p)  # crashed swap: catalog the recovered state
             if has_parquet_files(p):
                 df = read_stored(spark, p)
                 catalog[name] = {

@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import Context, Registry
-from .incremental import has_parquet_files, run_incremental, swap_into_place
+from .incremental import (
+    has_parquet_files,
+    recover_interrupted_swap,
+    run_incremental,
+    swap_into_place,
+)
 from .snapshot import run_snapshot, scd2_merge
 
 logger = logging.getLogger(__name__)
@@ -181,6 +186,12 @@ def make_stored_resolver(registry, spark, base, *, exclude: set[str] | None = No
         if model.materialization == "view":
             return None
         path = os.path.join(base, name)
+        # finish any crashed swap BEFORE probing: a missing path with a
+        # live .old must resolve to the recovered relation, not read as
+        # never-materialized (which would silently rebuild a downstream
+        # against a single-batch recompute — the history-loss mode
+        # recover_interrupted_swap exists to prevent)
+        recover_interrupted_swap(path)
         if has_parquet_files(path):
             return read_stored(spark, path)
         return None

@@ -225,7 +225,12 @@ def test_verify_rotation_covers_stale_cohort():
     from dbt_economic_indicators_eu_spark.queries.common import _VERIFY_FIRST
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    arts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    # numeric round sort: lexicographic would file r100 between r10 and
+    # r11 and silently check two outdated artifacts
+    arts = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")]),
+    )
     if len(arts) < 2:
         pytest.skip("needs two driver verdict artifacts")
     with open(arts[-2]) as f:

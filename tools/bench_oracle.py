@@ -24,7 +24,7 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from __spark_entry__ import oracle_sql  # noqa: E402
-from dbt_economic_indicators_eu_spark.queries.common import TABLES  # noqa: E402
+from dbt_economic_indicators_eu_spark.tableset import TABLES  # noqa: E402
 
 
 def main() -> int:

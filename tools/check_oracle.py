@@ -23,7 +23,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
-from dbt_economic_indicators_eu_spark.queries.common import TABLES  # noqa: E402
+from dbt_economic_indicators_eu_spark.tableset import TABLES  # noqa: E402
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
