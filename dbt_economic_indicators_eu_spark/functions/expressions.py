@@ -9,7 +9,7 @@ whole-stage codegen).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, Window, WindowSpec
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 
@@ -81,7 +81,3 @@ def month_start(year: Column, month: Column | None = None) -> Column:
     m = month if month is not None else F.lit(1)
     return F.make_date(year, m, F.lit(1))
 
-
-def completeness_window(partition_by: list[Column | str]) -> WindowSpec:
-    """Whole-partition window for per-entity stats (z-scores etc.)."""
-    return Window.partitionBy(*partition_by)

@@ -58,6 +58,18 @@ def local_df(
                     f"row length {len(r)} != schema width {len(names)}: {r!r}"
                 )
         data = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+    # verifySchema parity: the classic createDataFrame(rows, schema)
+    # raises on a NULL in a non-nullable field, but the Arrow pandas
+    # path skips row verification — a fixture would silently land
+    # nulls inside a field declared non-nullable, breaking the
+    # docstring's identical-semantics claim exactly where a loud
+    # build-time failure is wanted
+    for f in st.fields:
+        if not f.nullable and any(v is None for v in data[f.name]):
+            raise ValueError(
+                f"field {f.name!r} is declared non-nullable but a row "
+                "carries None"
+            )
     # object dtype keeps None as None (a float64 column would coerce it
     # to NaN, which Arrow ships as NaN, not NULL).
     pdf = pd.DataFrame(data, columns=names, dtype=object)

@@ -37,7 +37,20 @@ def _bin_of(ts: Column, bin_seconds: int) -> Column:
     from ..queries.common import epoch_micros
 
     micros = epoch_micros(ts.cast("timestamp_ntz"))
-    return F.floor(micros / F.lit(bin_seconds * 1_000_000))
+    # never floor(double /): bigint/int division promotes to double,
+    # which rounds |micros| >= 2^53 (past ~year 2255 — e.g. a
+    # 9999-12-31 open-interval sentinel) by up to 16+ µs, so a
+    # boundary-adjacent ts can floor into the WRONG bin and silently
+    # drop matching pairs (same int64-exactness rule as
+    # queries/common.py:legacy_nanos_to_ntz). Instead: subtract the
+    # exact int64 floor-remainder (Column % is integral for bigint),
+    # leaving an exact multiple k*width; its double image errs by
+    # < 1024 absolute (< width/2 for any width >= 1s), so ROUND of the
+    # quotient — never floor — recovers k exactly for the full int64
+    # domain.
+    width = bin_seconds * 1_000_000
+    exact_multiple = micros - (((micros % width) + width) % width)
+    return F.round(exact_multiple / F.lit(width)).cast("long")
 
 
 def range_join(

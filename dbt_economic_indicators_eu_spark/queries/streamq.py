@@ -97,12 +97,17 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # applyInPandasWithState folds batches into per-user state; with one
 # drain batch the emitted update rows equal the batch-SQL aggregation.
+# NaN is normalized to NULL on both sides (the operator's declared
+# contract — see stateful_user_totals: the Arrow→pandas crossing erases
+# the NaN/NULL distinction, so the fold cannot honor SQL's
+# count-NaN/propagate-NaN semantics); the gate corpora are NaN-free,
+# making the twin an identity there.
 ORACLE_STREAM_STATEFUL_TOTALS = f"""
 SELECT
   user_id,
   count(*) AS n_events,
-  count(value) AS n_values,
-  round(sum(value), 2) AS total_value
+  count(CASE WHEN isnan(value) THEN NULL ELSE value END) AS n_values,
+  round(sum(CASE WHEN isnan(value) THEN NULL ELSE value END), 2) AS total_value
 FROM {EVENTS_NORM_SQL} e
 GROUP BY user_id
 """

@@ -306,7 +306,18 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     # Arrow boundary per micro-batch (the props JSON alone is ~10x the
     # useful payload). Catalyst cannot prune through a Python stateful
     # operator, so the projection must be explicit.
-    events = events.select("user_id", "value")
+    #
+    # NaN is normalized to NULL HERE, on the JVM side, because the
+    # Arrow→pandas crossing erases the distinction anyway (both land
+    # as float64 NaN) and the fold's dropna would then silently treat
+    # a real NaN as NULL — diverging from SQL count(value)/sum(value),
+    # which count NaN and propagate it. Declaring NaN→NULL as the
+    # operator's contract (mirrored in ORACLE_STREAM_STATEFUL_TOTALS)
+    # keeps stream and batch hash-equal even on NaN-bearing data.
+    events = events.select(
+        "user_id",
+        F.when(F.isnan("value"), F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
 
     out_schema = "user_id bigint, n_events bigint, n_values bigint, total_value double"
     state_schema = "n bigint, n_val bigint, total double"
@@ -417,6 +428,23 @@ def stream_merge_incremental(
         q.awaitTermination()
 
 
+def _has_streaming_aggregate(df: DataFrame) -> bool:
+    """True when the analyzed logical plan holds an Aggregate over the
+    STREAMING side (window/session/group aggs — the operators that emit
+    only on watermark advance in append mode). Aggregates on a static
+    side (a broadcast dim built via groupBy) don't count: they evaluate
+    per micro-batch like any batch plan. A handful of py4j calls once
+    per drain setup — nothing per batch."""
+
+    def walk(node) -> bool:
+        if node.nodeName() == "Aggregate" and node.isStreaming():
+            return True
+        kids = node.children()
+        return any(walk(kids.apply(i)) for i in range(kids.size()))
+
+    return walk(df._jdf.queryExecution().analyzed())
+
+
 def run_available_now(
     stream_df: DataFrame,
     name: str,
@@ -438,6 +466,25 @@ def run_available_now(
     serial Arrow⇄pandas worker loop, so partitions bound the Python
     parallelism. Callers override per pipeline."""
     import shutil
+
+    if output_mode == "append" and _has_streaming_aggregate(stream_df):
+        # state_partitions disables no-data micro-batches for the
+        # drain (they only add per-drain latency) — fine for append-
+        # mode dedup/joins (they emit as rows arrive) and for
+        # aggregates on a STATIC side (stream_enrich's broadcast dim),
+        # but fatal for STREAMING aggregations, which emit only on
+        # watermark advance: for a finite drain that happens in
+        # exactly the suppressed final batch, so the drain would
+        # return zero rows for long-closed windows with no error.
+        # Fail loudly instead; finite drains of aggregations use
+        # 'complete'/'update', and production append sinks belong on a
+        # long-lived stream with the default conf.
+        raise ValueError(
+            "run_available_now suppresses no-data micro-batches, which "
+            "append-mode aggregations need to finalize windows — use "
+            "output_mode='complete' (windows) or 'update' (stateful), "
+            "or run a long-lived stream for append sinks"
+        )
 
     ckpt = ephemeral_scratch(f"drain_{name}_")
     try:

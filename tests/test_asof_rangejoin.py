@@ -201,6 +201,42 @@ def test_range_join_half_open_boundaries(spark, intervals):
     assert got == [("end", "w1"), ("start", "w1"), ("start", "w2")]
 
 
+def test_range_join_exact_bins_at_far_dates(spark):
+    """Bin ids must be int64-exact over the full timestamp domain: the
+    old floor(double /) math rounds |epoch-micros| >= 2^53 (past ~year
+    2255 — e.g. a 9999-12-31 open-interval sentinel) by up to 16+ µs,
+    so a boundary-adjacent fact could floor into the wrong bin and
+    silently drop its matching interval."""
+    from dbt_economic_indicators_eu_spark.operators.rangejoin import _bin_of
+
+    day = 86400
+    probes = [
+        "9999-12-30T23:59:59.999999",  # just under the sentinel boundary
+        "9999-12-31T00:00:00",
+        "2255-06-01T00:00:00",
+        "2255-06-01T23:59:59.999999",
+        "1677-09-21T00:12:43.145224",  # far past
+        "2024-01-03T00:00:00",
+    ]
+    df = spark.createDataFrame([(p,) for p in probes], "iso string").select(
+        F.col("iso"), F.to_timestamp("iso").alias("ts")
+    )
+    got = {
+        r["iso"]: r["bin"]
+        for r in df.select("iso", _bin_of(F.col("ts"), day).alias("bin")).collect()
+    }
+    for iso in probes:
+        delta = dt.datetime.fromisoformat(iso) - dt.datetime(1970, 1, 1)
+        # exact int64 ground truth: timedelta float division rounds at
+        # ~2.5e17 µs — the very imprecision under test
+        micros = (
+            delta.days * 86_400_000_000
+            + delta.seconds * 1_000_000
+            + delta.microseconds
+        )
+        assert got[iso] == micros // (day * 1_000_000), iso
+
+
 def test_range_join_rejects_collision(spark, intervals):
     facts = intervals.select(F.col("wid"), F.col("ws").alias("fts"))
     with pytest.raises(ValueError, match="collision"):

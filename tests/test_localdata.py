@@ -45,6 +45,24 @@ def test_empty_rows_keep_schema(spark):
     assert fast.count() == 0
 
 
+def test_non_nullable_field_rejects_none_like_classic(spark):
+    """verifySchema parity: classic createDataFrame(rows, schema)
+    raises on a NULL in a non-nullable field; the Arrow pandas path
+    skips that verification, so local_df must check explicitly — a
+    fixture silently landing nulls in a field declared non-nullable is
+    exactly the loud build-time failure the docstring promises."""
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    st = StructType([StructField("a", LongType(), nullable=False)])
+    with pytest.raises(ValueError, match="non-nullable"):
+        local_df(spark, [(None,)], st)
+    # clean rows still pass, schema nullability preserved
+    ok = local_df(spark, [(1,)], st)
+    assert ok.schema["a"].nullable is False
+    assert ok.collect()[0]["a"] == 1
+
+
 def test_property_fast_path_equals_classic(spark):
     """Randomized equivalence: for strings/ints/doubles/bools with
     arbitrary None placement, the Arrow fast path and the classic

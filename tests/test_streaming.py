@@ -101,6 +101,53 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     assert final[200].total_value == 6.25
 
 
+def test_stateful_totals_nan_null_contract(spark, tmp_path):
+    """The Arrow→pandas crossing erases the NaN/NULL distinction, so
+    stateful_user_totals declares NaN→NULL as its contract and
+    normalizes on the JVM side BEFORE the stateful exchange — a real
+    NaN must count like a NULL (excluded from n_values, sum stays
+    finite), identically whether the NaN arrives via stream or the
+    batch twin, instead of silently diverging from whatever pandas
+    dropna happened to do."""
+    d = str(tmp_path / "ev_nan")
+    schema = "event_id bigint, user_id bigint, value double"
+    rows = [(1, 100, 1.5), (2, 100, float("nan")), (3, 200, float("nan"))]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = {
+        r.user_id: r
+        for r in streaming.run_available_now(
+            streaming.stateful_user_totals(stream),
+            "t_stateful_nan",
+            output_mode="update",
+        ).collect()
+    }
+    assert out[100].n_events == 2 and out[100].n_values == 1
+    assert out[100].total_value == 1.5
+    assert out[200].n_events == 1 and out[200].n_values == 0
+    assert out[200].total_value is None  # all-NaN user: null, not NaN
+
+
+def test_available_now_rejects_append_mode_aggregation(spark, tmp_path):
+    """run_available_now suppresses no-data micro-batches, which
+    append-mode AGGREGATIONS need to finalize windows — draining one
+    would silently return zero rows for long-closed windows, so the
+    combination must fail loudly (append-mode dedup/joins stay
+    allowed: they emit as rows arrive)."""
+    import pytest
+
+    d = str(tmp_path / "ev_app")
+    schema = "user_id bigint, ts timestamp, event_type string, value double"
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "click", 1.0)], schema
+    ).coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    with pytest.raises(ValueError, match="append-mode aggregations"):
+        streaming.run_available_now(
+            streaming.windowed_counts(stream), "t_append_agg", output_mode="append"
+        )
+
+
 def test_stream_sessionize_matches_batch(spark):
     ev_stream = streaming.events_stream(spark, SF_DIR)
     got = streaming.run_available_now(
