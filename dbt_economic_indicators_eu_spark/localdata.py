@@ -20,12 +20,37 @@ from __future__ import annotations
 from typing import Any, Mapping, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 try:
     import pandas as pd
 except ImportError:  # pragma: no cover — pandas is a hard dep of pyspark[sql]
     pd = None
+
+
+def _has_strict_nullability(dt: DataType) -> bool:
+    """True when any level of the type declares non-nullable content
+    (StructField nullable=False, ArrayType containsNull=False, MapType
+    valueContainsNull=False). Such schemas take the CLASSIC
+    createDataFrame path, whose verifySchema raises on a violating row
+    — the Arrow pandas path skips row verification entirely, so it
+    would silently land nulls inside fields declared non-nullable at
+    ANY nesting depth. Strict fixtures are rare; paying the slow path
+    for exact verify parity beats re-implementing verifySchema here."""
+    if isinstance(dt, StructType):
+        return any(
+            (not f.nullable) or _has_strict_nullability(f.dataType)
+            for f in dt.fields
+        )
+    if isinstance(dt, ArrayType):
+        return (not dt.containsNull) or _has_strict_nullability(dt.elementType)
+    if isinstance(dt, MapType):
+        return (
+            (not dt.valueContainsNull)
+            or _has_strict_nullability(dt.keyType)
+            or _has_strict_nullability(dt.valueType)
+        )
+    return False
 
 
 def local_df(
@@ -45,6 +70,8 @@ def local_df(
         # Parse the DDL string into a StructType without running a job
         # (an empty createDataFrame builds only the plan).
         st = spark.createDataFrame([], schema).schema
+    if _has_strict_nullability(st):
+        return spark.createDataFrame(rows, schema=schema)
     names = [f.name for f in st.fields]
     if rows and isinstance(rows[0], Mapping):
         data = {n: [r.get(n) for r in rows] for n in names}
@@ -58,18 +85,6 @@ def local_df(
                     f"row length {len(r)} != schema width {len(names)}: {r!r}"
                 )
         data = {n: [r[i] for r in rows] for i, n in enumerate(names)}
-    # verifySchema parity: the classic createDataFrame(rows, schema)
-    # raises on a NULL in a non-nullable field, but the Arrow pandas
-    # path skips row verification — a fixture would silently land
-    # nulls inside a field declared non-nullable, breaking the
-    # docstring's identical-semantics claim exactly where a loud
-    # build-time failure is wanted
-    for f in st.fields:
-        if not f.nullable and any(v is None for v in data[f.name]):
-            raise ValueError(
-                f"field {f.name!r} is declared non-nullable but a row "
-                "carries None"
-            )
     # object dtype keeps None as None (a float64 column would coerce it
     # to NaN, which Arrow ships as NaN, not NULL).
     pdf = pd.DataFrame(data, columns=names, dtype=object)

@@ -49,7 +49,7 @@ def _bin_of(ts: Column, bin_seconds: int) -> Column:
     # quotient — never floor — recovers k exactly for the full int64
     # domain.
     width = bin_seconds * 1_000_000
-    exact_multiple = micros - (((micros % width) + width) % width)
+    exact_multiple = micros - F.pmod(micros, F.lit(width))
     return F.round(exact_multiple / F.lit(width)).cast("long")
 
 

@@ -428,18 +428,40 @@ def stream_merge_incremental(
         q.awaitTermination()
 
 
-def _has_streaming_aggregate(df: DataFrame) -> bool:
-    """True when the analyzed logical plan holds an Aggregate over the
-    STREAMING side (window/session/group aggs — the operators that emit
-    only on watermark advance in append mode). Aggregates on a static
-    side (a broadcast dim built via groupBy) don't count: they evaluate
-    per micro-batch like any batch plan. A handful of py4j calls once
-    per drain setup — nothing per batch."""
+def _emits_only_on_watermark(df: DataFrame) -> bool:
+    """True when the analyzed logical plan holds an operator whose
+    APPEND-mode output (or part of it) is produced only on watermark
+    advance — which for a finite drain happens in exactly the no-data
+    micro-batch that state_partitions suppresses:
+
+    - a STREAMING Aggregate (window/session/group aggs finalize on
+      watermark; a static-side aggregate like stream_enrich's
+      broadcast dim evaluates per batch and doesn't count);
+    - a stream-stream OUTER join (matched rows emit eagerly, but the
+      unmatched null-padded rows emit only when the watermark closes
+      the state — an inner join never holds back output);
+    - a Python stateful operator (applyInPandasWithState) — its
+      event-time timeouts fire on the no-data batch; the engine's own
+      stateful pipelines drain in update mode, so flagging append
+      conservatively costs nothing.
+
+    A handful of py4j calls once per drain setup — nothing per batch."""
 
     def walk(node) -> bool:
-        if node.nodeName() == "Aggregate" and node.isStreaming():
+        name = node.nodeName()
+        if name == "Aggregate" and node.isStreaming():
+            return True
+        if name == "FlatMapGroupsInPandasWithState":
             return True
         kids = node.children()
+        if name == "Join" and kids.size() == 2:
+            left, right = kids.apply(0), kids.apply(1)
+            if (
+                left.isStreaming()
+                and right.isStreaming()
+                and "Inner" not in str(node.joinType())
+            ):
+                return True
         return any(walk(kids.apply(i)) for i in range(kids.size()))
 
     return walk(df._jdf.queryExecution().analyzed())
@@ -467,23 +489,25 @@ def run_available_now(
     parallelism. Callers override per pipeline."""
     import shutil
 
-    if output_mode == "append" and _has_streaming_aggregate(stream_df):
+    if output_mode == "append" and _emits_only_on_watermark(stream_df):
         # state_partitions disables no-data micro-batches for the
         # drain (they only add per-drain latency) — fine for append-
-        # mode dedup/joins (they emit as rows arrive) and for
+        # mode dedup/inner-joins (they emit as rows arrive) and for
         # aggregates on a STATIC side (stream_enrich's broadcast dim),
-        # but fatal for STREAMING aggregations, which emit only on
-        # watermark advance: for a finite drain that happens in
+        # but fatal for operators that emit on watermark advance
+        # (streaming aggregations, outer-join null padding, stateful
+        # timeouts): for a finite drain that emission happens in
         # exactly the suppressed final batch, so the drain would
-        # return zero rows for long-closed windows with no error.
-        # Fail loudly instead; finite drains of aggregations use
+        # silently return zero (or partial) rows with no error. Fail
+        # loudly instead; finite drains of such operators use
         # 'complete'/'update', and production append sinks belong on a
         # long-lived stream with the default conf.
         raise ValueError(
             "run_available_now suppresses no-data micro-batches, which "
-            "append-mode aggregations need to finalize windows — use "
-            "output_mode='complete' (windows) or 'update' (stateful), "
-            "or run a long-lived stream for append sinks"
+            "append-mode aggregations/outer-joins/stateful timeouts "
+            "need to emit — use output_mode='complete' (windows) or "
+            "'update' (stateful), or run a long-lived stream for "
+            "append sinks"
         )
 
     ckpt = ephemeral_scratch(f"drain_{name}_")

@@ -47,20 +47,29 @@ def test_empty_rows_keep_schema(spark):
 
 def test_non_nullable_field_rejects_none_like_classic(spark):
     """verifySchema parity: classic createDataFrame(rows, schema)
-    raises on a NULL in a non-nullable field; the Arrow pandas path
-    skips that verification, so local_df must check explicitly — a
-    fixture silently landing nulls in a field declared non-nullable is
-    exactly the loud build-time failure the docstring promises."""
+    raises on a NULL in a non-nullable field at ANY nesting depth; the
+    Arrow pandas path skips row verification, so local_df routes any
+    strict-nullability schema through the classic (verifying) path —
+    a fixture silently landing nulls in a field declared non-nullable
+    is exactly the loud build-time failure the docstring promises."""
     import pytest
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
     st = StructType([StructField("a", LongType(), nullable=False)])
-    with pytest.raises(ValueError, match="non-nullable"):
+    with pytest.raises(Exception, match="(?i)not? *null"):
         local_df(spark, [(None,)], st)
     # clean rows still pass, schema nullability preserved
     ok = local_df(spark, [(1,)], st)
     assert ok.schema["a"].nullable is False
     assert ok.collect()[0]["a"] == 1
+    # nested strictness: a null ELEMENT inside containsNull=False
+    nested = StructType(
+        [StructField("a", ArrayType(LongType(), containsNull=False))]
+    )
+    with pytest.raises(Exception, match="(?i)not? *null"):
+        local_df(spark, [([1, None],)], nested)
+    ok2 = local_df(spark, [([1, 2],)], nested)
+    assert list(ok2.collect()[0]["a"]) == [1, 2]
 
 
 def test_property_fast_path_equals_classic(spark):
