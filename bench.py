@@ -12,8 +12,10 @@ toPandas serialization noise.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -50,8 +52,16 @@ def main() -> int:
     scratch = None
     if os.path.isdir("/dev/shm"):
         scratch = "/dev/shm/spark-graft-bench"
+        # clear the previous run's leftovers FIRST: mkdtemp names are
+        # unique per run and nothing else deletes them, so repeated
+        # rounds would permanently accumulate RAM-backed checkpoints /
+        # temp tables (hundreds of MB each) that then compete with the
+        # driver heap and DuckDB during later timing runs — exactly the
+        # host noise the harness works to cancel
+        shutil.rmtree(scratch, ignore_errors=True)
         os.makedirs(scratch, exist_ok=True)
         os.environ["TMPDIR"] = scratch  # before tempfile.gettempdir() caches
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
 
     from pyspark.sql import SparkSession
 

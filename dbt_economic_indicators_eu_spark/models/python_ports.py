@@ -70,6 +70,19 @@ _INFL_RANGE = (-5.0, 20.0)
 _TIMELINESS_DAYS = 90
 
 
+def _nan_to_null(col: str) -> Column:
+    """The reference models run in pandas, where NaN IS the missing
+    marker: dropna/count/mean/std/ffill/pct_change all skip it exactly
+    like NULL. Spark distinguishes the two — avg/stddev PROPAGATE NaN
+    (one NaN observation poisons a country's stats, and Spark's
+    NaN-is-largest ordering then flags every row anomalous), count()
+    counts it, and NaN == NaN is true. Normalizing NaN→NULL at each
+    port's input projection makes the NULL-faithful plans below
+    NaN-faithful too. isnan(NULL) is false, so NULLs pass through."""
+    c = F.col(col)
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c).alias(col)
+
+
 def _now_ts(ctx: Context) -> Column:
     """The model clock: run-level ``now`` var (CLI ``--now``) if
     pinned, else wall-clock — the reference's ``datetime.now()``
@@ -137,8 +150,8 @@ def register_python_models(reg: Registry) -> None:
             "reference_date",
             "reference_year",
             "reference_month",
-            "unemployment_rate_pct",
-            "inflation_rate_mom_pct",
+            _nan_to_null("unemployment_rate_pct"),
+            _nan_to_null("inflation_rate_mom_pct"),
         )
 
         # per-country stats for both series in ONE groupBy-agg
@@ -263,8 +276,11 @@ def register_python_models(reg: Registry) -> None:
         """
         obs = (
             ctx.ref("fct_economic_indicators")
+            .select(
+                "country_code", "reference_date",
+                _nan_to_null("unemployment_rate_pct"),
+            )
             .filter(F.col("unemployment_rate_pct").isNotNull())
-            .select("country_code", "reference_date", "unemployment_rate_pct")
         )
         a, b_ = F.lit(_ES_ALPHA), F.lit(_HOLT_BETA)
         grouped = (
@@ -445,6 +461,12 @@ def register_python_models(reg: Registry) -> None:
         # module docstring)
         w = Window.partitionBy("country_code").orderBy("reference_date")
         w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+        fct = fct.select(
+            "country_code",
+            "reference_date",
+            _nan_to_null("unemployment_rate_pct"),
+            _nan_to_null("inflation_rate_mom_pct"),
+        )
         with_prev = fct.select(
             "country_code",
             "reference_date",

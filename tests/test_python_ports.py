@@ -12,7 +12,13 @@ The fixture corpus deliberately exercises every guard branch:
 - DE: 30 months, a spike month (z + rate-of-change anomalies), an
   inflation 0.0 → 0.9 step (pct_change ±inf path);
 - FR: 30 months, inflation present only on even months (nulls flow
-  through pad-fill / dropna paths; 15 non-null > the 10-obs guard);
+  through pad-fill / dropna paths; 15 non-null > the 10-obs guard),
+  and one unemployment month is a real NaN DOUBLE (not NULL) — pandas
+  treats NaN as missing everywhere (skipna stats, dropna'd forecast
+  series, count), so the Spark ports must normalize NaN to NULL at
+  their inputs or one NaN poisons the country's stats/folds;
+- DE: one inflation month is NaN too (validity/completeness/
+  repetition paths of the quality model);
 - IT: 12 months, CONSTANT unemployment (std = 0 → z ≡ 0), only 5
   inflation months (guard fails → null z, False flags, validity
   present, consistency absent);
@@ -57,9 +63,12 @@ def _write_raw(spark, raw):
         v = 5.0 + 0.1 * (i % 5) + (9.0 if i == 15 else 0.0)
         unemp.append(("une_rt_m", v, ts, "DE", "Germany", m))
         iv = 0.0 if i == 10 else (0.9 if i == 11 else round(0.2 + 0.05 * (i % 4), 2))
+        if i == 20:
+            iv = float("nan")  # real NaN double survives the staging isNotNull
         infl.append(("prc_hicp_mmor", iv, ts, "DE", "Germany", m))
     for i, m in enumerate(months):  # FR
-        unemp.append(("une_rt_m", 7.0 + 0.2 * ((i * 3) % 7), ts, "FR", "France", m))
+        uv = float("nan") if i == 13 else 7.0 + 0.2 * ((i * 3) % 7)
+        unemp.append(("une_rt_m", uv, ts, "FR", "France", m))
         if i % 2 == 0:
             infl.append(("prc_hicp_mmor", round(0.1 + 0.07 * (i % 5), 2), ts, "FR", "France", m))
     for i, m in enumerate(months[:12]):  # IT
