@@ -23,7 +23,7 @@ from ..models.econ import load_seed
 from ..plans.registry import Registry
 from ..sources.jsonstat import decode_jsonstat_str
 from ..testing.generic import test_not_null
-from .common import EVENTS_NORM_SQL, QueryDef, load, money4_sum_r2, money4_sum_sql, r2
+from .common import EVENTS_NORM_SQL, QueryDef, load, money4_sum_r2, money4_sum_sql
 
 # --------------------------------------------------------------------------
 # q_incremental_upsert — OP-SINK-INCR (fct_economic_indicators.sql:3-8,28-31):

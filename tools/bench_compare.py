@@ -49,18 +49,29 @@ def load(path: str) -> dict:
 
 
 def _salvage_queries(tail: str) -> dict | None:
-    """Best-effort: extract the (possibly cut) per-query dict from a
-    truncated driver tail so round-over-round per-query diffs still
-    work. Drops the final, possibly half-captured entry."""
+    """Best-effort: extract the (possibly cut) ENGINE per-query dict
+    from a truncated driver tail so round-over-round per-query diffs
+    still work. name:number pairs are only attributable when the
+    '"queries"' dict ANCHOR survived the cut: the payload also carries
+    an "oracle_queries" dict of DuckDB timings, and an unanchored
+    harvest of whatever pairs survive in a tail that kept only the
+    LINE END would silently label oracle timings as engine timings
+    (the exact shape the driver's ~2000-char tail capture produces).
+    Refusing to salvage beats printing a wrong diff."""
     import re
 
+    q_idx = tail.find('"queries"')
+    if q_idx < 0:
+        return None  # no anchor: pairs can't be attributed to a dict
+    oq_idx = tail.find('"oracle_queries"', q_idx)
+    seg = tail[q_idx : oq_idx if oq_idx > q_idx else len(tail)]
     qs = dict(
         (m.group(1), float(m.group(2)))
-        for m in re.finditer(r'"([a-z0-9_]+)":\s*(-?[0-9.]+)[,}]', tail)
+        for m in re.finditer(r'"([a-z0-9_]+)":\s*(-?[0-9.]+)[,}]', seg)
         if m.group(1)
         not in ("n", "rc", "cpus", "sf", "value", "oracle_value",
                 "ratio_vs_oracle", "host_steal_pct", "oracle_coverage",
-                "spark_covered_value",
+                "spark_covered_value", "queries",
                 # oracle-side payload scalars (tools/bench_oracle.py):
                 # salvaging an oracle wrapper tail must not inject
                 # these as phantom query rows
@@ -92,16 +103,26 @@ def main() -> int:
             continue
         # the -1.0 sentinel means the query RAISED in that run — a
         # working->broken transition is the regression this tool
-        # exists to catch; never skip it silently
-        if a <= 0 or b <= 0:
-            if b <= 0 < a:
+        # exists to catch; never skip it silently. STRICTLY negative
+        # only: bench_oracle rounds to 3 decimals, so a legitimate
+        # sub-millisecond query lands as 0.0 — treating that as the
+        # sentinel would report a healthy query as FAILED and mask a
+        # real 0.0 -> slow regression as "fixed"
+        if a < 0 or b < 0:
+            if b < 0 <= a:
                 moved.append((name, a, b, "FAILED"))
-            elif a <= 0 < b:
+            elif a < 0 <= b:
                 moved.append((name, a, b, "fixed"))
             else:
                 # failed in BOTH runs: a persistent breakage must not
                 # read as "no per-query move" — keep the signal
                 moved.append((name, a, b, "still FAILED"))
+            continue
+        if a == 0 or b == 0:
+            # 0.000 is a rounded real timing: a ratio is meaningless,
+            # but a large absolute move still deserves a row
+            if max(a, b) > 0.05:
+                moved.append((name, a, b, "from/to ~0"))
             continue
         ratio = b / a
         if ratio > thresh or ratio < 1 / thresh:

@@ -158,9 +158,11 @@ def main() -> int:
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     spark.stop()
+    if n_fail:
+        return 1  # real correctness failures outrank "nothing verified"
     if n_pass + n_rows_only == 0:
         return 2  # nothing verified is not a pass
-    return 1 if n_fail else 0
+    return 0
 
 
 if __name__ == "__main__":
