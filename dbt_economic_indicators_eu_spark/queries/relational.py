@@ -768,7 +768,13 @@ WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders) - INTERVAL 90 DAY
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # NULL event times are excluded: a row with no timestamp belongs
+    # to no session (the same semantics Spark's session_window
+    # operator applies via its injected IsNotNull filter — the
+    # streaming twin), and the engines disagree on NULL sort order
+    # (Spark ASC first, DuckDB last), which would otherwise split
+    # sessions differently per engine.
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w_user)
     # Compare at microsecond precision: events.ts is ns-precision (floored
@@ -795,7 +801,8 @@ WITH flagged AS (
     CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
          THEN 1 ELSE 0 END AS is_new
-  FROM (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+  FROM (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE ts IS NOT NULL) e
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
@@ -1210,7 +1217,13 @@ GROUP BY 1
 
 
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # a row with no event time can't be ORDERED into a transition —
+    # and the engines disagree on where NULLs sort (Spark ASC puts
+    # them first, DuckDB last), so keeping them would make the
+    # transition pairs engine-dependent. Same declared semantics as
+    # the streaming window/session operators (analyzer-injected
+    # IsNotNull) and the batch sessionize below.
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = ev.select(
         F.lag("event_type").over(w_user).alias("prev_type"),
@@ -1234,7 +1247,7 @@ WITH ordered AS (
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type
   FROM (SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
-        FROM events) e
+        FROM events WHERE ts IS NOT NULL) e
 ),
 counts AS (
   SELECT prev_type, event_type AS next_type, count(*) AS n_transitions

@@ -31,6 +31,33 @@ _N_BUCKETS = 8
 _LAYOUT_CACHE: dict[tuple[str, str, str], str] = {}
 
 
+def _ensure_layout(spark: SparkSession, kind: str, sf_dir: str, build) -> str:
+    """Write-once-per-(session, kind, sf_dir) scratch layout: on a cold
+    cache, ``build(base)`` populates a fresh temp dir; later calls
+    reuse it. ONE implementation of the cache protocol so the
+    empty-source and idempotency guards can't drift between the five
+    layout queries (they did: two read-backs grew an explicit schema,
+    two didn't)."""
+    key = _layout_key(spark, kind, sf_dir)
+    if key not in _LAYOUT_CACHE:
+        base = tempfile.mkdtemp(prefix=f"{kind}_")
+        build(base)
+        _LAYOUT_CACHE[key] = base
+    return _LAYOUT_CACHE[key]
+
+
+def _hive_unescape(name: str) -> str:
+    """Inverse of Spark's ExternalCatalogUtils.escapePathName: %XX
+    escapes in 'col=value' partition directory names back to the raw
+    value. Unescaping is total (any %XX), so matching on the unescaped
+    side avoids replicating Spark's exact escape character set."""
+    import re as _re
+
+    return _re.sub(
+        "%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), name
+    )
+
+
 def _layout_key(spark: SparkSession, kind: str, sf_dir: str) -> tuple[str, str, str]:
     return (spark.sparkContext.applicationId, kind, sf_dir)
 
@@ -64,9 +91,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = hashlib.md5(full.encode()).hexdigest()[:8]
     tag = "".join(c if c.isalnum() else "_" for c in full.rsplit("/", 1)[-1]) + "_" + suffix
     orders_tbl, cust_tbl = f"orders_bucketed_{tag}", f"customer_bucketed_{tag}"
-    key = _layout_key(spark, "bucketed", sf_dir)
-    if key not in _LAYOUT_CACHE:
-        base = tempfile.mkdtemp(prefix="bucketed_")
+    def build(base: str) -> None:
         orders = load(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice"
         )
@@ -87,7 +112,8 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortBy("c_custkey")
             .saveAsTable(cust_tbl)
         )
-        _LAYOUT_CACHE[key] = base
+
+    _ensure_layout(spark, "bucketed", sf_dir, build)
     ob = spark.table(orders_tbl)
     cb = spark.table(cust_tbl)
     joined = ob.join(cb.hint("merge"), ob.o_custkey == cb.c_custkey)
@@ -117,13 +143,13 @@ def q_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     day's directory and never opens the rest. The layout is the 100 TB
     answer to 'incremental models re-read history': time-partition the
     target and every watermark filter prunes to the new partitions."""
-    key = _layout_key(spark, "partitioned", sf_dir)
     ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
-    if key not in _LAYOUT_CACHE:
-        base = tempfile.mkdtemp(prefix="partitioned_")
-        ev.write.mode("overwrite").partitionBy("event_date").parquet(f"{base}/events_p")
-        _LAYOUT_CACHE[key] = base
-    base = _LAYOUT_CACHE[key]
+    base = _ensure_layout(
+        spark, "partitioned", sf_dir,
+        lambda base: ev.write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(f"{base}/events_p"),
+    )
 
     # explicit schema (the catalog schema in production): an EMPTY
     # source writes no partition directories, so inference would fail
@@ -202,30 +228,59 @@ def delete_where_partition_scoped(
     try:
         reader = spark.read if schema is None else spark.read.schema(schema)
         tgt = reader.parquet(path)
-        in_window = [
-            r[0]
-            for r in tgt.filter(window).select(partition_col).distinct().collect()
-        ]
-        keep = tgt.filter(window).filter(~row_pred | row_pred.isNull())
-        surviving = {
-            r[0] for r in keep.select(partition_col).distinct().collect()
-        }
-        keep.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-        for v in in_window:
-            if v in surviving:
+        win = tgt.filter(window)
+        keep_cond = ~row_pred | row_pred.isNull()
+        # ONE aggregation pass yields both the affected-partition list
+        # and the zero-survivor set (previously two separate distinct()
+        # scans of the window — at the documented 100 TB / 30-day
+        # posture, a whole extra read of every affected partition)
+        kept_alias = "__kept"
+        while kept_alias == partition_col:
+            kept_alias = "_" + kept_alias
+        part_stats = (
+            win.groupBy(partition_col)
+            .agg(F.sum(F.when(keep_cond, 1).otherwise(0)).alias(kept_alias))
+            .collect()
+        )
+        in_window = [r[0] for r in part_stats]
+        surviving = {r[0] for r in part_stats if r[kept_alias] > 0}
+        win.filter(keep_cond).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(path)
+        # Drop fully-purged partitions by matching the ACTUAL on-disk
+        # directory names: Spark %XX-escapes special characters
+        # ('/', ':', '=', '%', '#', ...) when writing 'col=value'
+        # directories, so constructing the name from the raw Python
+        # value silently MISSES any escapable value (timestamps carry
+        # ':', free-text keys anything) — the purge would no-op exactly
+        # where it matters. Unescape the directory side instead; the
+        # value side renders via str(), which matches Spark's own value
+        # rendering for partitionable types (date/int/string/timestamp).
+        purged = {str(v) for v in in_window if v is not None and v not in surviving}
+        drop_null = any(v is None for v in in_window) and not any(
+            v is None for v in surviving
+        )
+        prefix = f"{partition_col}="
+        for entry in _os.listdir(path):
+            if not entry.startswith(prefix):
                 continue
-            part_dir = f"{path}/{partition_col}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
-            if _os.path.isdir(part_dir):
-                _shutil.rmtree(part_dir)
+            raw = entry[len(prefix):]
+            full = _os.path.join(path, entry)
+            if not _os.path.isdir(full):
+                continue
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                if drop_null:
+                    _shutil.rmtree(full)
+            elif _hive_unescape(raw) in purged:
+                _shutil.rmtree(full)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = _layout_key(spark, "delete_target", sf_dir)
     ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
-    if key not in _LAYOUT_CACHE:
-        base = tempfile.mkdtemp(prefix="del_target_")
+
+    def build(base: str) -> None:
         ev.write.mode("overwrite").partitionBy("event_date").parquet(f"{base}/events_d")
         delete_where_partition_scoped(
             spark,
@@ -234,10 +289,11 @@ def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id") % _DEL_USER_MOD == 0,
             schema=ev.schema,
         )
-        _LAYOUT_CACHE[key] = base
+
+    base = _ensure_layout(spark, "delete_target", sf_dir, build)
     # explicit schema (the catalog schema in production): an EMPTY
     # source writes no partition directories, so inference would fail
-    back = spark.read.schema(ev.schema).parquet(f"{_LAYOUT_CACHE[key]}/events_d")
+    back = spark.read.schema(ev.schema).parquet(f"{base}/events_d")
     return back.groupBy("event_date").agg(
         F.count(F.lit(1)).alias("n_events"),
         r2(F.sum("value")).alias("total_value"),
@@ -272,10 +328,14 @@ _SMALL_FILES = 64
 _COMPACT_TARGET_BYTES = 4 << 20  # demo target; 128 MiB-1 GiB in production
 
 
-def compact_parquet(spark: SparkSession, src: str, dst: str, target_bytes: int) -> int:
+def compact_parquet(
+    spark: SparkSession, src: str, dst: str, target_bytes: int, schema=None
+) -> int:
     """Coalesce ``src``'s parquet files into ceil(bytes/target) files
     at ``dst``; returns the output file count. Driver-side listing is
-    metadata-only — the same planning step a production OPTIMIZE does."""
+    metadata-only — the same planning step a production OPTIMIZE does.
+    ``schema`` (the catalog schema in production) makes the read total
+    on an empty source — no footers to infer from there."""
     import glob as _glob
     import math as _math
     import os as _os
@@ -284,20 +344,25 @@ def compact_parquet(spark: SparkSession, src: str, dst: str, target_bytes: int) 
         _os.path.getsize(p) for p in _glob.glob(f"{src}/*.parquet")
     )
     n = max(1, _math.ceil(total / target_bytes))
-    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    reader.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
     return n
 
 
 def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = _layout_key(spark, "compacted", sf_dir)
-    if key not in _LAYOUT_CACHE:
-        base = tempfile.mkdtemp(prefix="compact_")
-        ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events")
+
+    def build(base: str) -> None:
         # simulate ingest debris: one file per writer task
         ev.repartition(_SMALL_FILES).write.mode("overwrite").parquet(f"{base}/small")
-        compact_parquet(spark, f"{base}/small", f"{base}/compacted", _COMPACT_TARGET_BYTES)
-        _LAYOUT_CACHE[key] = base
-    back = spark.read.parquet(f"{_LAYOUT_CACHE[key]}/compacted")
+        compact_parquet(
+            spark, f"{base}/small", f"{base}/compacted",
+            _COMPACT_TARGET_BYTES, schema=ev.schema,
+        )
+
+    base = _ensure_layout(spark, "compacted", sf_dir, build)
+    # explicit schema: an empty source leaves no footers to infer from
+    back = spark.read.schema(ev.schema).parquet(f"{base}/compacted")
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
@@ -328,10 +393,10 @@ GROUP BY 1
 
 
 def q_schema_evolve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = _layout_key(spark, "evolved", sf_dir)
-    if key not in _LAYOUT_CACHE:
-        base = tempfile.mkdtemp(prefix="evolve_")
-        ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events")
+    evolved = ev.select("event_id", "ts", "user_id", "value", "event_type", "props")
+
+    def build(base: str) -> None:
         old = ev.filter(F.col("event_id") % 2 == 0).select(
             "event_id", "ts", "user_id", "value"
         )
@@ -340,8 +405,18 @@ def q_schema_evolve_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         old.write.mode("overwrite").parquet(f"{base}/t/batch=1")
         new.write.mode("overwrite").parquet(f"{base}/t/batch=2")
-        _LAYOUT_CACHE[key] = base
-    back = spark.read.option("mergeSchema", "true").parquet(f"{_LAYOUT_CACHE[key]}/t")
+
+    base = _ensure_layout(spark, "evolved", sf_dir, build)
+    # The union schema stated explicitly (the catalog schema in
+    # production): footer-merging alone crashes on an EMPTY source
+    # (no footers to merge — the guard the sibling layout queries
+    # already carry), and the explicit schema reads old-batch files
+    # missing the evolved columns as NULLs, exactly the mergeSchema
+    # result. `batch` resolves from the partition directory names.
+    from pyspark.sql.types import IntegerType, StructField
+
+    union_schema = evolved.schema.add(StructField("batch", IntegerType()))
+    back = spark.read.schema(union_schema).parquet(f"{base}/t")
     # label by the BATCH partition, not coalesce: a legacy row's
     # missing column and an evolved row's genuine NULL are different
     # things — coalescing would silently merge them into one group

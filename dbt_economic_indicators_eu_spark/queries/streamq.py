@@ -33,7 +33,10 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Tumbling 1-day windows are epoch-aligned → UTC midnight boundaries,
-# which date_trunc reproduces exactly.
+# which date_trunc reproduces exactly. NULL event times are EXCLUDED:
+# Spark's window()/session_window() analyzer rules inject an
+# IsNotNull(ts) filter (a row with no event time belongs to no
+# window), so the oracle must not group them under a NULL window.
 ORACLE_STREAM_WINDOW_COUNTS = f"""
 SELECT
   date_trunc('day', ts) AS window_start,
@@ -42,6 +45,7 @@ SELECT
   count(*) AS n_events,
   round(sum(value), 2) AS total_value
 FROM {EVENTS_NORM_SQL} e
+WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """
 
@@ -54,7 +58,10 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session_window boundary semantics (pinned by
 # tests/test_streaming.py::test_session_gap_boundary): merge on
 # diff <= gap, split on diff > gap — the same lag-rule as the batch
-# sessionize oracle; session_end = last event ts + gap.
+# sessionize oracle; session_end = last event ts + gap. NULL event
+# times are EXCLUDED like the window-counts oracle (session_window
+# drops them via the injected IsNotNull filter; the lag arithmetic
+# here would instead silently merge a NULL-ts row into a neighbor).
 ORACLE_STREAM_SESSIONIZE = f"""
 WITH flagged AS (
   SELECT
@@ -63,6 +70,7 @@ WITH flagged AS (
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
          THEN 1 ELSE 0 END AS is_new
   FROM {EVENTS_NORM_SQL} e
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (

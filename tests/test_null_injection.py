@@ -25,15 +25,24 @@ from dbt_economic_indicators_eu_spark.queries.common import TABLES, all_queries
 
 SRC = "/root/testdata/sf0.001"
 
-_NULLABLE = {
-    "documents": ["text", "lang", "source"],
-    "events": ["value", "props", "event_type"],
-    "orders": ["o_orderstatus", "o_orderpriority", "o_totalprice"],
-    "customer": ["c_mktsegment", "c_name", "c_acctbal"],
-    "lineitem": ["l_returnflag", "l_discount"],
-    "part": ["p_type", "p_brand"],
-    "supplier": ["s_name"],
-}
+
+def _shared_nullable() -> dict:
+    # THE column recipe is tools/mutate_corpus.NULLABLE (the null
+    # regime the gate runs); importing it keeps this regression and
+    # the regime from drifting — a column added to one but not the
+    # other (ts in round 9) would silently narrow coverage here
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
+    import mutate_corpus
+
+    return mutate_corpus.NULLABLE
+
+
+_NULLABLE = _shared_nullable()
 
 _DIVERGERS = [
     "quality_scorecard",

@@ -116,3 +116,36 @@ def test_targeted_delete_removes_fully_purged_partition(spark, tmp_path):
     back = spark.read.schema(ev.schema).parquet(path)
     assert back.filter(window).count() == 0
     assert back.count() > 0  # other partitions intact
+
+
+def test_targeted_delete_removes_escaped_partition_dirs(spark, tmp_path):
+    """Spark %XX-escapes special characters in 'col=value' partition
+    directory names (a 'a:b' value lands as a%3Ab). The fully-purged
+    removal must match the ACTUAL escaped directory — a name built
+    from the raw value would probe a path that doesn't exist and the
+    purge would silently no-op for exactly those values (timestamps,
+    free-text keys). NULL partitions land in the Hive default dir and
+    must also drop when fully purged."""
+    import os
+
+    path = str(tmp_path / "kv")
+    df = spark.createDataFrame(
+        [("a:b", 1), ("a:b", 2), ("plain", 3), (None, 4), ("keep/me", 5)],
+        "k string, v int",
+    )
+    df.write.partitionBy("k").parquet(path)
+    assert os.path.isdir(f"{path}/k=a%3Ab")  # Spark escaped the ':'
+
+    delete_where_partition_scoped(
+        spark,
+        path,
+        F.col("k").isin("a:b", "plain") | F.col("k").isNull(),
+        F.lit(True),
+        schema=df.schema,
+        partition_col="k",
+    )
+    assert not os.path.isdir(f"{path}/k=a%3Ab")
+    assert not os.path.isdir(f"{path}/k=plain")
+    assert not os.path.isdir(f"{path}/k=__HIVE_DEFAULT_PARTITION__")
+    back = spark.read.schema(df.schema).parquet(path)
+    assert [r["k"] for r in back.collect()] == ["keep/me"]

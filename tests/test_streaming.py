@@ -101,6 +101,27 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     assert final[200].total_value == 6.25
 
 
+def test_event_time_windows_drop_null_ts(spark):
+    """window()/session_window() silently drop NULL event-time rows
+    (Spark's analyzer injects IsNotNull(ts) — a row with no event time
+    belongs to no window); the stream oracles exclude them explicitly.
+    Pin the Spark side so an engine change surfaces here rather than
+    as a gate hash mismatch on a NULL-ts corpus."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 1), "a", 1.0),
+        (1, None, "a", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, value double"
+    )
+    win = streaming.windowed_counts(df).collect()
+    assert len(win) == 1
+    assert win[0].n_events == 1 and win[0].total_value == 1.0
+    sess = streaming.sessionize(df).collect()
+    assert len(sess) == 1
+    assert sess[0].n_events == 1 and sess[0].total_value == 1.0
+
+
 def test_stateful_totals_nan_null_contract(spark, tmp_path):
     """The Arrow→pandas crossing erases the NaN/NULL distinction, so
     stateful_user_totals declares NaN→NULL as its contract and

@@ -46,7 +46,12 @@ from dbt_economic_indicators_eu_spark.tableset import TABLES  # noqa: E402
 
 NULLABLE = {
     "documents": ["text", "lang", "source"],
-    "events": ["value", "props", "event_type"],
+    # ts included since round 9: NULL event times exercise the
+    # engines' divergent NULL sort order (Spark ASC first, DuckDB
+    # last) through every window/session/transition query — the
+    # queries declare drop-NULL-ts semantics and mirror it in their
+    # oracles, matching Spark's own window()/session_window() rules
+    "events": ["value", "props", "event_type", "ts"],
     "orders": ["o_orderstatus", "o_orderpriority", "o_totalprice"],
     "customer": ["c_mktsegment", "c_name", "c_acctbal"],
     "lineitem": ["l_returnflag", "l_discount"],
