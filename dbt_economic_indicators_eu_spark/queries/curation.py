@@ -87,7 +87,16 @@ GROUP BY c.doc_id
 
 _PAT_URL = r"https?://[^ \t\n\x0b\f\r]+"
 _PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PAT_LONGNUM = r"\b\d{4,}\b"
+# NO \b word boundary: it is OUTSIDE the RE2/Java common subset this
+# module pins — Java's \b is Unicode-aware (é counts as a word char,
+# so 'é1234é' has no boundary) while DuckDB/RE2's \b is ASCII-\w only
+# (it sees one), silently diverging on exactly the multilingual text
+# this pipeline targets (found round 9 by an adversarial-corpus gate
+# run). RE2 has no lookaround to express an ASCII boundary either, so
+# the pattern matches EVERY >=4-digit run, embedded or not — the more
+# conservative redaction posture anyway (an account number doesn't
+# stop being PII because a letter touches it).
+_PAT_LONGNUM = r"\d{4,}"
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:

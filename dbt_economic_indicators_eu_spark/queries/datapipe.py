@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import QueryDef, load, md5_bucket, md5_bucket_sql, r4, widen_narrow_scan
+from .common import QueryDef, load, md5_bucket, md5_bucket_sql, widen_narrow_scan
 from ..operators.banding import HOT_BUCKET_CAP, candidate_pairs
 
 # --------------------------------------------------------------------------
@@ -833,10 +833,14 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count is a cheap job over checkpointed blocks): near-dup pair
     # tables are orders of magnitude smaller than the corpus, and each
     # CC round pays per-task fixed costs on every shuffle stage. ~1M
-    # pair rows per partition; widens automatically at 100 TB scale.
+    # pair rows per partition — NO session-conf cap: min()'ing against
+    # shuffle.partitions could only ever SHRINK the width, so a 10^9-
+    # pair corpus on a 200-partition session would silently run every
+    # CC round at ~5M rows/partition (unbounded per-task memory growth
+    # with dup rate) instead of the documented ~1M. Small pair sets
+    # still get small widths from the target itself.
     n_pairs = pairs.count()
-    loop_parts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                            n_pairs // 1_000_000 + 1))
+    loop_parts = max(1, n_pairs // 1_000_000 + 1)
     # undirected edges, both directions; vertices = docs in any pair.
     # Derived lazily from the checkpointed pair blocks — cheap to
     # recompute each round, no extra materialization to leak.

@@ -25,6 +25,12 @@ ADVERSARIAL = [
     "contact john.doe+spam@sub.example.co.uk or visit https://a.b/c?d=e@f.gg now",
     "bare domain example.com is not an email but x@y.io is",
     "digits 123 1234 12345 end-1234 1234-start a1234b\t9999\n0000",
+    # digit runs ADJACENT TO NON-ASCII letters: Java's \b is
+    # Unicode-aware while RE2's is ASCII-only, so a \b-bounded number
+    # pattern diverges exactly here (caught round 9 — the reason
+    # _PAT_LONGNUM carries no \b); Unicode digits stay uncounted in
+    # both engines (\d is ASCII in the common subset)
+    "a1234b 1234 é1234é 9999 中9999文 ٣4567 é12345",
     "https://example.com/path#frag followed by text",
     "unicode éèê café 中文文本 with spaces",
     "UPPER@CASE.COM and MiXeD@CaSe.Org",
