@@ -378,73 +378,68 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
 # Verification-priority ordering. The correctness harness records
 # verdicts for a ~50-query prefix of dict order, so queries rotate each
 # round to keep every verdict fresh (two-round freshness invariant).
-# Round-9 rotation: (a) the queries riding round-9-touched code
-# paths — registry_pipeline (e2e rider for materialize/run.py's
-# two-rename overwrite swap: it builds every table/incremental node
-# through _overwrite_table), scd2_snapshot and incremental_upsert
-# (materialize/snapshot.py's collision-free duplicate-key guard and
-# two-rename swap; the incremental --full-refresh path shares
-# _overwrite_table) — the latter two are members of (b) anyway; then
-# (b) ALL 47 queries whose latest driver verdict is r7
-# (CORRECTNESS_r07 keys minus CORRECTNESS_r08 keys). 1 + 47 = 48, so
-# after this round every query carries an r8-or-r9 verdict with two
-# slots spare; those go to annual_summary (the flagship — also rides
-# the registry models) and schema_test_suite (the widest testing-layer
-# rider), making the 50-query prefix exact and deterministic.
+# Round-10 rotation: (a) the queries riding round-10-touched code
+# paths — wordlist_ratio (rewritten off the interpreted filter() HOF
+# onto the exploded-tokens + broadcast word-table shape), tfidf_topk
+# (same-sweep touch), targeted_delete (rides queries/storage.py's
+# purged-partition matching, re-rendered through Spark's own
+# cast-to-string this round); then (b) ALL 47 queries whose latest
+# driver verdict is r8 (CORRECTNESS_r08 keys minus CORRECTNESS_r09
+# keys). 3 + 47 = exactly 50, so after this round every query carries
+# an r9-or-r10 verdict and the prefix is exact and deterministic.
 _VERIFY_FIRST = (
-    # -- round-9-touched paths (verify first) -------------------------
-    "registry_pipeline",
-    "scd2_snapshot",
-    "incremental_upsert",
-    # -- r7-stale cohort ----------------------------------------------
-    "staging_projection",
-    "monthly_lag",
-    "case_bands",
-    "rolling_avg",
-    "left_join_enrich",
-    "region_share",
-    "rank_in_year",
-    "latest_per_entity",
-    "distinct_spine",
-    "union_append",
-    "annual_agg",
-    "completeness",
-    "watermark_filter",
-    "singular_consistency",
-    "test_unique",
-    "test_relationships",
-    "test_range_nofuture",
-    "contract_check",
-    "freshness_check",
-    "unit_test_mock",
-    "stream_incremental",
-    "text_stats",
-    "token_count",
-    "text_clean",
-    "vocab_topk",
-    "lang_id",
-    "tfidf_topk",
-    "unigram_logprob",
-    "repetition_stats",
+    # -- round-10-touched paths (verify first) -------------------------
     "wordlist_ratio",
-    "pii_redact",
-    "chunk_documents",
-    "knn_brute",
-    "knn_quantized",
-    "pack_sequences",
-    "dedup_minhash",
-    "dedup_cluster",
-    "simhash",
-    "paragraph_dedup",
-    "fingerprint",
+    "tfidf_topk",
     "targeted_delete",
-    "decontaminate",
-    "bloom_decontaminate",
-    "corpus_curation",
-    "length_buckets",
-    # -- spare-slot fillers (48+2 = exact 50-query prefix) -------------
-    "annual_summary",
-    "schema_test_suite",
+    # -- r8-stale cohort ----------------------------------------------
+    "anomaly_zscore",
+    "asof_join",
+    "avail_agg",
+    "bucketed_join",
+    "compact_files",
+    "dedup_embedding",
+    "dedup_exact",
+    "embedding_normalize",
+    "event_transitions",
+    "forecast_ensemble",
+    "forecast_ols",
+    "frame_sample",
+    "funnel_steps",
+    "hash_split",
+    "jsonstat_decode",
+    "kmeans_refine",
+    "knn_ivf",
+    "knn_lsh",
+    "label_centroids",
+    "lsh_buckets",
+    "media_features",
+    "media_pipeline",
+    "notnull_violations",
+    "partition_pruned",
+    "pivot_events",
+    "quality_scorecard",
+    "range_join_agg",
+    "rest_ingest",
+    "rollup_time",
+    "salted_agg",
+    "salted_join",
+    "sample_stratified",
+    "schema_evolve_read",
+    "seed_eu_status",
+    "sessionize",
+    "sketch_agg",
+    "source_mix_weights",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_join",
+    "stream_sessionize",
+    "stream_stateful_totals",
+    "stream_window_counts",
+    "table_profile",
+    "temperature_resample",
+    "training_shuffle",
+    "zorder_layout",
 )
 
 
