@@ -379,18 +379,20 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
 # verdicts for a ~50-query prefix of dict order, so queries rotate each
 # round to keep every verdict fresh (two-round freshness invariant).
 # Round-10 rotation: (a) the queries riding round-10-touched code
-# paths — wordlist_ratio (rewritten off the interpreted filter() HOF
-# onto the exploded-tokens + broadcast word-table shape), tfidf_topk
-# (same-sweep touch), targeted_delete (rides queries/storage.py's
-# purged-partition matching, re-rendered through Spark's own
-# cast-to-string this round); then (b) ALL 47 queries whose latest
-# driver verdict is r8 (CORRECTNESS_r08 keys minus CORRECTNESS_r09
-# keys). 3 + 47 = exactly 50, so after this round every query carries
-# an r9-or-r10 verdict and the prefix is exact and deterministic.
+# paths — lang_id (reverted to the array-local HOF form after an
+# equal-footing re-measurement showed the r8 relational migration had
+# compared single-core-HOF vs widened-relational), wordlist_ratio
+# (same measurement, relational rewrite built/measured/rejected),
+# targeted_delete (rides queries/storage.py's purged-partition
+# matching, re-rendered through Spark's own cast-to-string this
+# round); then (b) ALL 47 queries whose latest driver verdict is r8
+# (CORRECTNESS_r08 keys minus CORRECTNESS_r09 keys). 3 + 47 = exactly
+# 50, so after this round every query carries an r9-or-r10 verdict
+# and the prefix is exact and deterministic.
 _VERIFY_FIRST = (
     # -- round-10-touched paths (verify first) -------------------------
+    "lang_id",
     "wordlist_ratio",
-    "tfidf_topk",
     "targeted_delete",
     # -- r8-stale cohort ----------------------------------------------
     "anomaly_zscore",

@@ -344,14 +344,25 @@ FROM g
 # q_wordlist_ratio — EXT-TEXT-WORDLIST: fraction of tokens hitting a
 # broadcast wordlist (the C4-style wordlist filter shape: stopword
 # floors for language quality, blocklist ceilings for unwanted
-# content). The list is a literal array riding the expression — at any
-# scale it is a per-executor constant, never a join.
+# content).
 # --------------------------------------------------------------------------
 
 _WORDLIST = ("the", "a", "of", "key", "value", "table", "row")
 
 
 def q_wordlist_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-local form, kept DELIBERATELY after measuring the
+    alternative: the relational rewrite (explode + broadcast word-table
+    join + groupBy, the shape q_lang_id briefly carried) was built and
+    measured at sf0.1 with the scan widening held constant — noop-sink
+    min 1.06-1.14 s vs 0.23-0.44 s for this form. One interpreted
+    ``filter`` pass over an in-place array beats materializing a row
+    per token through a join + hash aggregate when the word list is a
+    single constant-folded literal; the relational form only wins when
+    per-term array rescans grow with the vocabulary (q_tfidf_topk's
+    case — see the measurement note there). This is also the better
+    100 TB plan: a pure projection, zero exchanges.
+    """
     docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     words = normalized_words()
     lst = ", ".join(f"'{w}'" for w in _WORDLIST)

@@ -646,34 +646,38 @@ _STOPWORDS = {
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Codegen'd relational form: explode the pinned tokenization ONCE,
-    broadcast-hash-join the tiny (tok, sw_lang) table, one
-    groupBy(doc_id) with conditional sums. A single shuffle
-    (map-side-combinable partial agg); no interpreted higher-order
-    functions — the previous 3×``F.filter(tokens, …array_contains…)``
-    form ran the lambda interpreter outside whole-stage codegen and
-    rescanned the token array once per language. Every doc survives
-    the explode (normalized_words yields [''] for empty/NULL text) and
-    the stopword join is a LEFT join, so zero-hit docs keep their row.
+    """Array-local form over a WIDENED scan — re-measured and reverted
+    from the r8 relational migration (explode + broadcast stopword join
+    + conditional-sum groupBy). That migration's win was an artifact of
+    changing two things at once: it added scan widening in the same
+    commit, so the comparison was single-core-HOF vs parallel-relational
+    (bench: 1.194 s -> 1.185 s, a wash). Held constant at sf0.1, the
+    HOF form is ~5x faster (noop-sink min 0.21-0.31 s vs 1.10-1.33 s):
+    three interpreted ``filter`` passes over an in-place token array
+    beat materializing a row per token through a join + hash aggregate
+    when the stopword lists are constant-folded literals. Also the
+    better 100 TB plan: a pure projection, zero exchanges, vs an
+    exchange of ~n_docs rows. The relational shape remains right when
+    per-term rescans grow with the vocabulary (q_tfidf_topk).
     """
     docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
-    sw_rows = [(w, lang) for lang, ws in _STOPWORDS.items() for w in ws]
-    sw = docs.sparkSession.createDataFrame(sw_rows, "tok string, sw_lang string")
-    toks = docs.select(
+    staged = docs.select(
         "doc_id", F.col("lang").alias("labeled_lang"),
-        F.explode(normalized_words()).alias("tok"),
+        normalized_words().alias("_words"),
     )
-    hit = lambda lang: F.sum(
-        F.when(F.col("sw_lang") == lang, 1).otherwise(0)
-    ).cast("int")
-    scored = (
-        toks.join(F.broadcast(sw), "tok", "left")
-        .groupBy("doc_id", "labeled_lang")
-        .agg(
-            hit("en").alias("hits_en"),
-            hit("de").alias("hits_de"),
-            hit("fr").alias("hits_fr"),
+
+    def hits(lang: str) -> F.Column:
+        lst = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+        return F.size(
+            F.expr(f"filter(_words, w -> array_contains(array({lst}), w))")
         )
+
+    scored = staged.select(
+        "doc_id",
+        "labeled_lang",
+        hits("en").alias("hits_en"),
+        hits("de").alias("hits_de"),
+        hits("fr").alias("hits_fr"),
     )
     en, de, fr = F.col("hits_en"), F.col("hits_de"), F.col("hits_fr")
     best = (
