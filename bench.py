@@ -51,14 +51,26 @@ def main() -> int:
     # store.
     scratch = None
     if os.path.isdir("/dev/shm"):
-        scratch = "/dev/shm/spark-graft-bench"
-        # clear the previous run's leftovers FIRST: mkdtemp names are
-        # unique per run and nothing else deletes them, so repeated
-        # rounds would permanently accumulate RAM-backed checkpoints /
-        # temp tables (hundreds of MB each) that then compete with the
-        # driver heap and DuckDB during later timing runs — exactly the
-        # host noise the harness works to cancel
-        shutil.rmtree(scratch, ignore_errors=True)
+        root = "/dev/shm/spark-graft-bench"
+        os.makedirs(root, exist_ok=True)
+        # Per-run PID-suffixed subdirectory: two bench processes on one
+        # host must never share (or rmtree) each other's live TMPDIR —
+        # a shared path meant a concurrent run's startup wipe deleted
+        # this run's checkpoints/temp tables mid-measurement. Stale
+        # siblings (RAM-backed leftovers of crashed runs — hundreds of
+        # MB each that would otherwise accumulate and compete with the
+        # driver heap) are swept only when their owning PID is gone.
+        for entry in os.listdir(root):
+            pid = entry.rsplit("-", 1)[-1]
+            if (
+                entry.startswith("run-")
+                and pid.isdigit()
+                and int(pid) != os.getpid()
+                and not os.path.exists(f"/proc/{pid}")
+            ):
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        scratch = os.path.join(root, f"run-{os.getpid()}")
+        shutil.rmtree(scratch, ignore_errors=True)  # PID-reuse leftover
         os.makedirs(scratch, exist_ok=True)
         os.environ["TMPDIR"] = scratch  # before tempfile.gettempdir() caches
         atexit.register(shutil.rmtree, scratch, ignore_errors=True)

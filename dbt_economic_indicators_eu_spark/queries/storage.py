@@ -234,12 +234,25 @@ def delete_where_partition_scoped(
         # and the zero-survivor set (previously two separate distinct()
         # scans of the window — at the documented 100 TB / 30-day
         # posture, a whole extra read of every affected partition)
-        kept_alias = "__kept"
+        kept_alias, str_alias = "__kept", "__str"
         while kept_alias == partition_col:
             kept_alias = "_" + kept_alias
+        while str_alias == partition_col:
+            str_alias = "_" + str_alias
+        # The string leg rides the SAME one-pass agg: Spark renders the
+        # on-disk 'col=value' directory by casting the partition value
+        # to string (then %XX-escaping), so matching against Spark's
+        # own cast — not Python str() — is what guarantees directory
+        # parity for every partitionable type. str(datetime) and the
+        # cast disagree on fraction trimming (Python prints '.500000',
+        # Spark trims to '.5'), so a Python-rendered timestamp value
+        # could silently leave a fully-purged partition on disk.
         part_stats = (
             win.groupBy(partition_col)
-            .agg(F.sum(F.when(keep_cond, 1).otherwise(0)).alias(kept_alias))
+            .agg(
+                F.sum(F.when(keep_cond, 1).otherwise(0)).alias(kept_alias),
+                F.first(F.col(partition_col).cast("string")).alias(str_alias),
+            )
             .collect()
         )
         in_window = [r[0] for r in part_stats]
@@ -254,9 +267,12 @@ def delete_where_partition_scoped(
         # value silently MISSES any escapable value (timestamps carry
         # ':', free-text keys anything) — the purge would no-op exactly
         # where it matters. Unescape the directory side instead; the
-        # value side renders via str(), which matches Spark's own value
-        # rendering for partitionable types (date/int/string/timestamp).
-        purged = {str(v) for v in in_window if v is not None and v not in surviving}
+        # value side is Spark's own cast-to-string collected above.
+        purged = {
+            r[str_alias]
+            for r in part_stats
+            if r[0] is not None and r[0] not in surviving
+        }
         drop_null = any(v is None for v in in_window) and not any(
             v is None for v in surviving
         )

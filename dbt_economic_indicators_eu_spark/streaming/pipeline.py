@@ -456,10 +456,15 @@ def _emits_only_on_watermark(df: DataFrame) -> bool:
         kids = node.children()
         if name == "Join" and kids.size() == 2:
             left, right = kids.apply(0), kids.apply(1)
+            # Only OUTER variants hold rows back for the watermark (the
+            # unmatched null-padded side); semi/anti joins emit eagerly
+            # like inner joins, so a 'not Inner' test would spuriously
+            # flag a stream-stream LeftSemi/LeftAnti drain.
+            jt = str(node.joinType())
             if (
                 left.isStreaming()
                 and right.isStreaming()
-                and "Inner" not in str(node.joinType())
+                and ("Outer" in jt or "Full" in jt)
             ):
                 return True
         return any(walk(kids.apply(i)) for i in range(kids.size()))

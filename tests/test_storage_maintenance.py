@@ -149,3 +149,40 @@ def test_targeted_delete_removes_escaped_partition_dirs(spark, tmp_path):
     assert not os.path.isdir(f"{path}/k=__HIVE_DEFAULT_PARTITION__")
     back = spark.read.schema(df.schema).parquet(path)
     assert [r["k"] for r in back.collect()] == ["keep/me"]
+
+
+def test_targeted_delete_removes_fractional_timestamp_partitions(spark, tmp_path):
+    """Timestamp partition values render differently in Python and
+    Spark: str(datetime) pads fractions to six digits ('.500000') while
+    Spark's cast-to-string — the same rendering that names the on-disk
+    directory — trims them ('.5'). The purge matches via Spark's own
+    cast collected in the stats pass, so a fully-purged fractional
+    timestamp partition must disappear; a Python-rendered value would
+    probe a name that never exists and silently leave it on disk."""
+    import datetime
+    import os
+
+    path = str(tmp_path / "ts_part")
+    t_frac = datetime.datetime(2024, 1, 1, 12, 0, 0, 500000)
+    t_whole = datetime.datetime(2024, 1, 2, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(t_frac, 1), (t_frac, 2), (t_whole, 3)], "t timestamp, v int"
+    )
+    df.write.partitionBy("t").parquet(path)
+    # Pin the divergence this test exists for: the directory carries the
+    # Spark-trimmed fraction, not Python's '.500000'.
+    dirs = [e for e in os.listdir(path) if e.startswith("t=")]
+    assert any(".5" in d and ".500000" not in d for d in dirs), dirs
+
+    delete_where_partition_scoped(
+        spark,
+        path,
+        F.col("t") == t_frac,
+        F.lit(True),
+        schema=df.schema,
+        partition_col="t",
+    )
+    remaining = [e for e in os.listdir(path) if e.startswith("t=")]
+    assert len(remaining) == 1 and ".5" not in remaining[0], remaining
+    back = spark.read.schema(df.schema).parquet(path)
+    assert [r["v"] for r in back.collect()] == [3]
