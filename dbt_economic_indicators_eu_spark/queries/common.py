@@ -383,9 +383,11 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
 # equal-footing re-measurement showed the r8 relational migration had
 # compared single-core-HOF vs widened-relational), wordlist_ratio
 # (same measurement, relational rewrite built/measured/rejected),
-# targeted_delete (rides queries/storage.py's purged-partition
-# matching, re-rendered through Spark's own cast-to-string this
-# round); then (b) ALL 47 queries whose latest driver verdict is r8
+# purge_escaped_partitions (NEW gate twin whose always-escaped string
+# partition key drives the r10 Spark-rendered purge matching — it
+# covers the same storage.py code path targeted_delete rides, with
+# directory escaping targeted_delete's date keys can never reach);
+# then (b) ALL 47 queries whose latest driver verdict is r8
 # (CORRECTNESS_r08 keys minus CORRECTNESS_r09 keys). 3 + 47 = exactly
 # 50, so after this round every query carries an r9-or-r10 verdict
 # and the prefix is exact and deterministic.
@@ -393,7 +395,7 @@ _VERIFY_FIRST = (
     # -- round-10-touched paths (verify first) -------------------------
     "lang_id",
     "wordlist_ratio",
-    "targeted_delete",
+    "purge_escaped_partitions",
     # -- r8-stale cohort ----------------------------------------------
     "anomaly_zscore",
     "asof_join",

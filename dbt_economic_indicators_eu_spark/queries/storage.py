@@ -328,6 +328,72 @@ GROUP BY 1
 """
 
 
+_ESC_DEL_DAY = "2024-01-12"
+
+
+def q_purge_escaped_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gate twin for the %XX-ESCAPED fully-purged-partition path.
+
+    ``q_targeted_delete`` partitions by a DATE, whose directory names
+    never escape — the r9 escaped-purge bug (a fully-purged ``a:b``
+    partition silently left on disk because the match probed the
+    unescaped name) sat invisible to the gate for eight rounds. Here
+    the partition key ``type_day`` = ``event_type || ':' || day`` is a
+    STRING that always embeds ``:``, so EVERY on-disk directory is
+    %XX-escaped and the purge (one whole day across all types, i.e.
+    every in-window partition fully purged) drives the escaped-rmtree
+    path on every corpus — and under the hostile-keys regime the
+    event_type leg additionally carries ``/ = % #`` and non-ASCII-
+    adjacent digit runs. Both legs are NULL-proofed with a sentinel so
+    the key is total under the null regime (a NULL key would land in
+    the Hive default dir and dodge the escaping this query exists to
+    exercise)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "type_day",
+        F.concat(
+            F.coalesce(F.col("event_type"), F.lit("~null~")),
+            F.lit(":"),
+            F.coalesce(F.to_date("ts").cast("string"), F.lit("~null~")),
+        ),
+    )
+
+    def build(base: str) -> None:
+        ev.write.mode("overwrite").partitionBy("type_day").parquet(
+            f"{base}/events_td"
+        )
+        delete_where_partition_scoped(
+            spark,
+            f"{base}/events_td",
+            F.col("type_day").endswith(f":{_ESC_DEL_DAY}"),
+            F.lit(True),
+            schema=ev.schema,
+            partition_col="type_day",
+        )
+
+    base = _ensure_layout(spark, "purge_escaped", sf_dir, build)
+    back = spark.read.schema(ev.schema).parquet(f"{base}/events_td")
+    return back.groupBy("type_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r2(F.sum("value")).alias("total_value"),
+    )
+
+
+ORACLE_PURGE_ESCAPED_PARTITIONS = f"""
+WITH e AS (
+  SELECT coalesce(event_type, '~null~') || ':' ||
+         coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '~null~') AS type_day,
+         value
+  FROM {EVENTS_NORM_SQL} ev
+)
+SELECT type_day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM e
+WHERE NOT ends_with(type_day, ':{_ESC_DEL_DAY}')
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # q_compact_files — EXT-COMPACT: small-file compaction (the OPTIMIZE /
 # bin-packing maintenance job). Streaming ingest and over-parallel
@@ -534,6 +600,12 @@ QUERIES = [
     ),
     QueryDef("zorder_layout", q_zorder_layout, ORACLE_ZORDER_LAYOUT, ("EXT-LAYOUT-ZORDER",)),
     QueryDef("targeted_delete", q_targeted_delete, ORACLE_TARGETED_DELETE, ("EXT-DELETE-TARGETED",)),
+    QueryDef(
+        "purge_escaped_partitions",
+        q_purge_escaped_partitions,
+        ORACLE_PURGE_ESCAPED_PARTITIONS,
+        ("EXT-DELETE-TARGETED",),
+    ),
     QueryDef("compact_files", q_compact_files, ORACLE_COMPACT_FILES, ("EXT-COMPACT",)),
     QueryDef(
         "schema_evolve_read",

@@ -186,3 +186,37 @@ def test_targeted_delete_removes_fractional_timestamp_partitions(spark, tmp_path
     assert len(remaining) == 1 and ".5" not in remaining[0], remaining
     back = spark.read.schema(df.schema).parquet(path)
     assert [r["v"] for r in back.collect()] == [3]
+
+
+def test_purge_escaped_partitions_gate_query(spark, tmp_path, monkeypatch):
+    """The gate twin must actually drive the escaped-directory path:
+    every on-disk partition carries a %3A (the ':' the key embeds), and
+    after the build the purged day has no partition directory left —
+    under the old Python-rendered matching a fully-purged escaped
+    partition survived on disk (the r9 bug class this query gates)."""
+    import os
+
+    from dbt_economic_indicators_eu_spark.queries import storage
+
+    built = {}
+    real_ensure = storage._ensure_layout
+
+    def spy(spark_, kind, sf_dir, build):
+        base = real_ensure(spark_, kind, sf_dir, build)
+        built[kind] = base
+        return base
+
+    monkeypatch.setattr(storage, "_ensure_layout", spy)
+    # fresh layout per test run: the cache keys (app, kind, sf_dir)
+    storage._LAYOUT_CACHE.pop(
+        storage._layout_key(spark, "purge_escaped", SF_DIR), None
+    )
+    out = storage.q_purge_escaped_partitions(spark, SF_DIR)
+    rows = out.collect()
+    base = built["purge_escaped"]
+    dirs = [e for e in os.listdir(f"{base}/events_td") if e.startswith("type_day=")]
+    assert dirs and all("%3A" in d for d in dirs), dirs[:5]
+    day = storage._ESC_DEL_DAY
+    assert not any(d.endswith(day) for d in dirs), [d for d in dirs if day in d]
+    assert all(not r["type_day"].endswith(f":{day}") for r in rows)
+    assert rows  # other days survive

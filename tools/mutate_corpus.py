@@ -23,6 +23,15 @@ test_unicode_parity.py — at whatever SF you point at):
               with 0 → nonzero steps (the pct_change ±inf / prev == 0
               guard), singleton users (below every n-obs guard), and
               gappy alternating-null series (pad-fill / dropna paths)
+- ``hostile-keys`` grouping/partition-key columns carry the two shapes
+              that hid real bugs from the gate for eight rounds
+              (VERDICT r9): values embedding ``: / = % #`` (the %XX
+              partition-directory escaping class — the escaped-purge
+              bug) and non-ASCII-adjacent digit runs like ``é1234é``
+              (the Java-vs-RE2 word-boundary class — the PII ``\\b``
+              bug). Texts keep their original content and gain a
+              hostile suffix, so dedup/similarity queries stay
+              meaningful.
 """
 
 from __future__ import annotations
@@ -172,11 +181,71 @@ def mutate_degenerate_history(tbl: pa.Table, name: str) -> pa.Table:
     return pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
 
 
+# Key values embedding every character class Spark %XX-escapes in
+# 'col=value' partition directories (':' '/' '=' '%' '#'), plus
+# non-ASCII-adjacent digit runs. Cycled by row index — deterministic.
+HOSTILE_KEYS = [
+    "web:crawl/2024",
+    "s3://bucket/path=x",
+    "100%organic#frag",
+    "a=b:c/d%e#f",
+    "é1234é",
+    "key=value",
+]
+
+# Text suffixes putting digit runs (SSN/phone/email shapes included)
+# directly against non-ASCII letters — the boundary class where Java
+# regex \b (Unicode-aware) and RE2 \b (ASCII) disagree.
+HOSTILE_TEXT = [
+    "contact é1234é and ü5678ü runs",
+    "ssn 123-45-6789 beside é123-45-6789é",
+    "mail a@b.cé phone +49 1234 567890é end",
+    "path /var/x=1:2%33#4 token №777",
+    "straße9876 digits7890ß adjacent",
+]
+
+
+def mutate_hostile_keys(tbl: pa.Table, name: str) -> pa.Table:
+    n = tbl.num_rows
+
+    def cycle(values: list[str]) -> pa.Array:
+        return pa.array([values[i % len(values)] for i in range(n)])
+
+    if name == "documents":
+        texts = [
+            f"{t} {HOSTILE_TEXT[i % len(HOSTILE_TEXT)]}" if t is not None else t
+            for i, t in enumerate(tbl.column("text").to_pylist())
+        ]
+        return (
+            tbl.set_column(tbl.column_names.index("text"), "text", pa.array(texts))
+            .set_column(
+                tbl.column_names.index("source"), "source", cycle(HOSTILE_KEYS)
+            )
+            .set_column(
+                tbl.column_names.index("n_chars"), "n_chars",
+                pa.array(
+                    [len(t) if t is not None else None for t in texts], pa.int64()
+                ),
+            )
+        )
+    if name == "events":
+        return tbl.set_column(
+            tbl.column_names.index("event_type"), "event_type", cycle(HOSTILE_KEYS)
+        )
+    if name == "customer":
+        return tbl.set_column(
+            tbl.column_names.index("c_mktsegment"), "c_mktsegment",
+            cycle(HOSTILE_KEYS),
+        )
+    return tbl
+
+
 REGIMES = {
     "null": mutate_null,
     "skew": mutate_skew,
     "unicode": mutate_unicode,
     "degenerate-history": mutate_degenerate_history,
+    "hostile-keys": mutate_hostile_keys,
 }
 
 
