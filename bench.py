@@ -62,12 +62,13 @@ def main() -> int:
         # driver heap) are swept only when their owning PID is gone.
         for entry in os.listdir(root):
             pid = entry.rsplit("-", 1)[-1]
-            if (
-                entry.startswith("run-")
-                and pid.isdigit()
-                and int(pid) != os.getpid()
-                and not os.path.exists(f"/proc/{pid}")
-            ):
+            if entry.startswith("run-") and pid.isdigit():
+                if int(pid) != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+                    shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            else:
+                # non-run-* names are leftovers of the pre-subdirectory
+                # layout (mkdtemp children written straight under the
+                # root) — no owner to probe, reclaim unconditionally
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
         scratch = os.path.join(root, f"run-{os.getpid()}")
         shutil.rmtree(scratch, ignore_errors=True)  # PID-reuse leftover

@@ -460,11 +460,11 @@ def _emits_only_on_watermark(df: DataFrame) -> bool:
             # unmatched null-padded side); semi/anti joins emit eagerly
             # like inner joins, so a 'not Inner' test would spuriously
             # flag a stream-stream LeftSemi/LeftAnti drain.
-            jt = str(node.joinType())
+            # 'Outer' covers LeftOuter/RightOuter/FullOuter
             if (
                 left.isStreaming()
                 and right.isStreaming()
-                and ("Outer" in jt or "Full" in jt)
+                and "Outer" in str(node.joinType())
             ):
                 return True
         return any(walk(kids.apply(i)) for i in range(kids.size()))

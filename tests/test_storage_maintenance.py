@@ -207,10 +207,16 @@ def test_purge_escaped_partitions_gate_query(spark, tmp_path, monkeypatch):
         return base
 
     monkeypatch.setattr(storage, "_ensure_layout", spy)
-    # fresh layout per test run: the cache keys (app, kind, sf_dir)
-    storage._LAYOUT_CACHE.pop(
+    # fresh layout per test run: the cache keys (app, kind, sf_dir);
+    # rmtree the evicted base — a bare pop would orphan it past the
+    # atexit sweep, which iterates only current cache values
+    stale = storage._LAYOUT_CACHE.pop(
         storage._layout_key(spark, "purge_escaped", SF_DIR), None
     )
+    if stale is not None:
+        import shutil
+
+        shutil.rmtree(stale, ignore_errors=True)
     out = storage.q_purge_escaped_partitions(spark, SF_DIR)
     rows = out.collect()
     base = built["purge_escaped"]
