@@ -397,3 +397,26 @@ def test_stream_join_state_across_batches(spark, tmp_path):
     assert [(r.left_id, r.right_id, r.user_id, r.delay_us) for r in rows] == [
         (1, 2, 7, 600_000_000)
     ]
+
+
+def test_emits_only_on_watermark_join_types(spark):
+    """Only OUTER stream-stream joins hold rows back for the watermark
+    (the unmatched null-padded side); inner and semi joins emit eagerly
+    — a 'not Inner' test would spuriously flag a LeftSemi drain (no
+    current pipeline builds one; this pins the guard for the first
+    that does). Analysis-only: the plans are walked, never started."""
+    def src(tag):
+        return (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            .withWatermark("timestamp", "10 seconds")
+            .withColumnRenamed("value", tag)
+        )
+
+    flag = streaming._emits_only_on_watermark
+    assert not flag(src("lv").join(src("rv"), "timestamp"))
+    assert flag(src("lv").join(src("rv"), "timestamp", "leftOuter"))
+    assert flag(src("lv").join(src("rv"), "timestamp", "fullOuter"))
+    assert not flag(src("lv").join(src("rv"), "timestamp", "left_semi"))
+    # streaming aggregate still flags (windows finalize on watermark)
+    agg = src("lv").groupBy(F.window("timestamp", "1 minute")).count()
+    assert flag(agg)
