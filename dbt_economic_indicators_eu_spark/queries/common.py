@@ -392,58 +392,58 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
 # 50, so after this round every query carries an r9-or-r10 verdict
 # and the prefix is exact and deterministic.
 _VERIFY_FIRST = (
-    # -- round-10-touched paths (verify first) -------------------------
-    "lang_id",
-    "wordlist_ratio",
-    "purge_escaped_partitions",
-    # -- r8-stale cohort ----------------------------------------------
-    "anomaly_zscore",
+    # -- round-11 review-touched modules (timeseries/asof/rangejoin) ---
     "asof_join",
-    "avail_agg",
-    "bucketed_join",
-    "compact_files",
-    "dedup_embedding",
-    "dedup_exact",
-    "embedding_normalize",
-    "event_transitions",
-    "forecast_ensemble",
-    "forecast_ols",
-    "frame_sample",
-    "funnel_steps",
-    "hash_split",
-    "jsonstat_decode",
-    "kmeans_refine",
-    "knn_ivf",
-    "knn_lsh",
-    "label_centroids",
-    "lsh_buckets",
-    "media_features",
-    "media_pipeline",
-    "notnull_violations",
-    "partition_pruned",
-    "pivot_events",
-    "quality_scorecard",
     "range_join_agg",
-    "rest_ingest",
-    "rollup_time",
-    "salted_agg",
-    "salted_join",
-    "sample_stratified",
-    "schema_evolve_read",
-    "seed_eu_status",
-    "sessionize",
-    "sketch_agg",
-    "source_mix_weights",
-    "stream_dedup",
-    "stream_enrich",
-    "stream_join",
-    "stream_sessionize",
-    "stream_stateful_totals",
-    "stream_window_counts",
-    "table_profile",
-    "temperature_resample",
-    "training_shuffle",
-    "zorder_layout",
+    # -- r9-stale cohort (latest verdict is one round old) --------------
+    "annual_agg",
+    "annual_summary",
+    "bloom_decontaminate",
+    "case_bands",
+    "chunk_documents",
+    "completeness",
+    "contract_check",
+    "corpus_curation",
+    "decontaminate",
+    "dedup_cluster",
+    "dedup_minhash",
+    "distinct_spine",
+    "fingerprint",
+    "freshness_check",
+    "incremental_upsert",
+    "knn_brute",
+    "knn_quantized",
+    "latest_per_entity",
+    "left_join_enrich",
+    "length_buckets",
+    "monthly_lag",
+    "pack_sequences",
+    "paragraph_dedup",
+    "pii_redact",
+    "rank_in_year",
+    "region_share",
+    "registry_pipeline",
+    "repetition_stats",
+    "rolling_avg",
+    "scd2_snapshot",
+    "schema_test_suite",
+    "simhash",
+    "singular_consistency",
+    "staging_projection",
+    "stream_incremental",
+    "targeted_delete",
+    "test_range_nofuture",
+    "test_relationships",
+    "test_unique",
+    "text_clean",
+    "text_stats",
+    "tfidf_topk",
+    "token_count",
+    "unigram_logprob",
+    "union_append",
+    "unit_test_mock",
+    "vocab_topk",
+    "watermark_filter",
 )
 
 
