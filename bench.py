@@ -38,6 +38,48 @@ def _cpu_jiffies() -> tuple[int, int]:
         return 0, 0
 
 
+_OWNER_FD = None  # flock fd held open for the process lifetime
+
+
+def _hold_owner_lock(scratch: str):
+    """Create ``<scratch>/.owner`` and take an exclusive flock on it.
+    Returns the open fd (caller keeps it referenced so the lock lives
+    as long as the process). Best-effort: a filesystem without flock
+    support degrades to the /proc fallback in ``_scratch_is_dead``."""
+    import fcntl
+
+    try:
+        fd = os.open(os.path.join(scratch, ".owner"), os.O_CREAT | os.O_RDWR, 0o600)
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        return fd
+    except OSError:
+        return None
+
+
+def _scratch_is_dead(path: str, pid: int) -> bool:
+    """True when the run-<pid> scratch dir has no live owner. Primary
+    signal: the owner flock is acquirable (the owning process — and
+    only it — holds LOCK_EX until exit, so a free lock means it is
+    gone, PID reuse notwithstanding). Fallback for lockless dirs:
+    /proc/<pid> existence."""
+    import fcntl
+
+    marker = os.path.join(path, ".owner")
+    if os.path.exists(marker):
+        try:
+            fd = os.open(marker, os.O_RDWR)
+        except OSError:
+            return not os.path.exists(f"/proc/{pid}")
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return True  # lock free -> owner is dead
+        except OSError:
+            return False  # held -> live sibling, leave it alone
+        finally:
+            os.close(fd)
+    return not os.path.exists(f"/proc/{pid}")
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -59,20 +101,41 @@ def main() -> int:
         # this run's checkpoints/temp tables mid-measurement. Stale
         # siblings (RAM-backed leftovers of crashed runs — hundreds of
         # MB each that would otherwise accumulate and compete with the
-        # driver heap) are swept only when their owning PID is gone.
+        # driver heap) are swept only when provably dead: each run
+        # holds an exclusive flock on run-<pid>/.owner for its whole
+        # lifetime, so liveness is the LOCK, not /proc/<pid> existence
+        # (PID reuse by an unrelated process would pin the scratch
+        # forever; a shared /dev/shm across PID namespaces would sweep
+        # a live sibling mid-measurement). Lockless dirs (crash before
+        # lock creation, pre-lock layout) fall back to the /proc probe.
         for entry in os.listdir(root):
+            path = os.path.join(root, entry)
             pid = entry.rsplit("-", 1)[-1]
-            if entry.startswith("run-") and pid.isdigit():
-                if int(pid) != os.getpid() and not os.path.exists(f"/proc/{pid}"):
-                    shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            if entry.startswith("run-") and pid.isdigit() and os.path.isdir(path):
+                if int(pid) != os.getpid() and _scratch_is_dead(path, int(pid)):
+                    shutil.rmtree(path, ignore_errors=True)
             else:
-                # non-run-* names are leftovers of the pre-subdirectory
-                # layout (mkdtemp children written straight under the
-                # root) — no owner to probe, reclaim unconditionally
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                # anything else is a leftover of the pre-subdirectory
+                # layout (mkdtemp children / stray files written
+                # straight under the root) — no owner to probe,
+                # reclaim unconditionally. rmtree silently no-ops on a
+                # plain file even without ignore_errors, so files need
+                # their own branch or they survive every sweep.
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
         scratch = os.path.join(root, f"run-{os.getpid()}")
         shutil.rmtree(scratch, ignore_errors=True)  # PID-reuse leftover
         os.makedirs(scratch, exist_ok=True)
+        # Hold the ownership lock for the process lifetime (fd is
+        # intentionally never closed; the kernel drops the flock at
+        # exit, which is exactly the liveness signal the sweep wants).
+        global _OWNER_FD
+        _OWNER_FD = _hold_owner_lock(scratch)
         os.environ["TMPDIR"] = scratch  # before tempfile.gettempdir() caches
         atexit.register(shutil.rmtree, scratch, ignore_errors=True)
 
@@ -363,24 +426,24 @@ def main() -> int:
         except ValueError:
             pass
 
+    # Payload key order is TRUNCATION-DEFENSIVE and pinned by
+    # tests/test_bench_payload.py: the driver archives only the TAIL
+    # of bench stdout, so whatever precedes the cut is lost. The big
+    # per-query dicts (queries / samples / oracle_queries) therefore
+    # go FIRST — they're diagnostics — and every scalar trust anchor
+    # (sf, host_steal_pct, pass_totals, oracle_value, oracle_coverage,
+    # spark_covered_value, ratio_vs_oracle) goes LAST, inside the
+    # final ~200 bytes, so the gate metrics and the steal context
+    # survive any head truncation (the r10 artifact lost
+    # host_steal_pct this way and its 1.853 draw could not be
+    # diagnosed from the artifact alone).
     payload = {
         "metric": "total_query_wall_time",
-        "value": total,
         "unit": "sec",
         "queries": per_query,
-        "sf": sf,
-        # diagnostic: whole-suite Spark wall per pass — a reader can
-        # see whether a high ratio came from a uniformly slow run
-        # (all passes elevated: host-level regime, not the code)
-        "pass_totals": pass_totals,
     }
     if os.environ.get("SPARK_GRAFT_SAMPLES") == "1":  # debug: raw per-pass samples
         payload["samples"] = samples
-    steal1, total1 = _cpu_jiffies()
-    if total1 > total0:
-        payload["host_steal_pct"] = round(
-            100.0 * (steal1 - steal0) / (total1 - total0), 2
-        )
 
     # The gate (BASELINE.md) is "within 2x of the DuckDB oracle at the
     # same SF"; the oracle samples were taken interleaved with the
@@ -389,13 +452,13 @@ def main() -> int:
     # enter either sum (a failed Spark query must not add oracle time;
     # a no-oracle query must not add Spark time). Coverage counts ship
     # in the payload so a partial-oracle ratio is visible as such.
+    oracle_total = None
+    covered: list[str] = []
     if oracle_on and oracle_best:
         covered = sorted(
             n for n, t in per_query.items() if t >= 0 and n in oracle_best
         )
         oracle_total = round(sum(oracle_best[n] for n in covered), 3)
-        payload["oracle_value"] = oracle_total
-        payload["oracle_coverage"] = len(covered)
         # per-query oracle minima: lets a reader compute PER-QUERY
         # ratios and same-workload cross-round comparisons (the suite
         # grew 76 -> 97 queries in round 4; a total-only ratio
@@ -403,6 +466,22 @@ def main() -> int:
         payload["oracle_queries"] = {
             n: round(t, 3) for n, t in sorted(oracle_best.items())
         }
+
+    # -- scalar trust anchors: keep LAST, nothing may follow them -----
+    payload["value"] = total
+    payload["sf"] = sf
+    # diagnostic: whole-suite Spark wall per pass — a reader can see
+    # whether a high ratio came from a uniformly slow run (all passes
+    # elevated: host-level regime, not the code)
+    payload["pass_totals"] = pass_totals
+    steal1, total1 = _cpu_jiffies()
+    if total1 > total0:
+        payload["host_steal_pct"] = round(
+            100.0 * (steal1 - steal0) / (total1 - total0), 2
+        )
+    if oracle_total is not None:
+        payload["oracle_value"] = oracle_total
+        payload["oracle_coverage"] = len(covered)
         payload["spark_covered_value"] = round(
             sum(per_query[n] for n in covered), 3
         )
