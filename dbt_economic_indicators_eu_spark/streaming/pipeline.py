@@ -456,15 +456,23 @@ def _emits_only_on_watermark(df: DataFrame) -> bool:
         kids = node.children()
         if name == "Join" and kids.size() == 2:
             left, right = kids.apply(0), kids.apply(1)
-            # Only OUTER variants hold rows back for the watermark (the
-            # unmatched null-padded side); semi/anti joins emit eagerly
-            # like inner joins, so a 'not Inner' test would spuriously
-            # flag a stream-stream LeftSemi/LeftAnti drain.
-            # 'Outer' covers LeftOuter/RightOuter/FullOuter
+            # Variants that hold rows back for the watermark: OUTER
+            # joins (matched rows emit eagerly; the unmatched
+            # null-padded rows emit only when the watermark closes the
+            # state) and LEFT ANTI (a row is provably unmatched only
+            # once the watermark expires its match window, so EVERY
+            # anti output waits on the watermark). LeftSemi emits
+            # eagerly on match, like inner — a 'not Inner' test would
+            # spuriously flag it. Spark currently rejects stream-stream
+            # LeftAnti at start(), so that arm is future-proofing, not
+            # load-bearing today — but the guard must not silently
+            # allow a partial append-mode anti drain if support lands.
+            # 'Outer' covers LeftOuter/RightOuter/FullOuter.
+            jt = str(node.joinType())
             if (
                 left.isStreaming()
                 and right.isStreaming()
-                and "Outer" in str(node.joinType())
+                and ("Outer" in jt or "Anti" in jt)
             ):
                 return True
         return any(walk(kids.apply(i)) for i in range(kids.size()))

@@ -400,11 +400,15 @@ def test_stream_join_state_across_batches(spark, tmp_path):
 
 
 def test_emits_only_on_watermark_join_types(spark):
-    """Only OUTER stream-stream joins hold rows back for the watermark
-    (the unmatched null-padded side); inner and semi joins emit eagerly
-    — a 'not Inner' test would spuriously flag a LeftSemi drain (no
-    current pipeline builds one; this pins the guard for the first
-    that does). Analysis-only: the plans are walked, never started."""
+    """OUTER and LEFT ANTI stream-stream joins hold rows back for the
+    watermark (outer: the unmatched null-padded side; anti: a row is
+    provably unmatched only once the watermark expires its window —
+    every anti output waits). Inner and semi joins emit eagerly on
+    match — a 'not Inner' test would spuriously flag a LeftSemi drain.
+    Spark rejects stream-stream LeftAnti at start() today, so the anti
+    arm is analysis-only future-proofing (no current pipeline builds
+    one; this pins the guard for the first that does). Analysis-only:
+    the plans are walked, never started."""
     def src(tag):
         return (
             spark.readStream.format("rate").option("rowsPerSecond", 1).load()
@@ -417,6 +421,9 @@ def test_emits_only_on_watermark_join_types(spark):
     assert flag(src("lv").join(src("rv"), "timestamp", "leftOuter"))
     assert flag(src("lv").join(src("rv"), "timestamp", "fullOuter"))
     assert not flag(src("lv").join(src("rv"), "timestamp", "left_semi"))
+    # anti flags even though Spark rejects stream-stream anti at
+    # start(): the guard sees the ANALYZED plan, which builds fine
+    assert flag(src("lv").join(src("rv"), "timestamp", "left_anti"))
     # streaming aggregate still flags (windows finalize on watermark)
     agg = src("lv").groupBy(F.window("timestamp", "1 minute")).count()
     assert flag(agg)
