@@ -35,6 +35,11 @@ from ..operators.banding import HOT_BUCKET_CAP, candidate_pairs
 _DIM = 64
 _N_PLANES = 6
 _QUERY_MOD = 50  # vec_id % 50 == 0 → the query subset
+# Fail-fast ceiling on the driver-side query collect (see
+# _query_artifacts): ~100k x 64-dim float64 ≈ 50 MB of closure —
+# already generous for "queries are the workload"; anything larger is
+# a misconfiguration, not a workload.
+_MAX_DRIVER_QUERIES = 100_000
 _TOP_K = 10
 _TOP_K_LSH = 5
 
@@ -133,8 +138,30 @@ def _query_artifacts(emb: DataFrame, transform=None):
     guard (cosine undefined: mirror the oracle's nrm > 0 filters —
     without it numpy's 0/0 = NaN rows are silently dropped by the -inf
     filter while DuckDB keeps + top-sorts its NaNs). Returns
-    (q_ids, q_mat, q_nrm) or None when no live queries remain."""
-    q_rows = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
+    (q_ids, q_mat, q_nrm) or None when no live queries remain.
+
+    The collect is correct ONLY because queries are the WORKLOAD (a
+    few hundred vectors riding the UDF closure like a broadcast dim),
+    not data. The count guard below makes that contract fail FAST if
+    a future corpus regime or ``_QUERY_MOD`` change ever turns the
+    query subset into a data-scale set — a silent driver-side collect
+    of millions of embeddings would otherwise OOM the driver or,
+    worse, quietly serialize GBs into every task closure."""
+    q_subset = emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    # limit(cap+1) keeps the guard a SINGLE job: under the cap it
+    # returns the identical full row set; over it, the cap+1'th row's
+    # presence is the tripwire (a separate count() would add a second
+    # scan to every timed ANN build).
+    q_rows = q_subset.limit(_MAX_DRIVER_QUERIES + 1).collect()
+    if len(q_rows) > _MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"ANN query workload exceeds {_MAX_DRIVER_QUERIES} vectors: "
+            "too large to collect driver-side and broadcast via the UDF "
+            "closure. Raise _QUERY_MOD to thin the workload, or batch "
+            "the queries: chunk the query set and run the _topk_reduce "
+            "pass per chunk (each chunk rides its own closure), "
+            "unioning the per-chunk top-k."
+        )
     q_rows.sort(key=lambda r: r.vec_id)
     if not q_rows:
         return None

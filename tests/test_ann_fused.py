@@ -116,3 +116,19 @@ def test_knn_lsh_fused_equals_reference(spark, sf_dir):
         )
     }
     assert got == ref
+
+
+def test_query_workload_cap_guard(spark, sf_dir, monkeypatch):
+    """The driver-side query collect is legitimate only while queries
+    are a workload, not data: with the cap lowered below the fixture's
+    6 queries, _query_artifacts must fail FAST with the batching
+    guidance (not OOM or silently broadcast) — and the guard must cost
+    no extra job at the normal cap (limit(cap+1) rides the one
+    collect)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # normal cap: works, full query set survives the limit()
+    arts = s._query_artifacts(emb)
+    assert arts is not None and len(arts[0]) == len(range(0, N, s._QUERY_MOD))
+    monkeypatch.setattr(s, "_MAX_DRIVER_QUERIES", 3)
+    with pytest.raises(ValueError, match="exceeds 3 vectors.*chunk"):
+        s._query_artifacts(emb)
