@@ -124,6 +124,31 @@ def md5_bucket(key: Column, start: int = 1) -> Column:
     )
 
 
+def finite_or_null(v: Column) -> Column:
+    """THE finite-value guard: NaN/±Infinity → NULL (skipped like
+    NULLs, identically in both engines). The only non-finite encoding
+    the engines agree on: DuckDB's quantile_cont POISONS on a NaN in
+    the group (NaN sorts greatest and infects the interpolation) while
+    Spark's percentile skips it, and avg/stddev NaN-poison on BOTH
+    sides. NULL also propagates safely through downstream arithmetic
+    (round/*/cast), so ``round(finite_or_null(v) * 100)`` is the
+    crash-free integer-cents path. Twin: ``finite_or_null_sql`` — one
+    recipe, one SQL twin, or a non-finite-policy change silently
+    de-synchronizes a query from its oracle (shared by
+    anomaly_zscore's cents/quartiles and sketch_agg's quantiles)."""
+    return F.when(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf"))), v
+    )
+
+
+def finite_or_null_sql(expr: str) -> str:
+    """DuckDB twin of ``finite_or_null``."""
+    return (
+        f"CASE WHEN {expr} IS NOT NULL AND NOT isnan({expr}) "
+        f"AND NOT isinf({expr}) THEN {expr} END"
+    )
+
+
 def md5_bucket_sql(expr: str, start: int = 1) -> str:
     """DuckDB twin of ``md5_bucket``. ``||``, NOT concat(): concat
     SKIPS null args, so a NULL key would yield the literal '0x' and

@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import QueryDef, load, r2, r4, r6
+from .common import (
+    QueryDef,
+    finite_or_null,
+    finite_or_null_sql,
+    load,
+    r2,
+    r4,
+    r6,
+)
 
 # --------------------------------------------------------------------------
 # q_anomaly_zscore — OP-ML-ANOM, OP-AGG-ZSCORE, OP-AGG-IQR, OP-FN-PCTCHANGE,
@@ -63,15 +71,15 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LOUDLY (no silent corruption). The variance NUMERATOR
     # (nv*sq - si^2) is exact decimal(38,0) integer arithmetic — see
     # below.
-    v = F.col("value")
-    finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
-    c = F.when(finite, F.round(v * 100).cast("bigint"))
+    # shared recipe (common.finite_or_null): NULL propagates through
+    # the *100/round/cast chain, so the cents path is crash-free too
+    vf = finite_or_null(F.col("value"))
+    c = F.round(vf * 100).cast("bigint")
     # quartiles over the FINITE-guarded value too: Spark's percentile
     # skips NaN but DuckDB's quantile_cont POISONS on it (NaN sorts
     # greatest and infects the interpolation) — guarding both sides
     # identically (non-finite → NULL → skipped) is the only encoding
     # both engines agree on, consistent with the mean/std guard above
-    vf = F.when(finite, v)
     stats = ev.groupBy("user_id").agg(
         F.sum(c).alias("_si"),
         F.sum(c * c).alias("_sq"),
@@ -162,14 +170,13 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ANOMALY_ZSCORE = """
+ORACLE_ANOMALY_ZSCORE = f"""
 WITH base AS (
   SELECT event_id, user_id, event_type, value,
          CAST(ts AS TIMESTAMP) AS ts,
-         -- finite guard mirrors the Spark side: NaN/Inf skip as NULL
-         -- instead of crashing the bigint cast
-         CASE WHEN value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
-              THEN CAST(round(value * 100) AS BIGINT) END AS c
+         -- finite guard mirrors the Spark side (finite_or_null twin):
+         -- NaN/Inf skip as NULL instead of crashing the bigint cast
+         CAST(round({finite_or_null_sql("value")} * 100) AS BIGINT) AS c
   FROM events
 ),
 -- mean/std from EXACT integer-cents sums (order-independent), the

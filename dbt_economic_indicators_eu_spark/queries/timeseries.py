@@ -20,7 +20,16 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join
-from .common import EVENTS_NORM_SQL, QueryDef, epoch_micros, load, r2, r6
+from .common import (
+    EVENTS_NORM_SQL,
+    QueryDef,
+    epoch_micros,
+    finite_or_null,
+    finite_or_null_sql,
+    load,
+    r2,
+    r6,
+)
 
 # --------------------------------------------------------------------------
 # q_asof_join — EXT-ASOF-JOIN: for every 'view' event, the most recent
@@ -107,7 +116,7 @@ _RANGE_BIN_SECONDS = 7 * 86400  # bin ≈ interval length → ~1-2 bins each
 
 
 def q_range_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_quantity")
+    li = load(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
     windows = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 1000 == 0)
@@ -205,18 +214,21 @@ def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each keep their natural partial-agg hash plan; the join is a
     # broadcast of a handful of rows.
     ev = load(spark, sf_dir, "events")
-    # finite-guarded value for the quantiles: DuckDB's quantile_cont
-    # POISONS on a NaN in the group while Spark's percentile skips it —
-    # both engines quantile only finite values (same guard as
-    # q_anomaly_zscore's quartiles)
-    v = F.col("value")
-    vfin = F.when(v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf"))), v)
+    # finite-guarded value for the quantiles (common.finite_or_null:
+    # DuckDB's quantile_cont POISONS on a NaN in the group while
+    # Spark's percentile skips it — both engines quantile only finite
+    # values, same shared recipe as q_anomaly_zscore's quartiles)
+    vfin = finite_or_null(F.col("value"))
     exact_p50 = F.percentile(vfin, F.lit(0.5))
     approx_p50 = F.percentile_approx(vfin, F.lit(0.5), F.lit(10000))
     sketches = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("_approx_users"),
         exact_p50.alias("_p50_raw"),
         approx_p50.alias("_p50_approx"),
+        # scale anchor for the p50 tolerance floor (see below); NULL
+        # (0/1 finite values) coalesces to 0 — with a single value
+        # every sketch returns it exactly, so a zero floor is safe
+        F.stddev_samp(vfin).alias("_vsd"),
     )
     exact = (
         ev.select("event_type", "user_id")
@@ -241,19 +253,32 @@ def q_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.1 * F.col("n_users_exact")
         ).alias("hll_within_10pct"),
         r6(F.col("_p50_raw")).alias("p50_exact"),
+        # tolerance floored at 5% of the group's stddev: a pure
+        # 0.05*abs(median) bound collapses to ZERO when the exact
+        # median is 0 (e.g. a zero-heavy or symmetric regime), and
+        # each engine compares its OWN sketch algorithm (Spark GK
+        # returns a data element -> exactly 0; DuckDB t-digest
+        # interpolates -> near-zero nonzero) against that bound — the
+        # booleans would diverge on a semantically-fine query. The
+        # stddev floor keeps the check meaningful at any value scale.
         (
             F.abs(F.col("_p50_approx") - F.col("_p50_raw"))
-            <= 0.05 * F.abs(F.col("_p50_raw"))
+            <= 0.05
+            * F.greatest(
+                F.abs(F.col("_p50_raw")),
+                F.coalesce(F.col("_vsd"), F.lit(0.0)),
+            )
         ).alias("p50_within_5pct"),
     )
 
 
 ORACLE_SKETCH_AGG = f"""
 -- vf: finite-guarded value for quantiles (quantile_cont poisons on
--- NaN; Spark's percentile skips it — see q_sketch_agg)
+-- NaN; Spark's percentile skips it — see q_sketch_agg). p50 tolerance
+-- floored at 5% of stddev: the Spark-side comment on p50_within_5pct
+-- explains the zero-median divergence this prevents.
 WITH e AS (
-  SELECT *, CASE WHEN value IS NOT NULL AND NOT isnan(value)
-                  AND NOT isinf(value) THEN value END AS vf
+  SELECT *, {finite_or_null_sql("value")} AS vf
   FROM {EVENTS_NORM_SQL} t
 )
 SELECT
@@ -263,7 +288,8 @@ SELECT
     <= 0.1 * count(DISTINCT user_id) AS hll_within_10pct,
   round(quantile_cont(vf, 0.5), 6) AS p50_exact,
   abs(approx_quantile(vf, 0.5) - quantile_cont(vf, 0.5))
-    <= 0.05 * abs(quantile_cont(vf, 0.5)) AS p50_within_5pct
+    <= 0.05 * greatest(abs(quantile_cont(vf, 0.5)),
+                       coalesce(stddev_samp(vf), 0)) AS p50_within_5pct
 FROM e
 GROUP BY 1
 """
