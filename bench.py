@@ -56,12 +56,22 @@ def _hold_owner_lock(scratch: str):
         return None
 
 
+# A just-created scratch may be inside its owner's os.open->flock
+# window (the lock is not yet held, but the owner is alive). Dirs
+# younger than this many seconds additionally need a failed /proc
+# probe before they count as dead.
+_OWNER_GRACE_SEC = 5.0
+
+
 def _scratch_is_dead(path: str, pid: int) -> bool:
     """True when the run-<pid> scratch dir has no live owner. Primary
     signal: the owner flock is acquirable (the owning process — and
     only it — holds LOCK_EX until exit, so a free lock means it is
     gone, PID reuse notwithstanding). Fallback for lockless dirs:
-    /proc/<pid> existence."""
+    /proc/<pid> existence. TOCTOU guard: a free lock on a dir younger
+    than ``_OWNER_GRACE_SEC`` may just mean the owner hasn't reached
+    its flock call yet, so young dirs also need the /proc probe to
+    fail before they are declared dead."""
     import fcntl
 
     marker = os.path.join(path, ".owner")
@@ -72,11 +82,17 @@ def _scratch_is_dead(path: str, pid: int) -> bool:
             return not os.path.exists(f"/proc/{pid}")
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            return True  # lock free -> owner is dead
         except OSError:
             return False  # held -> live sibling, leave it alone
         finally:
             os.close(fd)
+        try:
+            age = time.time() - os.stat(path).st_mtime
+        except OSError:
+            age = float("inf")
+        if age < _OWNER_GRACE_SEC and os.path.exists(f"/proc/{pid}"):
+            return False  # lock free but dir too young to trust it
+        return True  # lock free -> owner is dead
     return not os.path.exists(f"/proc/{pid}")
 
 
@@ -129,6 +145,17 @@ def main() -> int:
                     except OSError:
                         pass
         scratch = os.path.join(root, f"run-{os.getpid()}")
+        # A leftover under our own PID is normally a dead prior run
+        # (PID reuse) and is reclaimed — but in the shared-/dev/shm
+        # cross-PID-namespace scenario the flock exists for, a
+        # PID-colliding LIVE sibling can own this exact name. Never
+        # rmtree past a held lock: fall back to a suffixed scratch
+        # name instead of deleting a live run's state mid-measurement.
+        if os.path.isdir(scratch) and not _scratch_is_dead(scratch, os.getpid()):
+            suffix = 0
+            while os.path.isdir(scratch):
+                suffix += 1
+                scratch = os.path.join(root, f"run-{os.getpid()}-{suffix}")
         shutil.rmtree(scratch, ignore_errors=True)  # PID-reuse leftover
         os.makedirs(scratch, exist_ok=True)
         # Hold the ownership lock for the process lifetime (fd is
@@ -466,6 +493,22 @@ def main() -> int:
         payload["oracle_queries"] = {
             n: round(t, 3) for n, t in sorted(oracle_best.items())
         }
+
+    # Compact Spark slow-tail that SURVIVES artifact truncation: the
+    # full `queries` dict above is routinely cut from BENCH_r{N}.json,
+    # and the per-query dict left visible in the tail is the ORACLE's
+    # (the r11 artifact's `lang_id: 1.174` was DuckDB's time) — so the
+    # 10 slowest SPARK queries ship again here, slowest first, between
+    # the oracle dict and the scalar anchors, inside the final ~500
+    # surviving bytes. Keys in both dicts are unambiguous by position:
+    # anything after `spark_top` is Spark-side or scalar.
+    payload["spark_top"] = {
+        n: t
+        for n, t in sorted(
+            ((n, t) for n, t in per_query.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    }
 
     # -- scalar trust anchors: keep LAST, nothing may follow them -----
     payload["value"] = total

@@ -79,6 +79,27 @@ def test_trust_anchors_are_last_and_ordered():
     assert len(suffix) < 250, len(suffix)
 
 
+def test_spark_top_sits_between_oracle_dict_and_anchors():
+    """The Spark slow-tail must survive truncation: placed AFTER the
+    bulky oracle dict, BEFORE the scalar anchors, and the serialized
+    suffix from spark_top onward stays inside the surviving ~500-byte
+    artifact tail (the r11 artifact's visible per-query dict was the
+    oracle's — per-query Spark analysis was impossible)."""
+    per_query = {f"q{i}": 0.1 * i for i in range(40)}
+    per_query["flaky"] = -1.0  # failure sentinel must never enter
+    oracle_best = {f"q{i}": 0.05 * i for i in range(40)}
+    payload = _build_payload(per_query, oracle_best)
+    keys = list(payload)
+    assert keys.index("oracle_queries") < keys.index("spark_top") < keys.index("value")
+    # exactly the 10 slowest Spark queries, slowest first, no sentinel
+    top = payload["spark_top"]
+    assert list(top) == [f"q{i}" for i in range(39, 29, -1)]
+    assert list(top.values()) == sorted(top.values(), reverse=True)
+    line = json.dumps(payload)
+    suffix = line[line.index('"spark_top"') :]
+    assert len(suffix) < 500, len(suffix)
+
+
 def test_anchors_survive_without_oracle():
     """oracle_off runs (SPARK_GRAFT_ORACLE=0) must still end on the
     scalar block — value/sf/pass_totals/host_steal_pct last."""

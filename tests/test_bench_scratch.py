@@ -22,11 +22,26 @@ from bench import _hold_owner_lock, _scratch_is_dead  # noqa: E402
 
 def test_free_lock_means_dead(tmp_path):
     """.owner exists but nobody holds it -> owner crashed -> sweepable,
-    even when /proc/<pid> exists (PID-reuse case: probe pid 1)."""
+    even when /proc/<pid> exists (PID-reuse case: probe pid 1). The
+    dir is aged past the TOCTOU grace window first — a fresh dir with
+    a free lock is NOT yet trustworthy (see test below)."""
     d = tmp_path / "run-1"
     d.mkdir()
     (d / ".owner").touch()
+    os.utime(d, (1.0, 1.0))  # well past _OWNER_GRACE_SEC
     assert _scratch_is_dead(str(d), 1)
+
+
+def test_young_dir_free_lock_needs_dead_proc(tmp_path):
+    """TOCTOU guard: between a sibling's os.open creating .owner and
+    its flock call, the lock reads as free. A dir younger than the
+    grace window with a LIVE /proc pid must be spared; the same young
+    dir with a dead pid (crash before flock) is sweepable."""
+    d = tmp_path / "run-1"
+    d.mkdir()
+    (d / ".owner").touch()  # fresh mtime: inside the grace window
+    assert not _scratch_is_dead(str(d), 1)  # pid 1 alive -> spared
+    assert _scratch_is_dead(str(d), 4999999)  # dead pid -> sweepable
 
 
 def test_held_lock_means_live(tmp_path):
