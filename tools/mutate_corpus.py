@@ -32,6 +32,11 @@ test_unicode_parity.py — at whatever SF you point at):
               bug). Texts keep their original content and gain a
               hostile suffix, so dedup/similarity queries stay
               meaningful.
+- ``tiny``    every table cut to its first 3 rows (the vanishing
+              corpus): single-element windows/groups, empty join
+              sides, ANN corpora smaller than k, zero-pair candidate
+              stages, stddev/regression aggregates over 1-2 values,
+              near-empty streaming drains.
 """
 
 from __future__ import annotations
@@ -240,12 +245,26 @@ def mutate_hostile_keys(tbl: pa.Table, name: str) -> pa.Table:
     return tbl
 
 
+def mutate_tiny(tbl: pa.Table, name: str) -> pa.Table:
+    """Cut every table to its first 3 rows (deterministic head slice).
+    The vanishing-corpus regime: single-element windows and groups,
+    empty join/anti-join sides, ANN corpora smaller than k, candidate
+    stages that produce zero pairs, aggregates over 1-2 values
+    (stddev_samp -> NULL, regression slopes -> NULL), and streaming
+    drains with almost no events. Referential integrity is deliberately
+    NOT preserved (independent head slices orphan FKs) — both engines
+    see the same orphans, and the relationship tests are violation
+    queries that must agree on them."""
+    return tbl.slice(0, 3)
+
+
 REGIMES = {
     "null": mutate_null,
     "skew": mutate_skew,
     "unicode": mutate_unicode,
     "degenerate-history": mutate_degenerate_history,
     "hostile-keys": mutate_hostile_keys,
+    "tiny": mutate_tiny,
 }
 
 
