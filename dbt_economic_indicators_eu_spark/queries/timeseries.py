@@ -162,6 +162,15 @@ GROUP BY 1, 2
 # per-type-per-day, per-type, and grand-total rows with grouping
 # flags. At scale this is strictly better than 3 separate groupBys:
 # one shuffle, partial aggregation map-side, no re-read.
+#
+# Empty-input semantics (pinned, round 12): an EMPTY events table
+# yields an EMPTY rollup. ANSI grouping sets (and DuckDB) emit the
+# empty grouping set's grand-total row (NULL, NULL, 0, NULL) even
+# over zero input rows; Spark's rollup emits nothing (the grouping-id
+# is an aggregation key, so no input rows → no groups — found by the
+# empty-corpus regime gate). This engine pins the Spark behavior —
+# a rollup over no data reports no windows — and the oracle mirrors
+# it with HAVING count(*) > 0, vacuous on any non-empty input.
 # --------------------------------------------------------------------------
 
 
@@ -189,6 +198,10 @@ SELECT
   round(sum(value), 2) AS total_value
 FROM {EVENTS_NORM_SQL} e
 GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+-- empty-input twin pin (see q_rollup_time docstring): drop the ANSI
+-- grand-total row DuckDB emits over zero input rows; on non-empty
+-- input every rollup row has count(*) >= 1, so this filters nothing
+HAVING count(*) > 0
 """
 
 

@@ -37,6 +37,11 @@ test_unicode_parity.py — at whatever SF you point at):
               sides, ANN corpora smaller than k, zero-pair candidate
               stages, stddev/regression aggregates over 1-2 values,
               near-empty streaming drains.
+- ``empty``   every table cut to ZERO rows, schema preserved: the
+              dead-feed case. Pins zero-row scans, global aggregates
+              over nothing, empty grouping sets (found the ANSI
+              grand-total-row divergence in rollup_time's oracle),
+              and empty streaming sources end-to-end.
 """
 
 from __future__ import annotations
@@ -258,6 +263,16 @@ def mutate_tiny(tbl: pa.Table, name: str) -> pa.Table:
     return tbl.slice(0, 3)
 
 
+def mutate_empty(tbl: pa.Table, name: str) -> pa.Table:
+    """Cut every table to ZERO rows (schema preserved) — the dead-feed
+    case: zero-row scans, global aggregates over nothing, empty
+    grouping sets (ANSI emits a grand-total row over zero input while
+    Spark's rollup emits nothing — the divergence this regime found in
+    rollup_time, now pinned in its oracle twin), and streaming drains
+    whose source never produces a batch."""
+    return tbl.slice(0, 0)
+
+
 REGIMES = {
     "null": mutate_null,
     "skew": mutate_skew,
@@ -265,6 +280,7 @@ REGIMES = {
     "degenerate-history": mutate_degenerate_history,
     "hostile-keys": mutate_hostile_keys,
     "tiny": mutate_tiny,
+    "empty": mutate_empty,
 }
 
 
