@@ -42,6 +42,16 @@ test_unicode_parity.py — at whatever SF you point at):
               over nothing, empty grouping sets (found the ANSI
               grand-total-row divergence in rollup_time's oracle),
               and empty streaming sources end-to-end.
+- ``nonfinite`` NaN / +Inf / -Inf injected into ``events.value``:
+              certifies the finite_or_null discipline (NaN/Inf -> NULL
+              before integer-cents casts and quantiles) and that both
+              engines' documented NaN ordering ("equal to itself,
+              greater than everything") agrees through sums, windows,
+              BETWEEN filters, and streaming state. Magnitude attacks
+              (1e300) are deliberately NOT included: the integer-cents
+              cast contract is a LOUD ANSI overflow abort in both
+              engines, not a silent value, so they crash the gate by
+              design.
 """
 
 from __future__ import annotations
@@ -263,6 +273,30 @@ def mutate_tiny(tbl: pa.Table, name: str) -> pa.Table:
     return tbl.slice(0, 3)
 
 
+def mutate_nonfinite(tbl: pa.Table, name: str) -> pa.Table:
+    """Every 13th events.value becomes NaN, every 17th +Inf, every
+    19th -Inf (first match wins; other rows keep their value). Only
+    ``events.value`` is mutated: it is the one measure column whose
+    consumers declare non-finite semantics (finite_or_null); money
+    columns carry a loud-overflow cast contract instead."""
+    if name != "events":
+        return tbl
+    vals = tbl.column("value").to_pylist()
+    out = []
+    for i, v in enumerate(vals):
+        if i % 13 == 3:
+            out.append(float("nan"))
+        elif i % 17 == 5:
+            out.append(float("inf"))
+        elif i % 19 == 7:
+            out.append(float("-inf"))
+        else:
+            out.append(v)
+    return tbl.set_column(
+        tbl.column_names.index("value"), "value", pa.array(out, pa.float64())
+    )
+
+
 def mutate_empty(tbl: pa.Table, name: str) -> pa.Table:
     """Cut every table to ZERO rows (schema preserved) — the dead-feed
     case: zero-row scans, global aggregates over nothing, empty
@@ -280,6 +314,7 @@ REGIMES = {
     "degenerate-history": mutate_degenerate_history,
     "hostile-keys": mutate_hostile_keys,
     "tiny": mutate_tiny,
+    "nonfinite": mutate_nonfinite,
     "empty": mutate_empty,
 }
 

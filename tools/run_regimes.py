@@ -4,7 +4,7 @@
 One command reproduces the per-round adversarial certification the
 judge re-runs (VERDICT r7 "keep the adversarial cadence"): for each
 regime in ``tools/mutate_corpus.py`` (null / skew / unicode /
-degenerate-history / hostile-keys / tiny / empty), build a mutated copy of the source SF directory
+degenerate-history / hostile-keys / tiny / nonfinite / empty), build a mutated copy of the source SF directory
 into scratch, run ``tools/check_oracle.py`` against it in a FRESH
 subprocess (clean JVM + DuckDB per regime — no session-state bleed
 between corpora), and print a one-line verdict per regime plus a
