@@ -108,8 +108,10 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NaN is normalized to NULL on both sides (the operator's declared
 # contract — see stateful_user_totals: the Arrow→pandas crossing erases
 # the NaN/NULL distinction, so the fold cannot honor SQL's
-# count-NaN/propagate-NaN semantics); the gate corpora are NaN-free,
-# making the twin an identity there.
+# count-NaN/propagate-NaN semantics). The `nonfinite` regime gate
+# (round 12) drives NaN/±Inf values through this exact path: NaN takes
+# the normalize-to-NULL leg on both engines, ±Inf flows through the
+# sums identically.
 ORACLE_STREAM_STATEFUL_TOTALS = f"""
 SELECT
   user_id,
