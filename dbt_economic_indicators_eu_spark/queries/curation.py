@@ -38,7 +38,16 @@ from .datapipe import (
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # Widened like its sibling q_bloom_decontaminate (guide §2.5:
+    # repartition after an unsplittable read): shingling is the
+    # regex-dense stage of BOTH branches, and without the widen it ran
+    # inside the one-task scan stage — bench-set shingling single-core
+    # inside the broadcast build job, corpus shingling single-core in
+    # the main pass. One shared widened scan feeds both branches; at
+    # cluster scale (files >= cores) widen_narrow_scan inserts nothing.
+    # Measured at sf0.1 (noop, min-of-5): 0.713 -> 0.415 (corp-only
+    # widen 0.484); plan diff in plans/r12/decontaminate_{before,after}.txt.
+    docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     # Drop the '' shingle from the benchmark set: blank/null benchmark
     # docs shingle to [''] (the _with_shingles null convention), and an
     # empty-string "match" would flag every blank corpus doc as

@@ -41,7 +41,24 @@ from .common import (
 
 
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # Explicit hash repartition on user_id ahead of both branches
+    # (guide §2.3 "shuffle fewer bytes" + §2.5 input-side fix for an
+    # unsplittable one-file scan). Map-side partial aggregation is a
+    # NON-reduction for exact percentile — the partial buffer holds
+    # every value in the group — so without this the stats branch's
+    # exchange shipped partial_percentile buffers (the whole value
+    # column again, serialized object buffers) built inside the
+    # single-task scan stage. With REPARTITION_BY_COL first, Catalyst
+    # prunes the stats branch to raw (user_id, value) rows through
+    # the exchange and runs BOTH aggregate phases post-shuffle at
+    # parallel width (plan diff: partial ObjectHashAggregate moves
+    # from below to above its Exchange; see
+    # plans/r12/anomaly_zscore_{before,after}.txt). Width is
+    # deliberately unpinned: AQE treats a keyed repartition without an
+    # explicit N as coalescible, so the 100 TB width follows
+    # advisoryPartitionSizeInBytes, not a local constant. Measured at
+    # sf0.1 (noop sink, min-of-5): 0.563 -> 0.446 full query.
+    ev = load(spark, sf_dir, "events").repartition("user_id")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
 
     # Per-user stats as a groupBy-agg (map-side partial aggregation, tiny

@@ -564,9 +564,24 @@ def q_test_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("order_key"),
         F.col("l_linenumber").alias("line_number"),
     )
-    return generic.test_unique(li, "order_key", "line_number").withColumnRenamed(
-        "n_rows", "n"
-    )
+    # Pre-partition on the tested key (call-site knowledge the
+    # optimizer lacks, guide §8): a uniqueness test's group keys are
+    # near-unique BY CONSTRUCTION on healthy data, so the map-side
+    # partial aggregate reduces nothing — it builds a row-count-sized
+    # hash map inside the scan task and ships the same rows anyway.
+    # With the input already hash-partitioned on the key, the groupBy
+    # inserts no second exchange (same single shuffle, same bytes) and
+    # the hash build runs at post-shuffle width instead of scan width
+    # (one task per input file here). Trade-off, documented: on
+    # PATHOLOGICAL data where one key owns most rows, the partial agg
+    # would have collapsed duplicates map-side — that is the failing-
+    # test regime, where the run is already headed for a red result;
+    # the healthy-data fast path is the one that runs at 100 TB every
+    # night. Measured at sf0.1 (noop, min-of-5): 0.405 -> 0.300; plan
+    # diff in plans/r12/test_unique_{before,after}.txt.
+    return generic.test_unique(
+        li.repartition("order_key", "line_number"), "order_key", "line_number"
+    ).withColumnRenamed("n_rows", "n")
 
 
 ORACLE_TEST_UNIQUE = """
