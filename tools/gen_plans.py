@@ -95,8 +95,11 @@ HEADLINERS = [
     (
         "decontaminate",
         "Benchmark shingle set (bounded — eval suites are MBs) "
-        "broadcasts into the corpus shingle stream; the corpus is "
-        "never shuffled, never sort-merged.",
+        "broadcasts into the corpus shingle stream; the corpus never "
+        "shuffles FOR THE JOIN (no sort-merge anywhere). The round-"
+        "robin Exchange under the shingle projection is the local "
+        "unsplittable-scan widen (round 12) — at cluster scale "
+        "(files >= cores) widen_narrow_scan inserts nothing.",
     ),
     (
         "corpus_curation",
