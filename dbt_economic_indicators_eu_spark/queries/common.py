@@ -403,69 +403,71 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
 # Verification-priority ordering. The correctness harness records
 # verdicts for a ~50-query prefix of dict order, so queries rotate each
 # round to keep every verdict fresh (two-round freshness invariant).
-# Round-12 rotation: (a) two queries from this round's self-review
-# modules (corpus.py / curation.py) so review-touched code paths carry
-# a same-round verdict; then (b) ALL 48 queries whose latest driver
-# verdict is r10 (CORRECTNESS_r10 keys minus CORRECTNESS_r11 keys) —
-# this cohort includes sketch_agg and anomaly_zscore, whose semantics
-# changed post-verdict in a311035 (p50 tolerance floor + finite-value
-# guard), closing the only correctness-freshness gap flagged by the
-# r11 verdict. 2 + 48 = exactly 50, so after this round every query
-# carries an r11-or-r12 verdict and the prefix is exact and
-# deterministic.
+# Round-13 rotation (r12-verdict task #1): (a) test_unique and
+# decontaminate LEAD — their code changed in round 12 AFTER the r12
+# rotation commit, so their only driver verdict predates the change;
+# (b) the rest of the r11-stale cohort (CORRECTNESS_r11 keys minus
+# CORRECTNESS_r12 keys, 46 more) so every query again carries an
+# r12-or-r13 verdict; (c) stream_join and stream_stateful_totals —
+# r12-fresh, but they are this round's optimization targets (r12
+# verdict tasks #3/#4), and the standing rule is that any query whose
+# code changes in-round must sit in the prefix IN THE CHANGING COMMIT
+# so rotation order can never race a later optimization. 2 + 46 + 2 =
+# exactly 50; enforced by tests/test_registry.py.
 _VERIFY_FIRST = (
-    # -- round-12 self-review modules (corpus/curation) -----------------
-    "corpus_curation",
-    "vocab_topk",
-    # -- r10-stale cohort (latest verdict is one round old) -------------
-    "anomaly_zscore",
-    "avail_agg",
-    "bucketed_join",
-    "compact_files",
-    "dedup_embedding",
-    "dedup_exact",
-    "embedding_normalize",
-    "event_transitions",
-    "forecast_ensemble",
-    "forecast_ols",
-    "frame_sample",
-    "funnel_steps",
-    "hash_split",
-    "jsonstat_decode",
-    "kmeans_refine",
-    "knn_ivf",
-    "knn_lsh",
-    "label_centroids",
-    "lang_id",
-    "lsh_buckets",
-    "media_features",
-    "media_pipeline",
-    "notnull_violations",
-    "partition_pruned",
-    "pivot_events",
-    "purge_escaped_partitions",
-    "quality_scorecard",
-    "rest_ingest",
-    "rollup_time",
-    "salted_agg",
-    "salted_join",
-    "sample_stratified",
-    "schema_evolve_read",
-    "seed_eu_status",
-    "sessionize",
-    "sketch_agg",
-    "source_mix_weights",
-    "stream_dedup",
-    "stream_enrich",
+    # -- changed in r12 after the r12 rotation (driver must re-verdict) --
+    "test_unique",
+    "decontaminate",
+    # -- r11-stale cohort (latest verdict is one round old) --------------
+    "annual_agg",
+    "annual_summary",
+    "asof_join",
+    "bloom_decontaminate",
+    "case_bands",
+    "chunk_documents",
+    "completeness",
+    "contract_check",
+    "dedup_cluster",
+    "dedup_minhash",
+    "distinct_spine",
+    "fingerprint",
+    "freshness_check",
+    "incremental_upsert",
+    "knn_brute",
+    "knn_quantized",
+    "latest_per_entity",
+    "left_join_enrich",
+    "length_buckets",
+    "monthly_lag",
+    "pack_sequences",
+    "paragraph_dedup",
+    "pii_redact",
+    "range_join_agg",
+    "rank_in_year",
+    "region_share",
+    "registry_pipeline",
+    "repetition_stats",
+    "rolling_avg",
+    "scd2_snapshot",
+    "schema_test_suite",
+    "simhash",
+    "singular_consistency",
+    "staging_projection",
+    "stream_incremental",
+    "targeted_delete",
+    "test_range_nofuture",
+    "test_relationships",
+    "text_clean",
+    "text_stats",
+    "tfidf_topk",
+    "token_count",
+    "unigram_logprob",
+    "union_append",
+    "unit_test_mock",
+    "watermark_filter",
+    # -- round-13 optimization targets (re-verdict post-change) ----------
     "stream_join",
-    "stream_sessionize",
     "stream_stateful_totals",
-    "stream_window_counts",
-    "table_profile",
-    "temperature_resample",
-    "training_shuffle",
-    "wordlist_ratio",
-    "zorder_layout",
 )
 
 
