@@ -466,7 +466,12 @@ _VERIFY_FIRST = (
     "unit_test_mock",
     "watermark_filter",
     # -- round-13 optimization targets (re-verdict post-change) ----------
-    "stream_join",
+    # dedup_embedding and stream_stateful_totals carry r12 verdicts but
+    # their code changed this round (probe-side widen; Arrow batch
+    # sizing), so they must re-verify in-round. stream_join was examined
+    # with measured NON-changes only (code untouched), so its r12
+    # verdict stands and it yields its slot.
+    "dedup_embedding",
     "stream_stateful_totals",
 )
 

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import QueryDef, load, r6
+from .common import QueryDef, load, r6, widen_narrow_scan
 from ..operators.banding import HOT_BUCKET_CAP, candidate_pairs
 
 _DIM = 64
@@ -525,8 +525,23 @@ def _dedup_buckets_udf():
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = embeddings_scan(spark, sf_dir).select("vec_id", _vec_double().alias("v"))
-    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    # The exact-verify chain (attach va → attach vb → 64-dim cosine
+    # fold in the join condition) executes in the stage anchored on the
+    # id_a-side embeddings scan: the candidate list is the BROADCAST
+    # build side of the first join, so the one-file scan is the probe
+    # stream and every candidate pair's interpreted zip_with/aggregate
+    # fold ran in ONE task (plans/r13/dedup_embedding_before.txt node
+    # 32). Widening the probe side fans the whole verify to slot width
+    # (guide §2.5); measured 0.801 -> 0.600 min-of-4 at sf0.1, rows
+    # identical. The id_b side stays un-widened — it feeds a broadcast
+    # build, where an exchange before the collect is pure cost. At
+    # cluster scale (files >= cores) widen_narrow_scan inserts nothing.
+    emb_a = widen_narrow_scan(embeddings_scan(spark, sf_dir)).select(
+        "vec_id", _vec_double().alias("v")
+    )
+    emb_a = emb_a.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    emb_b = embeddings_scan(spark, sf_dir).select("vec_id", _vec_double().alias("v"))
+    emb_b = emb_b.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     raw = embeddings_scan(spark, sf_dir)
     banded = raw.select(
         "vec_id", F.posexplode(_dedup_buckets_udf()("embedding")).alias("table_idx", "bucket")
@@ -543,10 +558,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector table un-shuffled — and falls back to a shuffle join on
     # vec_id otherwise. Pinned by tests/test_plans.py.
     pairs = cand.join(
-        emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
+        emb_a.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
         "id_a",
     ).join(
-        emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
+        emb_b.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
         "id_b",
     )
     # try_divide, not `/`: a zero-norm vector buckets to 0 in every
