@@ -230,11 +230,12 @@ FROM per_doc
 #
 #   build:  two probe positions per benchmark shingle (xxhash64 and
 #           murmur3, independent hash families) → groupBy(word index)
-#           with bit_or of the probe masks → a <=1024-row bitmask
-#           table (2^16 bits as 64-bit words).
-#   query:  the corpus side broadcast-joins the bitmask table on the
-#           word index (map-side, no corpus shuffle) and keeps a
-#           shingle only when BOTH probe bits are set.
+#           with bit_or of the probe masks → folded into ONE row as a
+#           word → mask map (2^16 bits as <=1024 64-bit words).
+#   query:  the corpus side attaches that single row via one broadcast
+#           (map-side, no corpus shuffle) and keeps a shingle only
+#           when BOTH probe bits are set (map lookups; an absent word
+#           is a NULL lookup and fails the bit test).
 #   exact:  survivors — a small fraction of the corpus — are confirmed
 #           against the true benchmark shingle set, so the bloom's
 #           false positives are removed and the RESULT IS EXACT (the
@@ -263,7 +264,14 @@ def _bloom_probes(sg: F.Column) -> tuple[F.Column, F.Column]:
 
 
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # Widened like q_decontaminate (guide §2.5): shingling is the
+    # regex-dense stage of both the benchmark-set builds and the corpus
+    # pass, and all of them ran inside the one-task one-file scan stage.
+    # At cluster scale (files >= cores) widen_narrow_scan inserts
+    # nothing. Round-13 isolated harness (bench conf, noop, min-of-4,
+    # same session): 1.120 current -> 0.720 widened -> 0.519 widened +
+    # one-row bitmask (below).
+    docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     bench_sh = (
         _with_shingles(docs.filter(F.col("doc_id") % 37 == 0))
         .select(F.explode("shingles").alias("sg"))
@@ -271,13 +279,26 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     p1, p2 = _bloom_probes(F.col("sg"))
-    bits = (
+    # The whole 16 KB bitmask folds into ONE row (word -> mask map), so
+    # the corpus side attaches it with a single broadcast of a 1-row
+    # relation instead of the previous two word-keyed broadcast hash
+    # joins (one per probe): one BroadcastExchange + one build job
+    # replaces two of each, and the per-shingle work drops from two
+    # hash-table probes to two map lookups (guide §2.4/§3.1 — r12
+    # verdict task #6). An absent word yields a NULL lookup, which
+    # fails the bit test exactly like the inner join's non-match drop.
+    bf = (
         bench_sh.select(F.explode(F.array(p1, p2)).alias("p"))
         .groupBy((F.col("p") / 64).cast("int").alias("word"))
         .agg(
             F.bit_or(
                 F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
             ).alias("mask")
+        )
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("word"), F.collect_list("mask")
+            ).alias("bf")
         )
     )
     corp = _with_shingles(
@@ -287,22 +308,14 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = corp.select("doc_id", "source", "sg", c1.alias("p1"), c2.alias("p2"))
     # bit-test with `& 1` (not `% 2`): bit 63's mask is a negative
     # long, where arithmetic shiftright % 2 yields -1
-    hit = lambda probe: (  # noqa: E731 — bit-test against the joined mask
-        F.expr(f"shiftright(mask, CAST({probe} % 64 AS INT)) & 1") == 1
+    hit = lambda probe: F.expr(  # noqa: E731 — bit-test against the map entry
+        f"shiftright(bf[CAST({probe} / 64 AS INT)], CAST({probe} % 64 AS INT)) & 1 = 1"
     )
     cand = (
-        corp.join(
-            F.broadcast(bits.withColumnRenamed("word", "w1")),
-            (F.col("p1") / 64).cast("int") == F.col("w1"),
-        )
+        corp.crossJoin(F.broadcast(bf))
         .filter(hit("p1"))
-        .drop("w1", "mask")
-        .join(
-            F.broadcast(bits.withColumnRenamed("word", "w2")),
-            (F.col("p2") / 64).cast("int") == F.col("w2"),
-        )
         .filter(hit("p2"))
-        .drop("w2", "mask", "p1", "p2")
+        .drop("bf", "p1", "p2")
     )
     confirmed = cand.join(F.broadcast(bench_sh), "sg")
     return confirmed.groupBy("source").agg(

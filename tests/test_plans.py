@@ -274,12 +274,17 @@ def test_paragraph_dedup_hash_only_shuffles_no_join(spark):
 
 
 def test_bloom_decontaminate_broadcast_only_on_corpus_path(spark):
-    """The corpus side must meet only broadcast joins (16KB bitmask
-    twice, then the bounded exact-confirm set) — a sort-merge join
-    would shuffle the whole corpus shingle stream."""
+    """The corpus side must meet only broadcasts — a sort-merge join
+    would shuffle the whole corpus shingle stream. Round-13 shape: the
+    16KB bitmask folds into ONE row (word → mask map) attached via a
+    single broadcast nested-loop join (1-row build side), then the
+    bounded exact-confirm set joins as a broadcast hash join."""
     plan = _plan(spark, "bloom_decontaminate")
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # exact-confirm
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row bitmask
+    assert plan.count("BroadcastExchange") <= 2
 
 
 def test_kmeans_assignment_is_pure_projection(spark):
