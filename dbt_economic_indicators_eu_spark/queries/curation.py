@@ -43,10 +43,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex-dense stage of BOTH branches, and without the widen it ran
     # inside the one-task scan stage — bench-set shingling single-core
     # inside the broadcast build job, corpus shingling single-core in
-    # the main pass. One shared widened scan feeds both branches; at
-    # cluster scale (files >= cores) widen_narrow_scan inserts nothing.
-    # Measured at sf0.1 (noop, min-of-5): 0.713 -> 0.415 (corp-only
-    # widen 0.484); plan diff in plans/r12/decontaminate_{before,after}.txt.
+    # the main pass. BOTH branches come out widened: Catalyst pushes
+    # the doc_id % 37 filters below the round-robin exchange, so the
+    # committed after-plan shows two independent filtered-scan +
+    # round-robin subtrees, one per branch (not one physically shared
+    # scan). At cluster scale (files >= cores) widen_narrow_scan
+    # inserts nothing. Measured at sf0.1 (noop, min-of-5, round-12
+    # isolated harness under the bench conf — the round-opening FULL
+    # bench that day drew 0.626 for this query; the isolated pair is
+    # the like-for-like A/B): 0.713 -> 0.415 (corp-only widen 0.484);
+    # plan diff in plans/r12/decontaminate_{before,after}.txt.
     docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     # Drop the '' shingle from the benchmark set: blank/null benchmark
     # docs shingle to [''] (the _with_shingles null convention), and an

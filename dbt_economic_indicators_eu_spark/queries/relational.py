@@ -577,7 +577,13 @@ def q_test_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would have collapsed duplicates map-side — that is the failing-
     # test regime, where the run is already headed for a red result;
     # the healthy-data fast path is the one that runs at 100 TB every
-    # night. Measured at sf0.1 (noop, min-of-5): 0.405 -> 0.300; plan
+    # night. Note also that AQE's skew-join splitting does not apply to
+    # a keyed repartition (REPARTITION_BY_COL is not a join, and a
+    # single hot key cannot be split by AQE anywhere), so if the
+    # failing-test regime ever mattered at scale the fix would be a
+    # rebalance-style hint or reverting to the ENSURE_REQUIREMENTS
+    # shape, not a conf. Measured at sf0.1 (noop, min-of-5, round-12
+    # isolated harness under the bench conf): 0.405 -> 0.300; plan
     # diff in plans/r12/test_unique_{before,after}.txt.
     return generic.test_unique(
         li.repartition("order_key", "line_number"), "order_key", "line_number"
