@@ -33,7 +33,7 @@ TRUST_ANCHORS = [
 BULKY = ["queries", "samples", "oracle_queries"]
 
 
-def _build_payload(per_query, oracle_best, samples=None):
+def _build_payload(per_query, oracle_best, samples=None, scaling_probe=None):
     """Re-run bench.py's payload-construction block on stub data by
     executing the real module source between the payload markers —
     guarantees the test can't drift from the code it pins."""
@@ -55,6 +55,7 @@ def _build_payload(per_query, oracle_best, samples=None):
         "_cpu_jiffies": lambda: (10, 1000),
         "steal0": 0,
         "total0": 0,
+        "scaling_probe": scaling_probe,
     }
     exec(block, env)  # noqa: S102 - executing our own repo source
     return env["payload"]
@@ -98,6 +99,31 @@ def test_spark_top_sits_between_oracle_dict_and_anchors():
     line = json.dumps(payload)
     suffix = line[line.index('"spark_top"') :]
     assert len(suffix) < 500, len(suffix)
+
+
+def test_scaling_probe_is_diagnostic_not_anchor():
+    """The shuffle=cpus scaling-probe dict (r12 verdict task #2) is a
+    bulky diagnostic: it must sit after the oracle dict and BEFORE
+    spark_top and the scalar anchors, so truncation eats it before the
+    trust anchors."""
+    per_query = {f"q{i}": 0.1 * i for i in range(40)}
+    oracle_best = {f"q{i}": 0.05 * i for i in range(40)}
+    probe = {
+        "shuffle_partitions": 32,
+        "total": 1.0,
+        "queries": {f"q{i}": 0.09 * i for i in range(40)},
+    }
+    payload = _build_payload(per_query, oracle_best, scaling_probe=probe)
+    keys = list(payload)
+    assert (
+        keys.index("oracle_queries")
+        < keys.index("scaling_probe")
+        < keys.index("spark_top")
+        < keys.index("value")
+    )
+    # absent probe (SPARK_GRAFT_SCALING_PROBE=0) leaves the payload shape intact
+    payload2 = _build_payload(per_query, oracle_best)
+    assert "scaling_probe" not in payload2
 
 
 def test_anchors_survive_without_oracle():
