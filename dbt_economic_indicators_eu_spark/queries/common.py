@@ -466,11 +466,12 @@ _VERIFY_FIRST = (
     "unit_test_mock",
     "watermark_filter",
     # -- round-13 optimization targets (re-verdict post-change) ----------
-    # dedup_embedding and stream_stateful_totals carry r12 verdicts but
-    # their code changed this round (probe-side widen; Arrow batch
-    # sizing), so they must re-verify in-round. stream_join was examined
-    # with measured NON-changes only (code untouched), so its r12
-    # verdict stands and it yields its slot.
+    # dedup_embedding carries an r12 verdict but its code changed this
+    # round (probe-side widen), so it must re-verify in-round.
+    # stream_join and stream_stateful_totals were examined with
+    # measured NON-changes only (comment-level edits at most);
+    # stateful_totals keeps the second slot as this round's most
+    # re-measured streaming path.
     "dedup_embedding",
     "stream_stateful_totals",
 )

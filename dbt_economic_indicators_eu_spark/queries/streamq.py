@@ -93,29 +93,21 @@ GROUP BY user_id, session_idx
 
 def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming.events_stream(spark, sf_dir)
-    # Arrow batch sizing for the Python-stateful path (guide §4.2): the
-    # applyInPandasWithState serializer emits one 1-row pandas frame per
-    # GROUP regardless of batch size, so large input batches only delay
-    # when Python can start folding — smaller batches pipeline the
-    # JVM→Python stream against the fold. Swept 250/500/1000/2000/10000
-    # at sf0.1 (min-of-4, bench conf): 0.873/0.858/0.887/0.884/0.997 —
-    # a ~12% plateau below 2000; 1000 sits mid-plateau. Scoped to this
-    # drain; other Arrow passes keep the session default (wide numeric
-    # batches want the default or larger).
-    mrb_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    prev_mrb = spark.conf.get(mrb_key)
-    spark.conf.set(mrb_key, "1000")
-    try:
-        return streaming.run_available_now(
-            streaming.stateful_user_totals(ev),
-            "stream_stateful_totals",
-            output_mode="update",
-            # Python-stateful: partitions bound worker parallelism (see
-            # run_available_now docstring); 16 measured 2.2s vs 2.9s at 4.
-            n_state_partitions=16,
-        )
-    finally:
-        spark.conf.set(mrb_key, prev_mrb)
+    # Arrow batch sizing (spark.sql.execution.arrow.maxRecordsPerBatch)
+    # was swept for this drain in round 13 and left at the DEFAULT: a
+    # sequential sweep suggested ~12% at <=2000, but a 6-pair
+    # INTERLEAVED A/B (the drift-cancelling design) showed a wash —
+    # 10000 vs 1000 min 1.033/1.041, vs 500 min 1.006/0.963 with means
+    # inverting. The per-group 1-row pandas emission dominates the
+    # serializer cost, so input batch size is immaterial here.
+    return streaming.run_available_now(
+        streaming.stateful_user_totals(ev),
+        "stream_stateful_totals",
+        output_mode="update",
+        # Python-stateful: partitions bound worker parallelism (see
+        # run_available_now docstring); 16 measured 2.2s vs 2.9s at 4.
+        n_state_partitions=16,
+    )
 
 
 # applyInPandasWithState folds batches into per-user state; with one

@@ -428,24 +428,3 @@ def test_emits_only_on_watermark_join_types(spark):
     agg = src("lv").groupBy(F.window("timestamp", "1 minute")).count()
     assert flag(agg)
 
-
-def test_stateful_totals_query_scopes_arrow_batch_conf(spark):
-    """q_stream_stateful_totals pins a small Arrow batch size for its
-    Python-stateful drain (the applyInPandasWithState serializer emits
-    per-group frames, so small input batches pipeline better — swept in
-    round 13) but must RESTORE the session conf afterwards: other Arrow
-    passes want the default-or-larger batches."""
-    from dbt_economic_indicators_eu_spark.queries.streamq import (
-        q_stream_stateful_totals,
-    )
-
-    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    prev = spark.conf.get(key)
-    sentinel = "7777"
-    spark.conf.set(key, sentinel)
-    try:
-        out = q_stream_stateful_totals(spark, SF_DIR)
-        assert out.count() > 0
-        assert spark.conf.get(key) == sentinel
-    finally:
-        spark.conf.set(key, prev)
