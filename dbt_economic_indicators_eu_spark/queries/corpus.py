@@ -268,9 +268,11 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex-dense stage of both the benchmark-set builds and the corpus
     # pass, and all of them ran inside the one-task one-file scan stage.
     # At cluster scale (files >= cores) widen_narrow_scan inserts
-    # nothing. Round-13 isolated harness (bench conf, noop, min-of-4,
-    # same session): 1.120 current -> 0.720 widened -> 0.519 widened +
-    # one-row bitmask (below).
+    # nothing. Round-13 isolated harness (bench conf, noop, sf0.1):
+    # block A/B in one session 1.120 current -> 0.720 widened -> 0.519
+    # widened + one-row bitmask (below); confirmed by a 6-pair
+    # INTERLEAVED A/B of old-vs-final (drift-cancelling): min
+    # 0.794 -> 0.552, mean 0.881 -> 0.657, new wins 6/6 pairs.
     docs = widen_narrow_scan(load(spark, sf_dir, "documents"))
     bench_sh = (
         _with_shingles(docs.filter(F.col("doc_id") % 37 == 0))

@@ -532,8 +532,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream and every candidate pair's interpreted zip_with/aggregate
     # fold ran in ONE task (plans/r13/dedup_embedding_before.txt node
     # 32). Widening the probe side fans the whole verify to slot width
-    # (guide §2.5); measured 0.801 -> 0.600 min-of-4 at sf0.1, rows
-    # identical. The id_b side stays un-widened — it feeds a broadcast
+    # (guide §2.5); measured at sf0.1 under the bench conf: 6-pair
+    # INTERLEAVED A/B (drift-cancelling) min 0.721 -> 0.603, mean
+    # 0.857 -> 0.755, new wins 5/6 pairs; block A/B in one session
+    # 0.801 -> 0.600; rows identical. The id_b side stays un-widened —
+    # it feeds a broadcast
     # build, where an exchange before the collect is pure cost. At
     # cluster scale (files >= cores) widen_narrow_scan inserts nothing.
     emb_a = widen_narrow_scan(embeddings_scan(spark, sf_dir)).select(
