@@ -470,7 +470,8 @@ def main() -> int:
         spark.conf.set(shuffle_key, str(probe_w))
         try:
             probe_best: dict[str, float] = {}
-            for _p in range(2):
+            n_probe = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))
+            for _p in range(n_probe):
                 jvm_quiesce()
                 for name, builder in qs.items():
                     elapsed = time_one(name, builder)
