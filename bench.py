@@ -450,8 +450,9 @@ def main() -> int:
     # input (guide §2.2 wants 100 MB–1 GB per partition) — but it
     # leaves the driver's low-core-vs-main-core comparison blind to
     # shuffle-stage parallelism (PERF_r12 flagged the flat ratios as
-    # "suspect_cpus_ignored"). So after the headline passes, TWO extra
-    # labeled passes re-time every query with shuffle width =
+    # "suspect_cpus_ignored"). So after the headline passes, extra
+    # labeled passes (SPARK_GRAFT_SCALING_PASSES, default 3, min-of-N)
+    # re-time every query with shuffle width =
     # max(4, cpus); in these numbers post-shuffle stages track the
     # core count, so dividing the low-core artifact's scaling_probe
     # dict by the main one's certifies (or refutes) parallelism.

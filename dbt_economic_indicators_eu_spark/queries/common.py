@@ -408,12 +408,11 @@ def _cached_builder(q: "QueryDef") -> Callable[[SparkSession, str], DataFrame]:
 # rotation commit, so their only driver verdict predates the change;
 # (b) the rest of the r11-stale cohort (CORRECTNESS_r11 keys minus
 # CORRECTNESS_r12 keys, 46 more) so every query again carries an
-# r12-or-r13 verdict; (c) stream_join and stream_stateful_totals —
-# r12-fresh, but they are this round's optimization targets (r12
-# verdict tasks #3/#4), and the standing rule is that any query whose
-# code changes in-round must sit in the prefix IN THE CHANGING COMMIT
-# so rotation order can never race a later optimization. 2 + 46 + 2 =
-# exactly 50; enforced by tests/test_registry.py.
+# r12-or-r13 verdict; (c) two r12-fresh round-13 optimization targets
+# (see the trailing block below) — the standing rule is that any query
+# whose code changes in-round must sit in the prefix IN THE CHANGING
+# COMMIT so rotation order can never race a later optimization.
+# 2 + 46 + 2 = exactly 50; enforced by tests/test_registry.py.
 _VERIFY_FIRST = (
     # -- changed in r12 after the r12 rotation (driver must re-verdict) --
     "test_unique",

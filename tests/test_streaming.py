@@ -427,4 +427,3 @@ def test_emits_only_on_watermark_join_types(spark):
     # streaming aggregate still flags (windows finalize on watermark)
     agg = src("lv").groupBy(F.window("timestamp", "1 minute")).count()
     assert flag(agg)
-
